@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{RelationalQueries, SimilarityQueries, StreamQueries, TextQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator-coverage surface: one entry per implemented
+  * operator/capability from SURVEY.md §2 (stream operators on `events`,
+  * relational plans on the TPC-H-ish tables, training-data text/dedup/
+  * similarity pipelines on `documents`/`embeddings`). `oracleSql` carries a
+  * DuckDB-equivalent for every SQL-expressible query; entries without an
+  * oracle (hash-seeded MinHash/SimHash/LSH, the multimodal decode stub) get
+  * the driver's rows-only check and are unit-tested instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Taxi-Q1-shaped:
+    * tumbling-window top-k by frequency (SURVEY §2.5 `topk`). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StreamQueries.queries("q_topk_window")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ StreamQueries.queries ++
+      TextQueries.queries ++ SimilarityQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ StreamQueries.oracles ++
+      TextQueries.oracles ++ SimilarityQueries.oracles
 }

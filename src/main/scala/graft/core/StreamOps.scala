@@ -1,0 +1,195 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+import graft.core.WindowMakers.WindowMaker
+
+/** The eight fundamental stream operators as typed `Dataset[Event[A]]`
+  * combinators, with the exact semantics of the reference
+  * (`src/Striot/FunctionalProcessing.hs`, "The eight StrIoT low-level
+  * operators"):
+  *
+  *   - value-less (time-tick) events pass through filter/map/filterAcc/scan
+  *     untouched (and do not update accumulators);
+  *   - windows are stamped with their first element's timestamp; an empty
+  *     window becomes `Event(None, Some(Nil))`;
+  *   - merge is an n-ary time-ordered union;
+  *   - join is a pairwise zip of the two sides' data events.
+  *
+  * Execution model: stateless operators (filter/map/expand) are ordinary
+  * Catalyst `Filter`/`Project`/`Generate` nodes and scale freely. The
+  * order-dependent operators (filterAcc, scan, window, merge, zip-join) are
+  * defined over a TOTALLY-ORDERED stream; this typed surface realizes them
+  * faithfully on a single ordered partition (`coalesce(1).mapPartitions`),
+  * which is the parity/oracle surface. At scale, use the per-key variants
+  * here (`ByKey` — state partitioned across the cluster by key, ordered
+  * within key, which is how a 100 TB stream is actually sharded) or the
+  * DataFrame window-function formulations in [[graft.operators]] (lag /
+  * running aggregates / frames — fully parallel).
+  */
+object StreamOps {
+
+  implicit final class RichStream[A](private val ds: Dataset[Event[A]]) extends AnyVal {
+
+    /** Keep events whose VALUE satisfies p; value-less events pass through.
+      * Reference `FunctionalProcessing.hs:59-63`. */
+    def streamFilter(p: A => Boolean): Dataset[Event[A]] =
+      ds.filter((e: Event[A]) => e.value.forall(p))
+
+    /** Transform the value, keep the timestamp; value-less events pass.
+      * Reference `FunctionalProcessing.hs:67-71`. */
+    def streamMap[B](f: A => B)(implicit enc: Encoder[Event[B]]): Dataset[Event[B]] =
+      ds.map((e: Event[A]) => Event(e.time, e.value.map(f)))
+
+    /** One output event per list element, each inheriting the source event's
+      * timestamp; a value-less event passes through as-is.
+      * Reference `FunctionalProcessing.hs:206-210`. */
+    def streamExpand[B](implicit ev: A <:< Seq[B], enc: Encoder[Event[B]]): Dataset[Event[B]] =
+      ds.flatMap((e: Event[A]) =>
+        e.value match {
+          case Some(vs) => ev(vs).map(v => Event(e.time, Some(v)))
+          case None     => Seq(Event[B](e.time, None))
+        })
+
+    /** Stateful filter: accumulator updated on EVERY data event; the event is
+      * emitted iff `p(value, accBefore)`; value-less events pass through
+      * without touching the accumulator. Totally ordered single-partition
+      * execution (parity surface) — see [[streamFilterAccByKey]] for the
+      * sharded variant. Reference `FunctionalProcessing.hs:181-185`. */
+    def streamFilterAcc[B](accfn: (B, A) => B, init: B)(p: (A, B) => Boolean): Dataset[Event[A]] =
+      ds.coalesce(1).mapPartitions { it =>
+        var acc = init
+        it.flatMap { e =>
+          e.value match {
+            case Some(v) =>
+              val keep = p(v, acc)
+              acc = accfn(acc, v)
+              if (keep) Iterator.single(e) else Iterator.empty
+            case None => Iterator.single(e)
+          }
+        }
+      }(ds.encoder)
+
+    /** Running fold: emits the new accumulator after each data event;
+      * value-less events pass through (without emitting an accumulator).
+      * Reference `FunctionalProcessing.hs:188-191`. */
+    def streamScan[B](f: (B, A) => B, init: B)(implicit enc: Encoder[Event[B]]): Dataset[Event[B]] =
+      ds.coalesce(1).mapPartitions { it =>
+        var acc = init
+        it.map { e =>
+          e.value match {
+            case Some(v) =>
+              acc = f(acc, v)
+              Event(e.time, Some(acc))
+            case None => Event[B](e.time, None)
+          }
+        }
+      }
+
+    /** Slice the stream into sub-streams with a [[WindowMakers.WindowMaker]];
+      * each window becomes one event stamped with its first element's
+      * timestamp (empty window → `Event(None, Some(Nil))`), carrying the
+      * window's data values. Reference `FunctionalProcessing.hs:74-86`. */
+    def streamWindow(fwm: WindowMaker[A])(implicit enc: Encoder[Event[Seq[A]]]): Dataset[Event[Seq[A]]] =
+      ds.coalesce(1).mapPartitions { it =>
+        fwm(it.toList).iterator.map {
+          case Nil => Event[Seq[A]](None, Some(Nil))
+          case w   => Event(w.head.time, Some(w.filter(_.isData).map(_.value.get)))
+        }
+      }
+
+    /** `streamMap(agg) ∘ streamWindow(fwm)` — reference
+      * `FunctionalProcessing.hs:89-90`. */
+    def streamWindowAggregate[B](fwm: WindowMaker[A])(agg: Seq[A] => B)(
+        implicit encW: Encoder[Event[Seq[A]]], encB: Encoder[Event[B]]): Dataset[Event[B]] =
+      streamWindow(fwm).streamMap(agg)
+
+    /** N-ary union preserving time order (merge-sort on timestamps;
+      * reference-arbitrary interleave for untimed events).
+      * Reference `FunctionalProcessing.hs:135-144`. */
+    def streamMerge(others: Dataset[Event[A]]*): Dataset[Event[A]] = {
+      val unioned = others.foldLeft(ds)(_ unionByName _)
+      unioned.coalesce(1).sortWithinPartitions("time")
+    }
+
+    /** Pairwise zip of the two streams' DATA events (k-th with k-th); the
+      * output takes the LEFT event's timestamp; stops at the shorter stream.
+      * Reference `FunctionalProcessing.hs:148-155`. */
+    def streamZipJoin[B](other: Dataset[Event[B]])(
+        implicit enc: Encoder[Event[(A, B)]]): Dataset[Event[(A, B)]] = {
+      val l = ds.coalesce(1)
+      val r = other.coalesce(1)
+      val zipped = l.rdd.zipPartitions(r.rdd) { (li, ri) =>
+        val lv = li.filter(_.isData)
+        val rv = ri.filter(_.isData)
+        lv.zip(rv).map { case (a, b) => Event(a.time, Some((a.value.get, b.value.get))) }
+      }
+      ds.sparkSession.createDataset(zipped)
+    }
+
+    /** Windowed theta-join: window both sides, zip windows pairwise,
+      * cartesian product within the pair, filter, map, expand.
+      * Reference `FunctionalProcessing.hs:161-173`. */
+    def streamJoinE[B, C](fwm1: WindowMaker[A], fwm2: WindowMaker[B])(
+        jf: (A, B) => Boolean)(jm: (A, B) => C)(other: Dataset[Event[B]])(
+        implicit encWA: Encoder[Event[Seq[A]]], encWB: Encoder[Event[Seq[B]]],
+        encP: Encoder[Event[(Seq[A], Seq[B])]], encLC: Encoder[Event[Seq[C]]],
+        encC: Encoder[Event[C]]): Dataset[Event[C]] =
+      streamWindow(fwm1)
+        .streamZipJoin(other.streamWindow(fwm2))
+        .streamMap { case (w1, w2) =>
+          (for { a <- w1; b <- w2 if jf(a, b) } yield jm(a, b)): Seq[C]
+        }
+        .streamExpand
+
+    /** Window-pair join: zip windows pairwise, apply a whole-window combiner.
+      * Window lengths may differ per side (taxi Q2 uses 15 min vs 30 min).
+      * Reference `FunctionalProcessing.hs:175-178`. */
+    def streamJoinW[B, C](fwm1: WindowMaker[A], fwm2: WindowMaker[B])(
+        f: (Seq[A], Seq[B]) => C)(other: Dataset[Event[B]])(
+        implicit encWA: Encoder[Event[Seq[A]]], encWB: Encoder[Event[Seq[B]]],
+        encP: Encoder[Event[(Seq[A], Seq[B])]], encC: Encoder[Event[C]]): Dataset[Event[C]] =
+      streamWindow(fwm1)
+        .streamZipJoin(other.streamWindow(fwm2))
+        .streamMap { case (w1, w2) => f(w1, w2) }
+  }
+
+  /** Sharded stateful variants: total order is maintained PER KEY (the way an
+    * unbounded stream is actually partitioned on a cluster); state lives in
+    * executor memory per group, parallel across keys. */
+  implicit final class KeyedStream[A](private val ds: Dataset[Event[A]]) extends AnyVal {
+
+    def streamFilterAccByKey[K, B](key: Event[A] => K, accfn: (B, A) => B, init: B)(
+        p: (A, B) => Boolean)(implicit encK: Encoder[K], encKE: Encoder[(K, Event[A])]): Dataset[Event[A]] = {
+      implicit val encE: Encoder[Event[A]] = ds.encoder
+      ds.groupByKey(key)
+        .flatMapGroups { (_: K, it: Iterator[Event[A]]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+          var acc = init
+          sorted.flatMap { e =>
+            e.value match {
+              case Some(v) =>
+                val keep = p(v, acc)
+                acc = accfn(acc, v)
+                if (keep) Some(e) else None
+              case None => Some(e)
+            }
+          }.iterator
+        }
+    }
+
+    def streamScanByKey[K, B](key: Event[A] => K, f: (B, A) => B, init: B)(
+        implicit encK: Encoder[K], enc: Encoder[Event[B]]): Dataset[Event[B]] =
+      ds.groupByKey(key)
+        .flatMapGroups { (_: K, it: Iterator[Event[A]]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+          var acc = init
+          sorted.map { e =>
+            e.value match {
+              case Some(v) => acc = f(acc, v); Event(e.time, Some(acc))
+              case None    => Event[B](e.time, None)
+            }
+          }.iterator
+        }
+  }
+}

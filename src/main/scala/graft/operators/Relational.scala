@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable DataFrame formulations of the reference's order-dependent stream
+  * operators. Where the typed surface in [[graft.core.StreamOps]] realizes
+  * exact list semantics on one ordered partition, these express the same
+  * semantics as Catalyst window functions / joins that parallelize across a
+  * cluster: state is partitioned by key and ordered within the key, which is
+  * how an unbounded stream is actually sharded at 100 TB.
+  *
+  * Every helper takes explicit partition/order columns so the caller controls
+  * the shuffle key; with a partition key the plan is a single hash exchange
+  * followed by an in-partition sort (no global sort).
+  */
+object Relational {
+
+  /** Deterministic intra-key ordering: event time plus a tiebreaker. */
+  def ordering(time: Column, tiebreak: Column*): Seq[Column] = time +: tiebreak
+
+  /** Portable fixed-point rounding: `floor(x·10ⁿ + 0.5) / 10ⁿ`. Unlike
+    * `round()` (whose tie-breaking differs between Spark's BigDecimal
+    * HALF_UP and DuckDB's C-double rounding — observed flips on exact
+    * decimal ties like 1.5 × a 4-decimal ratio), this is a pure double
+    * expression both engines evaluate bit-identically, so the oracle can
+    * mirror it verbatim. */
+  def roundp(c: Column, scale: Int): Column = {
+    val k = math.pow(10, scale)
+    floor(c * k + 0.5) / k
+  }
+
+  /** Drop consecutive duplicates of `expr` within each key, in (time,
+    * tiebreak) order — the reference's `changes` / `journeyChanges` pattern
+    * (a `streamFilterAcc` keeping the previous value; reference
+    * `docs/Operators.md:109-119`, `examples/taxi/Taxi.hs:147-157`).
+    * Implemented as `lag` + filter: fully parallel per key. First event in a
+    * key always passes (lag is null). */
+  def dedupConsecutive(df: DataFrame, expr: Column, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("__prev", lag(expr, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= expr)
+      .drop("__prev")
+  }
+
+  /** 1-in-n systematic sampling per key in stream order — the reference's
+    * `sample` (`streamFilterAcc` countdown, `docs/Operators.md:123-129`). */
+  def sampleEveryN(df: DataFrame, n: Int, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") % n) === 1)
+      .drop("__rn")
+  }
+
+  /** Falling-edge detection: emit an event when the previous value was above
+    * the threshold and the current is at-or-below — the wearable
+    * `stepEvent` (reference `examples/wearable/WearableExample.hs:83-84`,
+    * a MATCH_RECOGNIZE-style pattern via `streamFilterAcc`). */
+  def fallingEdge(df: DataFrame, value: Column, threshold: Double,
+                  partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("__prev", lag(value, 1).over(w))
+      .filter(col("__prev") > threshold && value <= threshold)
+      .drop("__prev")
+  }
+
+  /** Running fold when the accumulator is a running aggregate (`streamScan`
+    * with sum/min/max/count — covers every reference example use): an
+    * unbounded-preceding frame aggregate, parallel per key. */
+  def runningAgg(df: DataFrame, agg: Column, outName: String,
+                 partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outName, agg.over(w))
+  }
+
+  /** Pairwise zip join (`streamJoin`, reference
+    * `FunctionalProcessing.hs:148-155`): k-th left event with k-th right
+    * event. Relational formulation: `row_number` each side in stream order,
+    * inner-join on the index (terminates at the shorter side). The index
+    * assignment is one exchange per side; the join is an equi-join Catalyst
+    * can execute as a shuffled hash join. */
+  def zipJoin(left: DataFrame, right: DataFrame,
+              leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
+    val lw = Window.orderBy(leftOrder: _*)
+    val rw = Window.orderBy(rightOrder: _*)
+    val l = left.withColumn("__zip_idx", row_number().over(lw))
+    val r = right.withColumn("__zip_idx", row_number().over(rw))
+    l.join(r, "__zip_idx").drop("__zip_idx")
+  }
+
+  /** Exact top-k rows per group by an ordering, with a deterministic
+    * tiebreak — the reference's per-window `topk` (frequency ranking,
+    * `examples/taxi/Taxi.hs:160-169`). `row_number` (not `rank`) so exactly
+    * k rows survive per group. */
+  def topKPerGroup(df: DataFrame, k: Int, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .withColumnRenamed("__rank", "rank")
+  }
+
+  /** The reference's exact `median`: the UPPER middle element of the sorted
+    * list (index ⌊n/2⌋, zero-based) — NOT an interpolated percentile
+    * (`examples/taxi/Taxi.hs:272-274`). Aggregate expression usable in any
+    * groupBy: `sort_array(collect_list(x))[floor(n/2)]`. */
+  def medianUpper(value: Column): Column = {
+    val sorted = sort_array(collect_list(value))
+    // element_at is 1-based; reference index is 0-based floor(n/2).
+    element_at(sorted, (floor(size(sorted) / 2) + 1).cast("int"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.roundp
+
+/** Relational/analytic coverage over the TPC-H-ish tables: scan+aggregate,
+  * multi-way joins with broadcast dims, semi/anti joins, distinct
+  * aggregation. These are the 100 TB-shaped plans: filters/projections reach
+  * the parquet scan, dimension joins broadcast, fact-fact joins shuffle on
+  * the join key, aggregates combine map-side.
+  *
+  * Float discipline: every floating aggregate goes through the portable
+  * `roundp` fixed-point rounding (see [[graft.operators.Relational.roundp]])
+  * mirrored verbatim as `floor(x*10^n+0.5)/10^n` in the oracle, with the
+  * scale chosen ≥ the exact decimal width of the data so ULP-level
+  * accumulation-order differences can't flip the driver's hash compare.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-shaped pricing summary: single scan, map-side partial agg.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          roundp(sum(col("l_quantity")), 2).as("sum_qty"),
+          roundp(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          roundp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          roundp(avg(col("l_quantity")), 4).as("avg_qty"),
+          roundp(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // Multi-way star join: fact lineitem ⋈ orders shuffles on orderkey;
+    // customer/nation are broadcast (dimension-sized at every SF).
+    "q_join_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          roundp(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Left-semi join (EXISTS): customers with at least one open order.
+    "q_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no large order.
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), roundp(col("c_acctbal"), 2).as("acctbal"))
+    }),
+
+    // Distinct aggregation per segment (two-phase distinct under the hood).
+    "q_distinct_agg" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          roundp(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Correlated-style aggregate filter: orders above their customer's
+    // average order value (join against a pre-aggregated per-customer avg —
+    // the decorrelated plan Catalyst would aim for).
+    "q_above_avg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgPer = o.groupBy(col("o_custkey").as("k"))
+        .agg(avg(col("o_totalprice")).as("cust_avg"))
+      o.join(avgPer, col("o_custkey") === col("k"))
+        .filter(col("o_totalprice") > col("cust_avg"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          roundp(col("o_totalprice"), 2).as("totalprice"),
+          roundp(col("cust_avg"), 4).as("cust_avg"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty,
+        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS sum_disc_price,
+        |       floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty,
+        |       floor(avg(l_discount) * 10000 + 0.5) / 10000 AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT n_name,
+        |       floor(sum(l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, floor(c_acctbal * 100 + 0.5) / 100 AS acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       count(*) AS n_orders,
+        |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey,
+        |       floor(o_totalprice * 100 + 0.5) / 100 AS totalprice,
+        |       floor(cust_avg * 10000 + 0.5) / 10000 AS cust_avg
+        |FROM orders
+        |JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+        |      FROM orders GROUP BY o_custkey) a
+        |  ON o_custkey = k
+        |WHERE o_totalprice > cust_avg""".stripMargin
+  )
+}

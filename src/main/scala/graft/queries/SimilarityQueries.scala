@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.roundp
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Similarity search over `embeddings` (vec_id, embedding array<float>,
+  * label) plus the hash-based near-dup pipelines and the multimodal decode
+  * plumbing. Queries whose arithmetic is not portable to DuckDB (xxhash64 /
+  * splitmix constants / the decode stub) ship without an oracle — they get
+  * the driver's rows-only check and are covered by unit tests instead.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force exact top-5 cosine neighbors for the first 10 vectors:
+    // the ANN baseline (broadcast queries × one corpus scan).
+    "q_knn_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 10), k = 5)
+    }),
+
+    // LSH (random-hyperplane) bucketed ANN — the scale path; approximate,
+    // rows-only check.
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 10), dims = 64, numPlanes = 8, k = 5)
+    }),
+
+    // Per-label centroid-free stats: mean pairwise-comparable norm + count
+    // (validates array arithmetic against the oracle).
+    "q_embedding_norms" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), Similarity.l2Norm(col("embedding")).as("norm"))
+        .groupBy(col("label"))
+        .agg(roundp(avg(col("norm")), 4).as("avg_norm"), count(lit(1)).as("n"))),
+
+    // MinHash + LSH banding near-dup candidates (xxhash64-based; rows-only).
+    "q_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(docs(s, dir), col("doc_id"), col("text"),
+        n = 3, numPerms = 32)
+      Dedup.minhashLshCandidates(sigs, numPerms = 32, rowsPerBand = 4)
+    }),
+
+    // 64-bit SimHash fingerprints (xxhash64-based; rows-only).
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))),
+
+    // Order-sensitive rolling-hash fingerprint (xxhash64-based; rows-only).
+    "q_rolling_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingHashFingerprint(col("text")).as("fp"))),
+
+    // Multimodal decode plumbing: binary blob column → partition-batched
+    // stubbed decode → typed metadata (rows-only; stub is unit-tested).
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(s, Multimodal.withFakeBlob(docs(s, dir))).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q_id, e.vec_id AS n_id,
+        |         floor(list_cosine_similarity(
+        |           list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+        |           list_transform(e.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_embedding_norms" ->
+      """SELECT label,
+        |       floor(avg(sqrt(list_sum(list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5) / 10000 AS avg_norm,
+        |       count(*) AS n
+        |FROM embeddings GROUP BY label""".stripMargin
+  )
+}

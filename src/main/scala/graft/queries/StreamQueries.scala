@@ -1,0 +1,326 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.operators.Relational.roundp
+
+/** The reference's stream-operator semantics expressed over the `events`
+  * table (event_id, ts, user_id, event_type, value, props), each paired with
+  * a DuckDB oracle. The stream is sharded by `user_id` (the natural stream
+  * key) and ordered by (ts, event_id) within the key — one hash exchange,
+  * in-partition sort, no global ordering required, so every query here
+  * parallelizes across a cluster.
+  *
+  * Operator → query map (reference cites in each entry):
+  * filter→q_filter, map→q_map, filterAcc(changes)→q_changes,
+  * scan→q_scan, sliding→q_sliding_count, slidingTime→q_sliding_time,
+  * chop→q_chop, chopTime→q_tumbling_1h, expand→see TextQueries,
+  * merge→q_merge, zip-join→q_zip_join, joinE→q_join_e, joinW→q_join_w,
+  * sample→q_sample, stepEvent→q_step_event, topk→q_topk_window,
+  * median→q_median, wearable composite→q_wearable.
+  */
+object StreamQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Per-key stream order: event time with event_id as the deterministic
+    * tiebreaker (reference streams are totally ordered lists). */
+  private val byUser = Seq(col("user_id"))
+  private val inOrder = Seq(col("ts"), col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // streamFilter (FunctionalProcessing.hs:59-63): Catalyst Filter, pushed
+    // to the parquet scan.
+    "q_filter" -> ((s, dir) =>
+      ev(s, dir)
+        .filter(col("event_type") === "click" && col("value") > 50.0)
+        .select("event_id", "user_id", "value")),
+
+    // streamMap (FunctionalProcessing.hs:67-71): Catalyst Project.
+    "q_map" -> ((s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        roundp(col("value") * 2, 2).as("doubled"),
+        upper(col("event_type")).as("type_u"))),
+
+    // streamFilterAcc as `changes` — drop consecutive duplicate event_type
+    // per user (reference docs/Operators.md:109-119, Taxi.hs:147-157).
+    "q_changes" -> ((s, dir) =>
+      Relational.dedupConsecutive(ev(s, dir), col("event_type"), byUser, inOrder)
+        .select("event_id", "user_id", "event_type")),
+
+    // streamScan — running sum of value per user (FunctionalProcessing.hs:188-191).
+    "q_scan" -> ((s, dir) =>
+      Relational.runningAgg(ev(s, dir), sum(col("value")), "running_sum", byUser, inOrder)
+        .select(col("event_id"), col("user_id"), roundp(col("running_sum"), 2).as("running_sum"))),
+
+    // sliding n (count-based, per-event window of the next 5 incl. current;
+    // FunctionalProcessing.hs:93-97) + aggregate, computed INSIDE the frame
+    // (never materializes the window list — our window+map fusion).
+    "q_sliding_count" -> ((s, dir) => {
+      val w = Window.partitionBy(byUser: _*).orderBy(inOrder: _*).rowsBetween(0, 4)
+      ev(s, dir)
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_avg", roundp(avg(col("value")).over(w), 4))
+        .select("event_id", "user_id", "win_n", "win_avg")
+    }),
+
+    // slidingTime ms (FunctionalProcessing.hs:99-108): per event, all events
+    // in [t, t+5min) — a range frame over epoch-micros.
+    "q_sliding_time" -> ((s, dir) => {
+      val w = Window.partitionBy(byUser: _*).orderBy(unix_micros(col("ts")))
+        .rangeBetween(0, 300000000L - 1)
+      ev(s, dir)
+        .withColumn("n_5min", count(lit(1)).over(w))
+        .withColumn("sum_5min", roundp(sum(col("value")).over(w), 2))
+        .select("event_id", "user_id", "n_5min", "sum_5min")
+    }),
+
+    // chop n (FunctionalProcessing.hs:113-116): non-overlapping windows of 10
+    // data events per user; last window may be partial.
+    "q_chop" -> ((s, dir) => {
+      val w = Window.partitionBy(byUser: _*).orderBy(inOrder: _*)
+      ev(s, dir)
+        .withColumn("chunk_id", floor((row_number().over(w) - 1) / 10))
+        .groupBy(col("user_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // chopTime as tumbling event-time window (FunctionalProcessing.hs:118-129;
+    // epoch alignment — the typed surface offers first-event alignment).
+    "q_tumbling_1h" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))),
+
+    // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
+    // ALL of two tagged substreams (downstream event-time ops re-impose order).
+    "q_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hi = e.filter(col("value") > 90).select(col("event_id"), col("ts"), lit("hi").as("src"))
+      val lo = e.filter(col("value") < 10).select(col("event_id"), col("ts"), lit("lo").as("src"))
+      hi.unionByName(lo)
+    }),
+
+    // streamJoin zip (FunctionalProcessing.hs:148-155): k-th click with k-th
+    // purchase, output stamped from the left.
+    "q_zip_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("ts"), col("event_id").as("click_id"), col("value").as("click_value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("ts").as("r_ts"), col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      Relational.zipJoin(
+          clicks, purchases,
+          Seq(col("ts"), col("click_id")), Seq(col("r_ts"), col("purchase_id")))
+        .select("click_id", "purchase_id", "click_value", "purchase_value")
+    }),
+
+    // streamJoinE (FunctionalProcessing.hs:161-173): tumbling-hour windows on
+    // both sides, pairwise by window, cartesian within the pair restricted by
+    // an equi (user) + theta (value) predicate — Catalyst executes the equi
+    // part as a hash join, the theta as a post-filter.
+    "q_join_e" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val a = e.filter(col("event_type") === "click").select(
+        date_trunc("hour", col("ts")).as("hour"), col("user_id"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      val b = e.filter(col("event_type") === "purchase").select(
+        date_trunc("hour", col("ts")).as("b_hour"), col("user_id").as("b_user"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      a.join(b, col("hour") === col("b_hour") && col("user_id") === col("b_user")
+          && col("click_value") > col("purchase_value"))
+        .select("hour", "user_id", "click_id", "purchase_id")
+    }),
+
+    // streamJoinW (FunctionalProcessing.hs:175-178): window-level join — the
+    // two sides' hourly windows are aggregated wholesale, then combined.
+    "q_join_w" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_clicks"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(roundp(sum(col("value")), 2).as("purchase_total"))
+      clicks.join(purchases, "hour")
+        .withColumn("per_click", roundp(col("purchase_total") / col("n_clicks"), 4))
+    }),
+
+    // sample (docs/Operators.md:123-129): 1-in-10 systematic per user.
+    "q_sample" -> ((s, dir) =>
+      Relational.sampleEveryN(ev(s, dir), 10, byUser, inOrder)
+        .select("event_id", "user_id")),
+
+    // stepEvent falling-edge (WearableExample.hs:83-84).
+    "q_step_event" -> ((s, dir) =>
+      Relational.fallingEdge(ev(s, dir), col("value"), 50.0, byUser, inOrder)
+        .select("event_id", "user_id", "value")),
+
+    // topk per window (Taxi.hs:160-169 `topk` over sliding windows; here
+    // exact top-3 event types per day by frequency, deterministic tiebreak).
+    "q_topk_window" -> ((s, dir) => {
+      val counts = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      Relational.topKPerGroup(counts, 3, Seq(col("day")), Seq(col("n").desc, col("event_type")))
+    }),
+
+    // median — the reference's exact upper-middle-element median
+    // (Taxi.hs:272-274), per user.
+    "q_median" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(Relational.medianUpper(col("value")).as("med"), count(lit(1)).as("n"))),
+
+    // Wearable composite pipeline (WearableExample.hs:66-96): map(norm) →
+    // filter → falling-edge filterAcc → tumbling count window.
+    "q_wearable" -> ((s, dir) => {
+      val signal = ev(s, dir)
+        .filter(col("event_type") =!= "error")                  // vibe == 0
+        .withColumn("norm", roundp(sqrt(col("value") * col("value") + 1), 4)) // ed
+      val steps = Relational.fallingEdge(signal, col("norm"), 50.0, byUser, inOrder)
+      steps.groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_steps"))
+        .select(col("window.start").as("window_start"), col("n_steps"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' AND value > 50.0""".stripMargin,
+
+    "q_map" ->
+      """SELECT event_id, floor(value * 2 * 100 + 0.5) / 100 AS doubled,
+        |       upper(event_type) AS type_u FROM events""".stripMargin,
+
+    "q_changes" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    "q_scan" ->
+      """SELECT event_id, user_id,
+        |       floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+        |         AS running_sum
+        |FROM events""".stripMargin,
+
+    "q_sliding_count" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS win_n,
+        |       floor(avg(value) OVER w * 10000 + 0.5) / 10000 AS win_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)""".stripMargin,
+
+    "q_sliding_time" ->
+      """SELECT event_id, user_id,
+        |       count(*) OVER w AS n_5min,
+        |       floor(sum(value) OVER w * 100 + 0.5) / 100 AS sum_5min
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN CURRENT ROW AND 299999999 FOLLOWING)""".stripMargin,
+
+    "q_chop" ->
+      """SELECT user_id, chunk_id, count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM (
+        |  SELECT user_id, value,
+        |         CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 10) AS BIGINT) AS chunk_id
+        |  FROM events)
+        |GROUP BY user_id, chunk_id""".stripMargin,
+
+    "q_tumbling_1h" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_merge" ->
+      """SELECT event_id, ts, 'hi' AS src FROM events WHERE value > 90
+        |UNION ALL
+        |SELECT event_id, ts, 'lo' AS src FROM events WHERE value < 10""".stripMargin,
+
+    "q_zip_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS click_id, value AS click_value,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT event_id AS purchase_id, value AS purchase_value,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, click_value, purchase_value
+        |FROM l JOIN r USING (rn)""".stripMargin,
+
+    "q_join_e" ->
+      """SELECT a.hour, a.user_id, a.click_id, b.purchase_id
+        |FROM (SELECT date_trunc('hour', ts) AS hour, user_id,
+        |             event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click') a
+        |JOIN (SELECT date_trunc('hour', ts) AS hour, user_id,
+        |             event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON a.hour = b.hour AND a.user_id = b.user_id
+        | AND a.click_value > b.purchase_value""".stripMargin,
+
+    "q_join_w" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT date_trunc('hour', ts) AS hour, floor(sum(value) * 100 + 0.5) / 100 AS purchase_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT hour, n_clicks, purchase_total,
+        |       floor(purchase_total / n_clicks * 10000 + 0.5) / 10000 AS per_click
+        |FROM c JOIN p USING (hour)""".stripMargin,
+
+    "q_sample" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn % 10 = 1""".stripMargin,
+
+    "q_step_event" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev > 50.0 AND value <= 50.0""".stripMargin,
+
+    "q_topk_window" ->
+      """SELECT day, event_type, n, rank FROM (
+        |  SELECT day, event_type, n,
+        |         CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS INT) AS rank
+        |  FROM (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+        |        FROM events GROUP BY 1, 2))
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_median" ->
+      """SELECT user_id,
+        |       list_sort(list(value))[CAST(floor(count(*) / 2) AS INT) + 1] AS med,
+        |       count(*) AS n
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_wearable" ->
+      """WITH signal AS (
+        |  SELECT event_id, user_id, ts,
+        |         floor(sqrt(value * value + 1) * 10000 + 0.5) / 10000 AS norm
+        |  FROM events WHERE event_type <> 'error'),
+        |edges AS (
+        |  SELECT ts FROM (
+        |    SELECT ts, norm,
+        |           lag(norm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM signal)
+        |  WHERE prev > 50.0 AND norm <= 50.0)
+        |SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_steps
+        |FROM edges GROUP BY 1""".stripMargin
+  )
+}

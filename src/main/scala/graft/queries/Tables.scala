@@ -1,0 +1,33 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet testdata (see TESTDATA.md). */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType; read it as raw long nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
+    * timestamp (integer `div` — a double division would lose precision at
+    * 1e18 ns magnitudes). The testdata is µs-aligned so no truncation. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

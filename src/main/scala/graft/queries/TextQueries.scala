@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Training-data text pipeline over `documents` (doc_id, text, lang, source,
+  * n_chars): tokenization/expand, quality scoring, language heuristic,
+  * exact + n-gram-Jaccard dedup, fingerprinting. Every oracle mirrors the
+  * Spark expression arithmetic exactly (same rounding, same pruning rules).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // streamExpand (FunctionalProcessing.hs:206-210) as Catalyst Generate:
+    // one row per long token (the hashtag-extraction pattern,
+    // examples/expand/generate.hs:22-35).
+    "q_expand_words" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 8)),
+
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.avgTokenLength(TextAnalysis.tokens(col("text"))).as("avg_token_len"))),
+
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_lang_heuristic" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langHeuristic(col("text")).as("pred_lang"))),
+
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(docs(s, dir), col("doc_id"), col("text"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenSetFingerprint(col("text")).as("fp"))),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+        n = 3, maxDf = 10, minJaccard = 0.05))
+  )
+
+  // DuckDB-side token expression shared by the oracles below.
+  private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "q_expand_words" ->
+      s"""SELECT doc_id, word FROM (
+         |  SELECT doc_id, unnest($Toks) AS word FROM documents)
+         |WHERE length(word) >= 8""".stripMargin,
+
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(len($Toks) AS INT) AS n_tokens,
+         |       CASE WHEN len($Toks) = 0 THEN 0.0
+         |            ELSE floor(CAST(list_sum(list_transform($Toks, t -> length(t))) AS DOUBLE)
+         |                       / len($Toks) * 10000 + 0.5) / 10000 END AS avg_token_len
+         |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $Toks AS toks,
+         |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, toks, digits, length(text) AS tlen,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE floor(CAST(len(list_filter(toks,
+         |                     t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |                   / len(toks) * 10000 + 0.5) / 10000 END AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, stop_ratio,
+         |       floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |             + least(stop_ratio * 5.0, 1.0) * 0.3
+         |             + (1.0 - least(CAST(digits AS DOUBLE) / greatest(tlen, 1), 1.0)) * 0.2)
+         |             * 10000 + 0.5) / 10000 AS quality
+         |FROM r""".stripMargin,
+
+    "q_lang_heuristic" ->
+      s"""WITH t AS (SELECT doc_id, lang, $Toks AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks) END AS en,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> t IN ('der','und','die','das','ein'))) AS DOUBLE) / len(toks) END AS de,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS DOUBLE) / len(toks) END AS fr,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> t IN ('el','los','y','que','una'))) AS DOUBLE) / len(toks) END AS es
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |       CASE WHEN greatest(de, fr, es) > en AND de >= fr AND de >= es THEN 'de'
+         |            WHEN greatest(fr, es) > en AND fr >= es THEN 'fr'
+         |            WHEN es > en THEN 'es'
+         |            WHEN en > 0 THEN 'en'
+         |            ELSE 'unk' END AS pred_lang
+         |FROM sc""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |       md5(array_to_string(list_sort(list_distinct($Toks)), ' ')) AS fp
+         |FROM documents""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents),
+         |shingled AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN len(t) < 3 THEN []
+         |                  ELSE list_transform(range(1, len(t) - 1),
+         |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+         |    FROM toks)),
+         |rare AS (
+         |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
+         |pruned AS (
+         |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM pruned a JOIN pruned b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |       floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05""".stripMargin
+  )
+}

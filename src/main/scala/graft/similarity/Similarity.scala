@@ -1,0 +1,81 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.operators.Relational.roundp
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). The dot products are pure `Column` expressions
+  * (`zip_with` + `aggregate`, computed in double) so they stay inside
+  * whole-stage codegen; no UDFs.
+  *
+  * Scale path: brute force is one broadcast of the (small) query set against
+  * a partitioned scan of the corpus — linear, embarrassingly parallel, the
+  * right baseline. The LSH variant cuts the scanned fraction by bucketing
+  * both sides on random-hyperplane sign bits and joining per bucket.
+  */
+object Similarity {
+
+  /** Σ aᵢbᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector: broadcast the query
+    * set, scan the corpus once, rank per query with a deterministic
+    * tiebreak. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", roundp(cosine(col("q_emb"), col("n_emb")), 6))
+    Relational.topKPerGroup(
+        pairs, k, Seq(col("q_id")), Seq(col("cos").desc, col("n_id")))
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `numPlanes` rows of ±1 weights
+    * per dimension, derived from a splitmix-style integer mix — no RNG state,
+    * reproducible across the cluster and across engines. */
+  private def planeSign(plane: Int, dim: Int): Int = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) -1 else 1
+  }
+
+  /** Random-hyperplane (SRP) LSH bucket id: one sign bit per plane, packed
+    * into a long. Vectors with small angle collide with high probability. */
+  def srpBucket(emb: Column, dims: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = (0 until dims).map { d =>
+        element_at(emb, d + 1).cast("double") * lit(planeSign(p, d).toDouble)
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: bucket corpus and queries on SRP signatures and rank
+    * within the bucket join — scans only colliding buckets instead of the
+    * full corpus. Recall < 1 by construction (approximate). */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, dims: Int, numPlanes: Int, k: Int): DataFrame = {
+    val cb = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      srpBucket(col("embedding"), dims, numPlanes).as("bucket"))
+    val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      srpBucket(col("embedding"), dims, numPlanes).as("bucket"))
+    val pairs = qb.join(cb, "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", roundp(cosine(col("q_emb"), col("n_emb")), 6))
+    Relational.topKPerGroup(
+        pairs, k, Seq(col("q_id")), Seq(col("cos").desc, col("n_id")))
+      .select("q_id", "n_id", "cos", "rank")
+  }
+}

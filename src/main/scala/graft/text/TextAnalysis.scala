@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.roundp
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language heuristics, fingerprinting.
+  * All pure `Column` expressions (whole-stage-codegen'd, no UDFs) so they
+  * fuse into the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length (rounded; 0.0 for empty docs). */
+  def avgTokenLength(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(roundp(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks), 4))
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality /
+    * language signal. Rounded to 4dp. */
+  def stopwordRatio(toks: Column): Column = {
+    val hits = size(filter(toks, t => t.isInCollection(StopwordsEn)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(roundp(hits.cast("double") / size(toks), 4))
+  }
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?'\"()]", ""))
+
+  /** Count of digit characters. */
+  def digitCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
+
+  /** Composite quality score in [0,1]: penalizes very short docs, high
+    * digit/punct density, and stopword-free word salad. Deterministic and
+    * SQL-expressible (mirrored in the DuckDB oracle). */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / 50.0, lit(1.0))
+    val digitPenalty = least(digitCount(text).cast("double") / greatest(length(text), lit(1)), lit(1.0))
+    val stopScore = least(stopwordRatio(toks) * 5.0, lit(1.0))
+    roundp(lenScore * 0.5 + stopScore * 0.3 + (lit(1.0) - digitPenalty) * 0.2, 4)
+  }
+
+  /** Cheap n-gram-free language heuristic: stopword-marker hit ratios per
+    * language, argmax with a deterministic tiebreak order. Real language ID
+    * would use character n-gram profiles; the shape (per-language marker
+    * scoring → argmax) is the same and runs entirely in codegen. */
+  def langHeuristic(text: Column): Column = {
+    val toks = tokens(text)
+    def ratio(words: Seq[String]): Column =
+      when(size(toks) === 0, lit(0.0))
+        .otherwise(size(filter(toks, t => t.isInCollection(words))).cast("double") / size(toks))
+    val en = ratio(Seq("the", "a", "and", "of", "to"))
+    val de = ratio(Seq("der", "und", "die", "das", "ein"))
+    val fr = ratio(Seq("le", "la", "et", "les", "des"))
+    val es = ratio(Seq("el", "los", "y", "que", "una"))
+    when(greatest(de, fr, es) > en && de >= fr && de >= es, lit("de"))
+      .when(greatest(fr, es) > en && fr >= es, lit("fr"))
+      .when(es > en, lit("es"))
+      .when(en > 0, lit("en"))
+      .otherwise(lit("unk"))
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token set.
+    * Detects bag-of-words-identical documents irrespective of word order —
+    * the hash-canonicalization flavor of document fingerprinting. */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Rolling polynomial hash (Rabin-Karp style) over the token stream,
+    * base 257 mod 1e9+7 — an order-sensitive document fingerprint. The
+    * modulus keeps `acc*257 + h` far below Long.MaxValue (Spark 4 is ANSI:
+    * overflow throws). Computed with `aggregate` (fold) in codegen; NOT
+    * SQL-portable to the oracle (covered by unit tests instead). */
+  def rollingHashFingerprint(text: Column): Column = {
+    val mod = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 257 + pmod(xxhash64(t), mod), mod))
+  }
+}
