@@ -47,7 +47,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    val pruned = shingled.join(rare, "shingle")
+    // The pruned (doc, shingle) set feeds the df-filter join, BOTH sides of
+    // the self-join, and the per-doc sizes — persist it so the
+    // explode+distinct chain runs once, not four times. (At cluster scale
+    // this is the natural checkpoint of the pipeline.)
+    val pruned = shingled.join(rare, "shingle").persist()
     val docSizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = pruned.select(col("shingle"), col("doc_id").as("id_a"))
     val b = pruned.select(col("shingle"), col("doc_id").as("id_b"))
@@ -93,6 +97,7 @@ object Dedup {
             (0 until rowsPerBand).map(r =>
               element_at(col("signature"), (b * rowsPerBand).cast("int") + r + 1)): _*), b)))
         .as(Seq("band_idx", "band_hash")))
+      .persist() // used as both sides of the bucket self-join
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))

@@ -54,12 +54,16 @@ object Similarity {
   }
 
   /** Random-hyperplane (SRP) LSH bucket id: one sign bit per plane, packed
-    * into a long. Vectors with small angle collide with high probability. */
+    * into a long. Vectors with small angle collide with high probability.
+    * Each plane's projection is a `zip_with` against a literal ±1 weight
+    * array (one array op per plane) rather than `dims` scalar terms — keeps
+    * the codegen'd expression tree small at any dimensionality. */
   def srpBucket(emb: Column, dims: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { p =>
-      val proj = (0 until dims).map { d =>
-        element_at(emb, d + 1).cast("double") * lit(planeSign(p, d).toDouble)
-      }.reduce(_ + _)
+      val weights = array((0 until dims).map(d => lit(planeSign(p, d).toDouble)): _*)
+      val proj = aggregate(
+        zip_with(emb, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
