@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{RelationalQueries, SimilarityQueries, StreamQueries, TextQueries}
+import graft.queries.{RelationalQueries, SimilarityQueries, StreamQueries, TaxiQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,9 +23,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ StreamQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++ TaxiQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ StreamQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++ TaxiQueries.oracles
 }

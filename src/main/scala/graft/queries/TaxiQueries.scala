@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.examples.Taxi
+import graft.operators.Relational
+import graft.operators.Relational.roundp
+
+/** The reference's flagship DEBS 2015 taxi queries re-shaped onto the
+  * `events` table (no taxi CSV in the testdata): trip coordinates are
+  * derived DETERMINISTICALLY from driver-generated columns (value,
+  * user_id, props.k), then the reference pipelines run unchanged —
+  * Q1 "frequent routes" (`Taxi.hs:172-178`): cell-map → range filter →
+  * window → per-route counts → exact top-10; Q2 "profitable cells"
+  * (`Taxi.hs:295-305`): median profit per cell joined against
+  * empty-taxi counts over a DIFFERENT window length, then ranked.
+  *
+  * All plans shuffle once per aggregate on (window, cell…) keys, the
+  * natural sharding at scale; the top-k is a per-window rank, not a global
+  * sort.
+  */
+object TaxiQueries {
+
+  /** Deterministic synthetic geo: fractional part of `value` spreads
+    * ±0.5° around the grid centre; user_id/props.k give the other axes.
+    * Mirrored verbatim in the oracle SQL. */
+  private def withGeo(df: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    df.withColumn("p_lat", lit(Taxi.Centre11Lat) + (col("value") - floor(col("value"))) - 0.5)
+      .withColumn("p_lon", lit(Taxi.Centre11Lon) + ((col("user_id") % 200) / 200.0) - 0.5)
+      .withColumn("d_lat", lit(Taxi.Centre11Lat) + ((k % 100) / 100.0) - 0.5)
+      .withColumn("d_lon", lit(Taxi.Centre11Lon) + (((col("user_id") * 13 + k) % 400) / 400.0) - 0.5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // toCell + inRange (Taxi.hs:98-118): map to Q1 cells, drop out-of-grid.
+    "q_taxi_cells" -> ((s, dir) => {
+      val g = withGeo(Tables.events(s, dir))
+        .select(col("event_id"),
+          Taxi.cellLatQ1(col("p_lat")).as("s_clat"), Taxi.cellLonQ1(col("p_lon")).as("s_clon"),
+          Taxi.cellLatQ1(col("d_lat")).as("e_clat"), Taxi.cellLonQ1(col("d_lon")).as("e_clon"))
+      g.filter(Taxi.inRangeQ1(col("s_clat"), col("s_clon")) &&
+               Taxi.inRangeQ1(col("e_clat"), col("e_clon")))
+    }),
+
+    // Q1 frequent routes (Taxi.hs:172-178): per 30-min window, exact top-10
+    // routes by frequency, deterministic tiebreak.
+    "q_taxi_q1" -> ((s, dir) => {
+      val journeys = withGeo(Tables.events(s, dir))
+        .select(col("ts"),
+          Taxi.cellLatQ1(col("p_lat")).as("s_clat"), Taxi.cellLonQ1(col("p_lon")).as("s_clon"),
+          Taxi.cellLatQ1(col("d_lat")).as("e_clat"), Taxi.cellLonQ1(col("d_lon")).as("e_clon"))
+        .filter(Taxi.inRangeQ1(col("s_clat"), col("s_clon")) &&
+                Taxi.inRangeQ1(col("e_clat"), col("e_clon")))
+      val counts = journeys
+        .groupBy(window(col("ts"), "30 minutes").as("w"),
+          col("s_clat"), col("s_clon"), col("e_clat"), col("e_clon"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("s_clat"), col("s_clon"),
+          col("e_clat"), col("e_clon"), col("n"))
+      Relational.topKPerGroup(counts, 10, Seq(col("window_start")),
+        Seq(col("n").desc, col("s_clat"), col("s_clon"), col("e_clat"), col("e_clon")))
+    }),
+
+    // Q2 profitable cells (Taxi.hs:269-305): profit = exact upper-median of
+    // fare+tip per pickup cell over a 15-min window; empty taxis per
+    // dropoff cell over a 30-min window; profitability = profit/empty where
+    // the window starts align (the reference pairs windows of DIFFERENT
+    // lengths via its zip join).
+    "q_taxi_q2" -> ((s, dir) => {
+      val g = withGeo(Tables.events(s, dir))
+      val profit = g
+        .select(col("ts"), col("value"),
+          Taxi.cellLatQ2(col("p_lat")).as("clat"), Taxi.cellLonQ2(col("p_lon")).as("clon"))
+        .filter(Taxi.inRangeQ2(col("clat"), col("clon")))
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("clat"), col("clon"))
+        .agg(Relational.medianUpper(col("value")).as("profit"))
+        .select(col("w.start").as("window_start"), col("clat"), col("clon"), col("profit"))
+      val empty = g
+        .filter(col("event_type") === "error") // stand-in for empty-taxi dropoffs
+        .select(col("ts"),
+          Taxi.cellLatQ2(col("d_lat")).as("clat"), Taxi.cellLonQ2(col("d_lon")).as("clon"))
+        .filter(Taxi.inRangeQ2(col("clat"), col("clon")))
+        .groupBy(window(col("ts"), "30 minutes").as("w"), col("clat"), col("clon"))
+        .agg(count(lit(1)).as("n_empty"))
+        .select(col("w.start").as("window_start"), col("clat"), col("clon"), col("n_empty"))
+      empty.join(profit, Seq("window_start", "clat", "clon"), "left")
+        .withColumn("profitability",
+          roundp(coalesce(col("profit"), lit(0.0)) / col("n_empty"), 4))
+        .select(col("window_start"), col("clat"), col("clon"), col("n_empty"),
+          roundp(coalesce(col("profit"), lit(0.0)), 2).as("profit"), col("profitability"))
+    })
+  )
+
+  private val Geo =
+    """CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |41.474937 + (value - floor(value)) - 0.5 AS p_lat,
+      |-74.913585 + ((user_id % 200) / 200.0) - 0.5 AS p_lon""".stripMargin
+
+  // origin = centre + side/2 (lat), centre - side/2 (lon); Q1 sides
+  // 0.004491556 × 0.005986, Q2 half.
+  private def cellSql(latExpr: String, lonExpr: String, latSide: String, lonSide: String,
+                      latName: String, lonName: String) =
+    s"""CAST(floor(((41.474937 + 0.004491556/2) - ($latExpr)) / $latSide) + 1 AS INT) AS $latName,
+       |CAST(floor((($lonExpr) - (-74.913585 - 0.005986/2)) / $lonSide) + 1 AS INT) AS $lonName""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_taxi_cells" ->
+      s"""WITH geo AS (
+         |  SELECT event_id, $Geo,
+         |         41.474937 + ((CAST(json_extract_string(props, '$$.k') AS INT) % 100) / 100.0) - 0.5 AS d_lat,
+         |         -74.913585 + (((user_id * 13 + CAST(json_extract_string(props, '$$.k') AS INT)) % 400) / 400.0) - 0.5 AS d_lon
+         |  FROM events),
+         |cells AS (
+         |  SELECT event_id,
+         |    ${cellSql("p_lat", "p_lon", "0.004491556", "0.005986", "s_clat", "s_clon")},
+         |    ${cellSql("d_lat", "d_lon", "0.004491556", "0.005986", "e_clat", "e_clon")}
+         |  FROM geo)
+         |SELECT * FROM cells
+         |WHERE s_clat BETWEEN 1 AND 300 AND s_clon BETWEEN 1 AND 300
+         |  AND e_clat BETWEEN 1 AND 300 AND e_clon BETWEEN 1 AND 300""".stripMargin,
+
+    "q_taxi_q1" ->
+      s"""WITH geo AS (
+         |  SELECT ts, $Geo,
+         |         41.474937 + ((CAST(json_extract_string(props, '$$.k') AS INT) % 100) / 100.0) - 0.5 AS d_lat,
+         |         -74.913585 + (((user_id * 13 + CAST(json_extract_string(props, '$$.k') AS INT)) % 400) / 400.0) - 0.5 AS d_lon
+         |  FROM events),
+         |journeys AS (
+         |  SELECT ts,
+         |    ${cellSql("p_lat", "p_lon", "0.004491556", "0.005986", "s_clat", "s_clon")},
+         |    ${cellSql("d_lat", "d_lon", "0.004491556", "0.005986", "e_clat", "e_clon")}
+         |  FROM geo),
+         |counts AS (
+         |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start,
+         |         s_clat, s_clon, e_clat, e_clon, count(*) AS n
+         |  FROM journeys
+         |  WHERE s_clat BETWEEN 1 AND 300 AND s_clon BETWEEN 1 AND 300
+         |    AND e_clat BETWEEN 1 AND 300 AND e_clon BETWEEN 1 AND 300
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT window_start, s_clat, s_clon, e_clat, e_clon, n, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+         |              ORDER BY n DESC, s_clat, s_clon, e_clat, e_clon) AS INT) AS rank
+         |  FROM counts)
+         |WHERE rank <= 10""".stripMargin,
+
+    "q_taxi_q2" ->
+      s"""WITH geo AS (
+         |  SELECT ts, value, event_type, $Geo,
+         |         41.474937 + ((CAST(json_extract_string(props, '$$.k') AS INT) % 100) / 100.0) - 0.5 AS d_lat,
+         |         -74.913585 + (((user_id * 13 + CAST(json_extract_string(props, '$$.k') AS INT)) % 400) / 400.0) - 0.5 AS d_lon
+         |  FROM events),
+         |profit AS (
+         |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS TIMESTAMP) AS window_start, clat, clon,
+         |         list_sort(list(value))[CAST(floor(count(*) / 2) AS INT) + 1] AS profit
+         |  FROM (SELECT ts, value,
+         |          ${cellSql("p_lat", "p_lon", "(0.004491556/2)", "(0.005986/2)", "clat", "clon")}
+         |        FROM geo)
+         |  WHERE clat BETWEEN 1 AND 600 AND clon BETWEEN 1 AND 600
+         |  GROUP BY 1, 2, 3),
+         |empty AS (
+         |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start, clat, clon,
+         |         count(*) AS n_empty
+         |  FROM (SELECT ts, event_type,
+         |          ${cellSql("d_lat", "d_lon", "(0.004491556/2)", "(0.005986/2)", "clat", "clon")}
+         |        FROM geo WHERE event_type = 'error')
+         |  WHERE clat BETWEEN 1 AND 600 AND clon BETWEEN 1 AND 600
+         |  GROUP BY 1, 2, 3)
+         |SELECT e.window_start, e.clat, e.clon, e.n_empty,
+         |       floor(coalesce(p.profit, 0) * 100 + 0.5) / 100 AS profit,
+         |       floor(coalesce(p.profit, 0) / e.n_empty * 10000 + 0.5) / 10000 AS profitability
+         |FROM empty e LEFT JOIN profit p
+         |  ON e.window_start = p.window_start AND e.clat = p.clat AND e.clon = p.clon""".stripMargin
+  )
+}

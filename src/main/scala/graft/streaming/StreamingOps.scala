@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Event
+
+/** Structured Streaming surface: the reference's runtime layer
+  * (`src/Striot/Nodes.hs` — sources stamping ingest time, per-node stream
+  * functions, sinks) maps to `readStream` → transforms → `writeStream`;
+  * the stateful operators (`streamScan`/`streamFilterAcc`) become
+  * `flatMapGroupsWithState` with per-key state, and windows become
+  * watermarked event-time aggregations.
+  *
+  * The reference has NO watermarks (lazy lists close windows when the next
+  * element arrives) and assumes time order; in streaming mode we take a
+  * caller-chosen watermark for state cleanup (generous by default) and
+  * order within each micro-batch by event time. The batch API
+  * ([[graft.core.StreamOps]]) remains the exact-parity surface.
+  */
+object StreamingOps {
+
+  /** Rate source stamped like `readListFromSource` (reference
+    * `Nodes.hs:309-319`: each element stamped with ingest time). */
+  def rateSource(spark: SparkSession, eventsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSecond.toString).load()
+      .select(col("timestamp").as("time"), col("value"))
+
+  /** Socket text source (the reference's TCP ingest analog,
+    * `Nodes/TCP.hs`). */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+      .select(current_timestamp().as("time"), col("value"))
+
+  /** Kafka source (reference `Nodes/Kafka.hs:24-119`, `offsetReset
+    * Earliest`). */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest").load()
+
+  /** File-replay source: stream an events-shaped parquet directory (the
+    * batch testdata replayed as a stream). */
+  def fileReplaySource(spark: SparkSession, dir: String, schemaOf: DataFrame): DataFrame =
+    spark.readStream.schema(schemaOf.schema).parquet(dir)
+
+  /** Tumbling event-time window aggregate (streaming `chopTime` analog;
+    * epoch-aligned like the relational formulation). */
+  def tumblingAgg(df: DataFrame, tsName: String, duration: String, watermark: String,
+                  keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsName, watermark)
+      .groupBy(window(col(tsName), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding event-time window aggregate (streaming `slidingTime`
+    * analog: overlapping windows of `duration` every `slide`). */
+  def slidingAgg(df: DataFrame, tsName: String, duration: String, slide: String,
+                 watermark: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsName, watermark)
+      .groupBy(window(col(tsName), duration, slide) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Streaming `streamScan` per key (reference
+    * `FunctionalProcessing.hs:188-191`): running fold with state in
+    * `flatMapGroupsWithState`; events within each micro-batch are folded in
+    * (time, tiebreak-less) order. Value-less events pass through without
+    * updating state. */
+  def scanByKey[K, A, B](ds: Dataset[(K, Event[A])], f: (B, A) => B, init: B)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Event[B])],
+      encState: Encoder[B]): Dataset[(K, Event[B])] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[B, (K, Event[B])](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: K, it: Iterator[(K, Event[A])], state: GroupState[B]) =>
+          var acc = state.getOption.getOrElse(init)
+          val sorted = it.map(_._2).toIndexedSeq
+            .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+          val out = sorted.map { e =>
+            e.value match {
+              case Some(v) => acc = f(acc, v); (k, Event(e.time, Some(acc)))
+              case None    => (k, Event[B](e.time, None))
+            }
+          }
+          state.update(acc)
+          out.iterator
+      }
+
+  /** Streaming `streamFilterAcc` per key (reference
+    * `FunctionalProcessing.hs:181-185`): stateful filter; accumulator
+    * updated on every data event, emission iff pred(value, accBefore);
+    * value-less events pass. */
+  def filterAccByKey[K, A, B](ds: Dataset[(K, Event[A])],
+      accfn: (B, A) => B, init: B, pred: (A, B) => Boolean)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Event[A])],
+      encState: Encoder[B]): Dataset[(K, Event[A])] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[B, (K, Event[A])](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: K, it: Iterator[(K, Event[A])], state: GroupState[B]) =>
+          var acc = state.getOption.getOrElse(init)
+          val sorted = it.map(_._2).toIndexedSeq
+            .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+          val out = sorted.flatMap { e =>
+            e.value match {
+              case Some(v) =>
+                val keep = pred(v, acc)
+                acc = accfn(acc, v)
+                if (keep) Some((k, e)) else None
+              case None => Some((k, e))
+            }
+          }
+          state.update(acc)
+          out.iterator
+      }
+
+  /** Write a streaming DataFrame through `foreachBatch` (the reference's
+    * arbitrary-IO sink, `Nodes.hs:119-159`). */
+  def foreachBatchSink(df: DataFrame, name: String)(f: (DataFrame, Long) => Unit) =
+    df.writeStream.queryName(name).outputMode("update")
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) => f(batch.toDF(), id))
+
+  /** Memory sink for tests/debug: returns the started query. */
+  def memorySink(df: DataFrame, name: String, mode: String = "append") =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Event
+
+/** Streaming semantics: replay the sf0.001 events parquet as a file stream
+  * and check the streaming formulations agree with their batch
+  * equivalents (the parity surface). */
+class StreamingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def eventsBatch = graft.queries.Tables.events(spark, sfDir)
+
+  /** The events table replayed as a stream (re-written copy so the
+    * streaming reader sees a plain microsecond-timestamp schema). */
+  private lazy val replayDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    eventsBatch.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling window counts match batch groupBy(window)") {
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(replayDir)
+    val agg = StreamingOps.tumblingAgg(stream, "ts", "1 hour", "10 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    val q = StreamingOps.memorySink(agg, "tumbling_test", mode = "complete")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumbling_test")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val expected = eventsBatch
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("streaming scanByKey (flatMapGroupsWithState) matches batch per-key totals") {
+    val stream = spark.readStream
+      .schema(eventsBatch.schema).parquet(replayDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .map { case (u, ts, v) => (u, Event(Some(ts), Some(v))) }
+    val scanned = StreamingOps.scanByKey[Long, Double, Double](stream, _ + _, 0.0)
+    val q = scanned.toDF().writeStream.format("memory")
+      .queryName("scan_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // values are positive, so the max running sum per key = the key's total
+    val got = spark.table("scan_test")
+      .groupBy(col("_1").as("user_id"))
+      .agg(round(max(col("_2.value")), 2).as("total"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val expected = eventsBatch
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == expected)
+  }
+
+  test("streaming filterAccByKey deduplicates consecutive values per key") {
+    val stream = spark.readStream
+      .schema(eventsBatch.schema).parquet(replayDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .map { case (u, ts, t) => (u, Event(Some(ts), Some(t))) }
+    val deduped = StreamingOps.filterAccByKey[Long, String, Option[String]](
+      stream, (_, v) => Some(v), None, (v, acc) => !acc.contains(v))
+    val q = deduped.toDF().writeStream.format("memory")
+      .queryName("dedup_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test").count()
+    // batch equivalent: lag-based dedupConsecutive on event_type per user
+    val expected = graft.operators.Relational.dedupConsecutive(
+      eventsBatch, col("event_type"), Seq(col("user_id")), Seq(col("ts"), col("event_id"))).count()
+    assert(got == expected)
+  }
+}
