@@ -51,7 +51,7 @@ case object OpSink extends StreamOperator
 /** An operator parameter: executable function + displayable source.
   * Equality is on the source string only (the reference compares de-quoted
   * parameter code, `identicalParams`). */
-final class Param(val src: String, val fn: Any) {
+final class Param(val src: String, val fn: Any) extends Serializable {
   override def equals(o: Any): Boolean = o match {
     case p: Param => p.src == src
     case _        => false
