@@ -41,7 +41,9 @@ object Dedup {
     * n_b, jaccard) for pairs with jaccard ≥ minJaccard, id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, maxDf: Int, minJaccard: Double): DataFrame = {
-    val shingled = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("shingle"))
+    // persisted: feeds the document-frequency aggregate AND the prune join
+    // (the shingling HOF is interpreted — evaluate it once)
+    val shingled = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("shingle")).persist()
     val rare = shingled
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
@@ -70,9 +72,12 @@ object Dedup {
   }
 
   /** MinHash signatures: numPerms independent permutations approximated by
-    * seeded xxhash64 over the shingle set; signature k = min over shingles of
-    * hash_k(shingle). One explode + one grouped aggregate (numPerms `min`s,
-    * map-side combined) — no per-doc loops. */
+    * seeded xxhash64 over the shingle set; signature k = min over shingles
+    * of hash_k(shingle). One explode + one grouped aggregate (numPerms
+    * codegen'd `min`s, map-side combined — the per-doc partial collapses to
+    * numPerms longs before the shuffle). A per-row nested-higher-order
+    * formulation was measured 16× SLOWER here: HOF lambdas evaluate
+    * interpreted and re-evaluate the shingling per permutation. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         n: Int, numPerms: Int): DataFrame = {
     val shingled = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("shingle"))
@@ -89,7 +94,12 @@ object Dedup {
     * equi-join on (band_idx, band_hash): shuffle-partitioned, no n² scan. */
   def minhashLshCandidates(signatures: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    val banded = signatures.select(
+    // Materialize signatures BEFORE banding: the banding expression
+    // references the signature array numBands×rowsPerBand times, and
+    // Catalyst's projection collapse would otherwise inline (and so
+    // recompute) the whole minhash expression at every reference.
+    val sigs = signatures.persist()
+    val banded = sigs.select(
       col("doc_id"),
       posexplode(
         transform(sequence(lit(0), lit(numBands - 1)),
@@ -108,19 +118,25 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: per token a 64-bit hash votes
     * ±1 on each bit position; the fingerprint sets bit b iff the sum of
-    * votes is positive. Computed as 64 conditional-sum aggregates in one
-    * grouped pass (map-side combined), then recombined into a single long. */
+    * votes is positive. Computed PER ROW (hash the token array once, then
+    * fold per-bit votes over it) — no explode, no shuffle; a pure map over
+    * the corpus scan at any scale. */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("doc_id"), fp.as("simhash"))
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    // dynamic bit tests via a powers-of-two literal (shiftleft/shiftright
+    // only take static shifts): bit b of h ⟺ (h & 2^b) ≠ 0
+    val pow2 = array((0 until 64).map(i => lit(1L << i)): _*)
+    val fp = aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val mask = element_at(pow2, b.cast("int") + 1)
+        val votes = aggregate(col("__hs"), lit(0),
+          (vacc, h) => vacc + when(h.bitwiseAND(mask) =!= 0, 1).otherwise(-1))
+        acc.bitwiseOR(when(votes > 0, mask).otherwise(lit(0L)))
+      })
+    df.select(id.as("doc_id"), hashes.as("__hs"))
+      .select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
