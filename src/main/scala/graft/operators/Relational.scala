@@ -101,6 +101,23 @@ object Relational {
       .withColumnRenamed("__rank", "rank")
   }
 
+  /** `chopTime` with the reference's FIRST-EVENT alignment
+    * (`FunctionalProcessing.hs:118-129`): non-overlapping fixed-duration
+    * windows anchored at the stream's (or key's) first event timestamp,
+    * not at the epoch like Spark's `window()`. Adds `window_start`.
+    * Scalable form: per-key min over an unframed window (one hash
+    * exchange), then integer bucket arithmetic — no second shuffle. */
+  def chopTimeAligned(df: DataFrame, ts: Column, durationMs: Long,
+                      partition: Seq[Column]): DataFrame = {
+    val w = if (partition.isEmpty) Window.partitionBy() else Window.partitionBy(partition: _*)
+    val durUs = durationMs * 1000
+    df.withColumn("__first_us", min(unix_micros(ts)).over(w))
+      .withColumn("__bucket", floor((unix_micros(ts) - col("__first_us")) / durUs))
+      .withColumn("window_start",
+        timestamp_micros((col("__first_us") + col("__bucket") * durUs).cast("long")))
+      .drop("__first_us", "__bucket")
+  }
+
   /** The reference's exact `median`: the UPPER middle element of the sorted
     * list (index ⌊n/2⌋, zero-based) — NOT an interpolated percentile
     * (`examples/taxi/Taxi.hs:272-274`). Aggregate expression usable in any

@@ -90,8 +90,16 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
     }),
 
+    // chopTime with the reference's first-event alignment, per user
+    // (FunctionalProcessing.hs:118-129): 6h windows anchored at each
+    // user's first event.
+    "q_choptime_aligned" -> ((s, dir) =>
+      Relational.chopTimeAligned(ev(s, dir), col("ts"), 6L * 3600 * 1000, byUser)
+        .groupBy(col("user_id"), col("window_start"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))),
+
     // chopTime as tumbling event-time window (FunctionalProcessing.hs:118-129;
-    // epoch alignment — the typed surface offers first-event alignment).
+    // epoch alignment).
     "q_tumbling_1h" -> ((s, dir) =>
       ev(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -236,6 +244,16 @@ object StreamQueries {
         |         CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 10) AS BIGINT) AS chunk_id
         |  FROM events)
         |GROUP BY user_id, chunk_id""".stripMargin,
+
+    "q_choptime_aligned" ->
+      """SELECT user_id,
+        |       make_timestamp(CAST(first_us + CAST(floor((epoch_us(ts) - first_us) / 21600000000) AS BIGINT) * 21600000000 AS BIGINT)) AS window_start,
+        |       count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM (SELECT user_id, ts, value,
+        |             min(epoch_us(ts)) OVER (PARTITION BY user_id) AS first_us
+        |      FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_tumbling_1h" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

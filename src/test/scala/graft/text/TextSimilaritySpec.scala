@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+
+class TextSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens / counts / stopword ratio") {
+    val df = Seq((1L, "the cat  and   the hat"), (2L, "")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out(1L) == ((5, 0.6))) // the, and, the of 5
+    assert(out(2L) == ((0, 0.0)))
+  }
+
+  test("token-set fingerprint is order-insensitive; rolling hash is order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.tokenSetFingerprint(col("text")).as("setfp"),
+        TextAnalysis.rollingHashFingerprint(col("text")).as("rollfp"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(2L)._1) // same bag of words
+    assert(out(1L)._1 != out(3L)._1)
+    assert(out(1L)._2 != out(2L)._2) // order matters for rolling hash
+  }
+
+  test("language heuristic picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "le chat et la maison des gens"),
+      (4L, "xyzzy plugh")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langHeuristic(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "unk"))
+  }
+
+  test("brute-force kNN is exact on known vectors; LSH returns a same-cos subset") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(-1f, 0f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val knn = Similarity.bruteForceKnn(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toList
+    assert(knn.head._1 == 1L) // most similar first
+    assert(knn.map(_._1) == List(1L, 2L, 3L))
+    val lsh = Similarity.lshKnn(vecs, vecs.filter(col("vec_id") === 0),
+      dims = 4, numPlanes = 4, k = 3).collect().map(_.getLong(1)).toSet
+    assert(lsh.subsetOf(Set(1L, 2L, 3L)))
+  }
+
+  test("multimodal decode stub: deterministic metadata from binary payloads") {
+    val df = Seq((7L, "hello world"), (8L, "hello world"), (9L, "different")).toDF("doc_id", "text")
+    val metas = Multimodal.extractMeta(spark, Multimodal.withFakeBlob(df))
+      .collect().map(m => m.doc_id -> ((m.n_bytes, m.width, m.height, m.checksum))).toMap
+    assert(metas(7L)._1 == "hello world".getBytes("UTF-8").length)
+    assert(metas(7L)._4 == metas(8L)._4) // same bytes → same checksum
+    assert(metas(7L)._4 != metas(9L)._4)
+    assert(metas.values.forall(m => m._2 >= 64 && m._3 >= 64))
+  }
+}
