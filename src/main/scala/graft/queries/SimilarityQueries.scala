@@ -45,6 +45,14 @@ object SimilarityQueries {
         .groupBy(col("label"))
         .agg(roundp(avg(col("norm")), 4).as("avg_norm"), count(lit(1)).as("n"))),
 
+    // IVF ANN — coarse k-means codebook, per-cell probe (rows-only: the
+    // codebook is k-means-trained, not SQL-expressible).
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = graft.similarity.Ivf.trainCentroids(e, "embedding", nlist = 8)
+      graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids, k = 5)
+    }),
+
     // MinHash + LSH banding near-dup candidates (xxhash64-based; rows-only).
     "q_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(docs(s, dir), col("doc_id"), col("text"),
