@@ -27,7 +27,14 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Composed higher-order-function formulation (reference for tests;
+    * lambdas evaluate interpreted). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity — the native codegen'd kernel
+    * ([[graft.functions.CosineSimilarity]]): one fused loop over both
+    * float arrays, bit-identical to [[cosineHof]] (same fold order). */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
 
   /** Exact top-k cosine neighbors for each query vector: broadcast the query
     * set, scan the corpus once, rank per query with a deterministic
