@@ -101,6 +101,20 @@ object Relational {
       .withColumnRenamed("__rank", "rank")
   }
 
+  /** Skew-salted equi-join: spread a hot key across `salts` sub-keys by
+    * salting the big (skewed) side deterministically and replicating the
+    * small side once per salt. Same result as the plain join, but the
+    * shuffle partitions for a hot key shrink by `salts`× — the manual
+    * fallback when AQE's skew-join splitting isn't available (e.g.
+    * non-AQE engines or stream-static joins). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** `chopTime` with the reference's FIRST-EVENT alignment
     * (`FunctionalProcessing.hs:118-129`): non-overlapping fixed-duration
     * windows anchored at the stream's (or key's) first event timestamp,

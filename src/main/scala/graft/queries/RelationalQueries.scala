@@ -77,6 +77,16 @@ object RelationalQueries {
           roundp(sum(col("o_totalprice")), 2).as("total"))
     }),
 
+    // Sort + limit (the reference's lazy `take n` acts as LIMIT on
+    // example mains, Taxi.hs:194-217): global top-20 by price with a
+    // deterministic tiebreak. TopK-via-sort: Spark plans this as a
+    // TakeOrderedAndProject (per-partition top-20 + merge), not a full sort.
+    "q_sort_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), roundp(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
     // Correlated-style aggregate filter: orders above their customer's
     // average order value (join against a pre-aggregated per-customer avg —
     // the decorrelated plan Catalyst would aim for).
@@ -130,6 +140,10 @@ object RelationalQueries {
         |       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS totalprice
+        |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_above_avg" ->
       """SELECT o_orderkey, o_custkey,
