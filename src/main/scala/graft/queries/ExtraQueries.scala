@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.roundp
+
+/** Engine capabilities beyond the reference's own operator surface
+  * (SURVEY §2.6 notes the reference has no grouping sets, no
+  * intersect/except, no session windows) — present in this engine because
+  * Spark provides them natively; oracle-checked like everything else. */
+object ExtraQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Grouping sets: rollup over (returnflag, linestatus) with subtotal
+    // and grand-total rows.
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // Set operations: customers appearing in both the open-order and
+    // large-order populations (INTERSECT), and those with open orders but
+    // no large ones (EXCEPT).
+    "q_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val large = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      open.intersect(large).withColumn("tag", lit("both"))
+        .unionByName(open.except(large).withColumn("tag", lit("open_only")))
+    }),
+
+    // Session windows: per-user sessions with a 10-minute inactivity gap
+    // (Spark closes a session when the next event is >= gap after the
+    // last); session key = the window start = first event's timestamp.
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("session_start"), col("user_id"), col("n"), col("sum_value")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |large AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM open INTERSECT SELECT * FROM large)
+        |UNION ALL
+        |SELECT o_custkey, 'open_only' AS tag FROM (SELECT * FROM open EXCEPT SELECT * FROM large)""".stripMargin,
+
+    // gaps-and-islands: break when the gap is >= 10 minutes (Spark's
+    // session close rule), session start = first event of the island
+    "q_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin
+  )
+}
