@@ -170,6 +170,14 @@ object StreamQueries {
       Relational.fallingEdge(ev(s, dir), col("value"), 50.0, byUser, inOrder)
         .select("event_id", "user_id", "value")),
 
+    // per-EVENT sliding top-k (the true taxi Q1 emission: every event
+    // carries the top-k of its trailing window) via the incremental
+    // SlidingTopK operator; oracle = brute-force windowed self-join.
+    "q_sliding_topk" -> ((s, dir) =>
+      graft.operators.SlidingTopK.perEventTopK(
+        s, ev(s, dir), key = "user_id", id = "event_id", ts = "ts",
+        item = "event_type", windowMs = 2L * 3600 * 1000, k = 3)),
+
     // topk per window (Taxi.hs:160-169 `topk` over sliding windows; here
     // exact top-3 event types per day by frequency, deterministic tiebreak).
     "q_topk_window" -> ((s, dir) => {
@@ -312,6 +320,20 @@ object StreamQueries {
         |         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |WHERE prev > 50.0 AND value <= 50.0""".stripMargin,
+
+    "q_sliding_topk" ->
+      """WITH pairs AS (
+        |  SELECT a.event_id, a.user_id, b.event_type, count(*) AS n
+        |  FROM events a JOIN events b
+        |    ON a.user_id = b.user_id
+        |   AND b.ts BETWEEN a.ts - INTERVAL 2 HOUR AND a.ts
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, event_id, rank, event_type, n FROM (
+        |  SELECT user_id, event_id, event_type, n,
+        |         CAST(row_number() OVER (PARTITION BY event_id
+        |                ORDER BY n DESC, event_type) AS INT) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 3""".stripMargin,
 
     "q_topk_window" ->
       """SELECT day, event_type, n, rank FROM (
