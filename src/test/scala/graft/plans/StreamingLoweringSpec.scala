@@ -1,0 +1,73 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Event
+
+/** The streaming lowering must agree with the batch lowering / interpreter
+  * on replayed data. */
+class StreamingLoweringSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val pipeline = StreamGraph.path(Seq(
+    StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+    StreamVertex(1, OpMap,
+      List(Param("(*2)", (v: Any) => (v.asInstanceOf[Double] * 2): Any)), "Double", "Double", 1),
+    StreamVertex(2, OpFilter(0.5),
+      List(Param("(>20)", (v: Any) => v.asInstanceOf[Double] > 20.0)), "Double", "Double", 1),
+    StreamVertex(3, OpScan, List(
+      Param("sum", (acc: Any, v: Any) => (acc.asInstanceOf[Double] + v.asInstanceOf[Double]): Any),
+      Param("0.0", 0.0: Any)), "Double", "Double", 1),
+    StreamVertex(4, OpSink, Nil, "Double", "Double", 1)))
+
+  test("streaming lowering of map/filter/scan matches the interpreter") {
+    val eventsBatch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .orderBy("ts", "event_id").limit(200)
+    val replayDir = Files.createTempDirectory("graft-slower").toString
+    eventsBatch.write.mode("overwrite").parquet(replayDir)
+
+    val srcStream: Dataset[Event[Any]] = spark.readStream
+      .schema(eventsBatch.schema).parquet(replayDir)
+      .select(col("ts"), col("value"))
+      .as[(java.sql.Timestamp, Double)]
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+
+    val lowered = StreamingLowering.lower(spark, pipeline, Map(0 -> srcStream))(4)
+    val q = lowered
+      .map(e => (e.time.get, e.value.get.asInstanceOf[Double]))
+      .toDF("ts", "running")
+      .writeStream.format("memory").queryName("slower_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("slower_test")
+      .collect().map(r => (r.getTimestamp(0), math.round(r.getDouble(1) * 100))).toList.sorted
+
+    val input = eventsBatch.select(col("ts"), col("value"))
+      .as[(java.sql.Timestamp, Double)].collect()
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }.toList
+    val expected = Interpreter.runToSinks(pipeline, Map(0 -> input)).values.head
+      .map(e => (e.time.get, math.round(e.value.get.asInstanceOf[Double] * 100))).sorted
+    assert(got == expected)
+  }
+
+  test("window/join vertices report an explicit unsupported-lowering error") {
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Int", "Int", 1),
+      StreamVertex(1, OpWindow, List(Param("chop 2",
+        (s: List[Event[Any]]) => graft.core.WindowMakers.chop[Any](2)(s))), "Int", "[Int]", 1),
+      StreamVertex(2, OpSink, Nil, "[Int]", "[Int]", 1)))
+    val src = spark.readStream.format("rate").load()
+      .select(col("timestamp"), col("value"))
+      .as[(java.sql.Timestamp, Long)]
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+    val ex = intercept[UnsupportedOperationException] {
+      StreamingLowering.lower(spark, g, Map(0 -> src))
+    }
+    assert(ex.getMessage.contains("Window"))
+  }
+}
