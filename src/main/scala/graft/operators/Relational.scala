@@ -77,17 +77,25 @@ object Relational {
 
   /** Pairwise zip join (`streamJoin`, reference
     * `FunctionalProcessing.hs:148-155`): k-th left event with k-th right
-    * event. Relational formulation: `row_number` each side in stream order,
-    * inner-join on the index (terminates at the shorter side). The index
-    * assignment is one exchange per side; the join is an equi-join Catalyst
-    * can execute as a shuffled hash join. */
+    * event, stopping at the shorter side. Global indices are assigned with
+    * the two-phase scheme (range-partitioned sort, then `zipWithIndex`:
+    * per-partition counts + offsets) — NO single-partition window, so both
+    * sides stay fully parallel; the equi-join on the index is an ordinary
+    * shuffled join. */
   def zipJoin(left: DataFrame, right: DataFrame,
-              leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame = {
-    val lw = Window.orderBy(leftOrder: _*)
-    val rw = Window.orderBy(rightOrder: _*)
-    val l = left.withColumn("__zip_idx", row_number().over(lw))
-    val r = right.withColumn("__zip_idx", row_number().over(rw))
-    l.join(r, "__zip_idx").drop("__zip_idx")
+              leftOrder: Seq[Column], rightOrder: Seq[Column]): DataFrame =
+    withZipIndex(left, leftOrder).join(withZipIndex(right, rightOrder), "__zip_idx")
+      .drop("__zip_idx")
+
+  private def withZipIndex(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val sorted = df.orderBy(order: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__zip_idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
   /** Exact top-k rows per group by an ordering, with a deterministic
