@@ -104,6 +104,21 @@ object StreamOps {
         implicit encW: Encoder[Event[Seq[A]]], encB: Encoder[Event[B]]): Dataset[Event[B]] =
       streamWindow(fwm).streamMap(agg)
 
+    /** Re-stamp events from a payload field — the reference's custom
+      * window-maker pattern (`tripTimes`/`pebbleTimes`,
+      * `examples/taxi/Taxi.hs:400-402`, `WearableExample.hs:189-190`):
+      * event time taken from inside the value. */
+    def streamRestamp(f: A => java.sql.Timestamp): Dataset[Event[A]] =
+      ds.map((e: Event[A]) => Event(e.value.map(f), e.value))(ds.encoder)
+
+    /** Fold a finite stream's data values to a single value (the
+      * reference's documented-but-unimplemented `streamReduce` design,
+      * `docs/Operators.md:385-435`) — in Spark a distributed `reduce`. */
+    def streamReduce(f: (A, A) => A)(implicit encA: Encoder[A]): Option[A] = {
+      val data = ds.filter((e: Event[A]) => e.isData).map(_.value.get)
+      if (data.isEmpty) None else Some(data.reduce(f))
+    }
+
     /** N-ary union preserving time order (merge-sort on timestamps;
       * reference-arbitrary interleave for untimed events).
       * Reference `FunctionalProcessing.hs:135-144`. */

@@ -64,6 +64,29 @@ object TaxiQueries {
         Seq(col("n").desc, col("s_clat"), col("s_clon"), col("e_clat"), col("e_clon")))
     }),
 
+    // Q2's empty-taxi logic, faithfully shaped
+    // (newestPickup/taxisDroppedOffandNotPickedUp, Taxi.hs:257-287): a
+    // dropoff (purchase) counts as an empty taxi in its cell iff the taxi
+    // (user) has NO later pickup (click) at that cell in the window —
+    // max-pickup-per-(cell,user) left-joined against dropoffs, inequality
+    // filtered, counted per cell.
+    "q_taxi_empty" -> ((s, dir) => {
+      val g = withGeo(Tables.events(s, dir))
+        .select(col("ts"), col("user_id"), col("event_type"),
+          Taxi.cellLatQ2(col("p_lat")).as("clat"), Taxi.cellLonQ2(col("p_lon")).as("clon"))
+        .filter(Taxi.inRangeQ2(col("clat"), col("clon")))
+        .withColumn("w", window(col("ts"), "30 minutes"))
+      val newestPickup = g.filter(col("event_type") === "click")
+        .groupBy(col("w"), col("clat"), col("clon"), col("user_id"))
+        .agg(max(col("ts")).as("newest_pickup"))
+      val dropoffs = g.filter(col("event_type") === "purchase")
+      dropoffs.join(newestPickup, Seq("w", "clat", "clon", "user_id"), "left")
+        .filter(col("newest_pickup").isNull || col("newest_pickup") < col("ts"))
+        .groupBy(col("w"), col("clat"), col("clon"))
+        .agg(count(lit(1)).as("n_empty"))
+        .select(col("w.start").as("window_start"), col("clat"), col("clon"), col("n_empty"))
+    }),
+
     // Q2 profitable cells (Taxi.hs:269-305): profit = exact upper-median of
     // fare+tip per pickup cell over a 15-min window; empty taxis per
     // dropoff cell over a 30-min window; profitability = profit/empty where
@@ -145,6 +168,30 @@ object TaxiQueries {
          |              ORDER BY n DESC, s_clat, s_clon, e_clat, e_clon) AS INT) AS rank
          |  FROM counts)
          |WHERE rank <= 10""".stripMargin,
+
+    "q_taxi_empty" ->
+      s"""WITH geo AS (
+         |  SELECT ts, user_id, event_type, $Geo
+         |  FROM events),
+         |cells AS (
+         |  SELECT ts, user_id, event_type,
+         |    CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start,
+         |    ${cellSql("p_lat", "p_lon", "(0.004491556/2)", "(0.005986/2)", "clat", "clon")}
+         |  FROM geo),
+         |inrange AS (
+         |  SELECT * FROM cells
+         |  WHERE clat BETWEEN 1 AND 600 AND clon BETWEEN 1 AND 600),
+         |np AS (
+         |  SELECT window_start, clat, clon, user_id, max(ts) AS newest_pickup
+         |  FROM inrange WHERE event_type = 'click'
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d.window_start, d.clat, d.clon, count(*) AS n_empty
+         |FROM inrange d
+         |LEFT JOIN np ON d.window_start = np.window_start
+         |  AND d.clat = np.clat AND d.clon = np.clon AND d.user_id = np.user_id
+         |WHERE d.event_type = 'purchase'
+         |  AND (np.newest_pickup IS NULL OR np.newest_pickup < d.ts)
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_taxi_q2" ->
       s"""WITH geo AS (
