@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Environment-driven source/sink configuration, mirroring the reference's
+  * per-node `STRIOT_INGRESS_TYPE`/`STRIOT_EGRESS_TYPE` + per-transport
+  * host/port/topic envs (`src/Striot/Nodes/Types.hs:57-116`): a deployment
+  * selects TCP(socket)/Kafka at launch without code changes. MQTT is not a
+  * built-in Spark source; it is accepted and reported as unsupported
+  * (parity note — the reference supports QoS0 MQTT, `Nodes/MQTT.hs`). */
+object ConnConfig {
+
+  final case class Conn(kind: String, host: String, port: Int, topic: String)
+
+  private def read(env: Map[String, String], side: String): Conn = Conn(
+    kind = env.getOrElse(s"GRAFT_${side}_TYPE", "socket").toLowerCase,
+    host = env.getOrElse(s"GRAFT_${side}_HOST", "localhost"),
+    port = env.getOrElse(s"GRAFT_${side}_PORT", "9001").toInt,
+    topic = env.getOrElse(s"GRAFT_${side}_TOPIC", "graft"))
+
+  def ingress(env: Map[String, String] = sys.env): Conn = read(env, "INGRESS")
+  def egress(env: Map[String, String] = sys.env): Conn = read(env, "EGRESS")
+
+  /** Open the configured streaming source. */
+  def openSource(spark: SparkSession, c: Conn): DataFrame = c.kind match {
+    case "socket" => StreamingOps.socketSource(spark, c.host, c.port)
+    case "kafka"  => StreamingOps.kafkaSource(spark, s"${c.host}:${c.port}", c.topic)
+    case "rate"   => StreamingOps.rateSource(spark, c.port) // port reused as rate
+    case "mqtt" => throw new UnsupportedOperationException(
+      "MQTT has no built-in Spark source; bridge via Kafka or a custom connector")
+    case other => throw new IllegalArgumentException(s"unknown ingress type: $other")
+  }
+}
