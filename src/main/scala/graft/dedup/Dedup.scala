@@ -55,6 +55,10 @@ object Dedup {
     // this is the natural checkpoint of the pipeline.)
     val pruned = shingled.join(rare, "shingle").persist()
     val docSizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // shingle self-join for candidate pairs: measured FASTER than
+    // generating i<j combinations inside a collect_list group (nested
+    // higher-order slice/transform evaluates interpreted with O(df²)
+    // array copies per shingle — 2× slower end to end).
     val a = pruned.select(col("shingle"), col("doc_id").as("id_a"))
     val b = pruned.select(col("shingle"), col("doc_id").as("id_b"))
     val common = a.join(b, "shingle")
