@@ -1,9 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Each query is timed SPARK_GRAFT_RUNS times
+  * (default 3) and the per-query MEDIAN is reported — single cold runs at
+  * sub-second granularity are dominated by JIT/codegen noise. The first run
+  * of each query is the cold one (codegen compile + any persist build); the
+  * median therefore reflects steady state while still charging repeatable
+  * per-run work. SPARK_GRAFT_ONLY=q_a,q_b restricts to a subset (dev loop).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,21 +22,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // untimed warmup: JIT/codegen + parquet reader init, so the first timed
     // query isn't charged for session startup
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop per-query persists between runs
-      name -> dt
+    spark.catalog.clearCache()
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // drop per-query persists between runs
+        dt
+      }.sorted
+      name -> times(times.length / 2) // upper-median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -15,6 +15,29 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
+  // Intermediates persisted by the candidate-pair builders below, so library
+  // callers can release them: Verify/Bench call spark.catalog.clearCache()
+  // per query, but a long-lived session embedding these pipelines should call
+  // `unpersistAll()` after consuming the result (the caching contract).
+  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def track(df: DataFrame): DataFrame = synchronized { tracked += df; df.persist() }
+
+  /** Unpersist every intermediate DataFrame the dedup builders have cached.
+    * Call after the actions consuming a builder's result have run. */
+  def unpersistAll(blocking: Boolean = false): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking)); tracked.clear()
+  }
+
+  /** Spread the corpus across the cluster before CPU-bound per-document work
+    * (tokenize → shingle → hash runs interpreted, ~µs per shingle) — but ONLY
+    * when the scan under-splits (a small file arrives as fewer partitions
+    * than cores). At real scale the parquet scan is already split into
+    * thousands of tasks and this is a no-op — no shuffle is added. */
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact duplicate groups by content hash: one hash aggregate, map-side
     * combined; the canonical keeper is the minimum id. */
   def exactDupGroups(df: DataFrame, id: Column, text: Column): DataFrame =
@@ -31,6 +54,18 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
+  /** Distinct word n-gram shingles hashed to 64-bit keys (`array<bigint>`).
+    * Every downstream shuffle (document-frequency count, prune, candidate
+    * self-join, minhash explode) then moves 8-byte longs instead of shingle
+    * strings — the key lever that keeps those shuffles cheap at corpus
+    * scale. Collisions only matter if two distinct shingles collide within
+    * the df-pruned universe: with 64-bit keys that is ~k²/2⁶⁵ for k distinct
+    * shingles — negligible far past 10⁹ shingles. Implemented as a native
+    * codegen'd kernel ([[graft.functions.ShingleHash64]]) — one JVM loop
+    * per document instead of an interpreted HOF per shingle. */
+  def wordNgramHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHash64(TextAnalysis.tokens(text), n)
+
   /** Candidate near-duplicate pairs by exact n-gram Jaccard, with
     * document-frequency pruning: only shingles appearing in ≤ maxDf docs are
     * used as join keys AND as the similarity universe (so the measure is
@@ -41,27 +76,29 @@ object Dedup {
     * n_b, jaccard) for pairs with jaccard ≥ minJaccard, id_a < id_b. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, maxDf: Int, minJaccard: Double): DataFrame = {
-    // persisted: feeds the document-frequency aggregate AND the prune join
-    // (the shingling HOF is interpreted — evaluate it once)
-    val shingled = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("shingle")).persist()
-    val rare = shingled
-      .groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    // Shingles travel as 64-bit hashes: the shuffles below move (long, long)
+    // rows, not strings. The measure stays Jaccard over the df-pruned
+    // shingle sets (hashing is a bijection modulo ~2⁻⁶⁵ collisions), so a
+    // string-based oracle reproduces it exactly.
+    val shingled = widen(df).select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("h"))
+    // Document-frequency prune as ONE pass: window count over the shingle
+    // key (shingles are distinct within a doc, so count(*) per h = df).
+    // This shuffles the shingled set once — no separate df-aggregate +
+    // re-join of the full set — and the interpreted shingling HOF runs once.
+    val pruned = track(shingled
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("df") <= maxDf)
-      .select("shingle")
-    // The pruned (doc, shingle) set feeds the df-filter join, BOTH sides of
-    // the self-join, and the per-doc sizes — persist it so the
-    // explode+distinct chain runs once, not four times. (At cluster scale
-    // this is the natural checkpoint of the pipeline.)
-    val pruned = shingled.join(rare, "shingle").persist()
+      .drop("df"))
+    // pruned (persisted) feeds the per-doc sizes and BOTH sides of the
+    // self-join — at cluster scale it is the natural checkpoint.
     val docSizes = pruned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     // shingle self-join for candidate pairs: measured FASTER than
     // generating i<j combinations inside a collect_list group (nested
     // higher-order slice/transform evaluates interpreted with O(df²)
     // array copies per shingle — 2× slower end to end).
-    val a = pruned.select(col("shingle"), col("doc_id").as("id_a"))
-    val b = pruned.select(col("shingle"), col("doc_id").as("id_b"))
-    val common = a.join(b, "shingle")
+    val a = pruned.select(col("h"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("h"), col("doc_id").as("id_b"))
+    val common = a.join(b, "h")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -79,13 +116,16 @@ object Dedup {
     * seeded xxhash64 over the shingle set; signature k = min over shingles
     * of hash_k(shingle). One explode + one grouped aggregate (numPerms
     * codegen'd `min`s, map-side combined — the per-doc partial collapses to
-    * numPerms longs before the shuffle). A per-row nested-higher-order
-    * formulation was measured 16× SLOWER here: HOF lambdas evaluate
-    * interpreted and re-evaluate the shingling per permutation. */
+    * numPerms longs before the shuffle). Each shingle is first collapsed to
+    * a 64-bit key, so the numPerms permutation hashes each digest 12 fixed
+    * bytes instead of re-hashing the shingle string numPerms times. A
+    * per-row nested-higher-order formulation was measured 16× SLOWER here:
+    * HOF lambdas evaluate interpreted and re-evaluate the shingling per
+    * permutation. */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
                         n: Int, numPerms: Int): DataFrame = {
-    val shingled = df.select(id.as("doc_id"), explode(wordNgrams(text, n)).as("shingle"))
-    val mins = (0 until numPerms).map(k => min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
+    val shingled = widen(df).select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("h"))
+    val mins = (0 until numPerms).map(k => min(xxhash64(lit(k), col("h"))).as(s"h$k"))
     shingled.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until numPerms).map(k => col(s"h$k")): _*).as("signature"))
@@ -98,20 +138,24 @@ object Dedup {
     * equi-join on (band_idx, band_hash): shuffle-partitioned, no n² scan. */
   def minhashLshCandidates(signatures: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    // Materialize signatures BEFORE banding: the banding expression
+    // Materialize signatures ONCE before banding: the banding expression
     // references the signature array numBands×rowsPerBand times, and
     // Catalyst's projection collapse would otherwise inline (and so
-    // recompute) the whole minhash expression at every reference.
-    val sigs = signatures.persist()
+    // recompute) the whole minhash aggregate at every reference. The banded
+    // explosion itself is NOT persisted — re-deriving it from the cached
+    // signature rows for each side of the bucket self-join is a cheap
+    // codegen'd projection, half the cached footprint.
+    val sigs = track(signatures)
+    // Band hash = one multi-arg xxhash64 over (band index, the band's
+    // signature slots) — static codegen'd columns, no interpreted
+    // transform(sequence(...)) lambda, no string concat.
+    def bandHash(b: Int): Column =
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("signature"), b * rowsPerBand + r + 1))): _*)
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(
-        transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(concat_ws(",",
-            (0 until rowsPerBand).map(r =>
-              element_at(col("signature"), (b * rowsPerBand).cast("int") + r + 1)): _*), b)))
+      posexplode(array((0 until numBands).map(bandHash): _*))
         .as(Seq("band_idx", "band_hash")))
-      .persist() // used as both sides of the bucket self-join
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))
