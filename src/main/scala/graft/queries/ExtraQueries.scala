@@ -58,7 +58,7 @@ object ExtraQueries {
     // session close rule), session start = first event of the island
     "q_session_window" ->
       """WITH d AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, value, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
         |              THEN 1 ELSE 0 END AS brk
@@ -66,7 +66,7 @@ object ExtraQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, value
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM d)
         |SELECT min(ts) AS session_start, user_id, count(*) AS n,

@@ -193,6 +193,44 @@ object StreamQueries {
       ev(s, dir).groupBy(col("user_id"))
         .agg(Relational.medianUpper(col("value")).as("med"), count(lit(1)).as("n"))),
 
+    // complete window maker (FunctionalProcessing.hs:131-132): ONE window of
+    // the entire finite stream, stamped with its first element's timestamp.
+    // Distributed form: a single global aggregate (map-side combined — each
+    // partition collapses to one partial before the 1-row exchange).
+    "q_complete" -> ((s, dir) =>
+      ev(s, dir).agg(
+        min(col("ts")).as("window_start"), // first element's stamp
+        count(lit(1)).as("n"),
+        roundp(sum(col("value")), 2).as("sum_value"))),
+
+    // Re-stamping custom window maker (tripTimes/pebbleTimes pattern,
+    // Taxi.hs:400-402, WearableExample.hs:189-190): event time re-derived
+    // from the PAYLOAD (props JSON field k, seconds offset), then a tumbling
+    // window over the re-stamped time. Pure column expressions — the
+    // re-stamp is a projection fused into the scan.
+    "q_restamp" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+      ev(s, dir)
+        .withColumn("ts2", timestamp_micros(unix_micros(col("ts")) + k * 1000000L))
+        .groupBy(date_trunc("hour", col("ts2")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // streamReduce (docs/Operators.md:385-435, documented design): fold the
+    // finite stream's data values with an associative combiner — here
+    // "keep the event with the larger value, earliest (ts, event_id) on
+    // ties". Distributed as one struct-max aggregate: the comparator is
+    // encoded in struct field order, partials combine map-side, exactly the
+    // shape a distributed reduce takes.
+    "q_reduce" -> ((s, dir) =>
+      ev(s, dir)
+        .agg(max(struct(
+          col("value"),
+          (-unix_micros(col("ts"))).as("neg_ts"),
+          (-col("event_id")).as("neg_id"),
+          col("event_id").as("eid"))).as("m"))
+        .select(col("m.eid").as("event_id"), roundp(col("m.value"), 2).as("value"))),
+
     // Wearable composite pipeline (WearableExample.hs:66-96): map(norm) →
     // filter → falling-edge filterAcc → tumbling count window.
     "q_wearable" -> ((s, dir) => {
@@ -326,7 +364,8 @@ object StreamQueries {
         |  SELECT a.event_id, a.user_id, b.event_type, count(*) AS n
         |  FROM events a JOIN events b
         |    ON a.user_id = b.user_id
-        |   AND b.ts BETWEEN a.ts - INTERVAL 2 HOUR AND a.ts
+        |   AND b.ts >= a.ts - INTERVAL 2 HOUR
+        |   AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
         |  GROUP BY 1, 2, 3)
         |SELECT user_id, event_id, rank, event_type, n FROM (
         |  SELECT user_id, event_id, event_type, n,
@@ -348,6 +387,26 @@ object StreamQueries {
         |       list_sort(list(value))[CAST(floor(count(*) / 2) AS INT) + 1] AS med,
         |       count(*) AS n
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_complete" ->
+      """SELECT min(ts) AS window_start, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events""".stripMargin,
+
+    "q_restamp" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         make_timestamp(epoch_us(ts)
+        |           + CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 1000000) AS ts2
+        |  FROM events)
+        |SELECT date_trunc('hour', ts2) AS window_start, event_type,
+        |       count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q_reduce" ->
+      """SELECT event_id, floor(v * 100 + 0.5) / 100 AS value FROM (
+        |  SELECT event_id, value AS v, ts FROM events
+        |  ORDER BY value DESC, ts, event_id LIMIT 1)""".stripMargin,
 
     "q_wearable" ->
       """WITH signal AS (
