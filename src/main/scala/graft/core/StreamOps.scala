@@ -170,41 +170,62 @@ object StreamOps {
   }
 
   /** Sharded stateful variants: total order is maintained PER KEY (the way an
-    * unbounded stream is actually partitioned on a cluster); state lives in
-    * executor memory per group, parallel across keys. */
+    * unbounded stream is actually partitioned on a cluster).
+    *
+    * Execution is SECONDARY SORT, not `groupByKey.flatMapGroups`: one hash
+    * exchange on the key, a spillable in-partition sort on (key, time), and
+    * a single streaming pass over the key-runs. A `flatMapGroups` +
+    * `toIndexedSeq.sortBy` formulation buffers each key's ENTIRE history in
+    * executor memory before sorting — a hot key OOMs the executor at scale.
+    * Here the sort spills through Spark's external sorter and the operator
+    * state is just the accumulator (O(1) per key), so a key of any size
+    * streams through. */
   implicit final class KeyedStream[A](private val ds: Dataset[Event[A]]) extends AnyVal {
+
+    private def keyedSorted[K](key: Event[A] => K)(
+        implicit encKE: Encoder[(K, Event[A])]): Dataset[(K, Event[A])] =
+      ds.map(e => (key(e), e))
+        .repartition(org.apache.spark.sql.functions.col("_1"))
+        // time sorts nulls-first: value-less/timeless ticks lead their key,
+        // matching the previous Long.MinValue ordering
+        .sortWithinPartitions(
+          org.apache.spark.sql.functions.col("_1"),
+          org.apache.spark.sql.functions.col("_2.time"))
 
     def streamFilterAccByKey[K, B](key: Event[A] => K, accfn: (B, A) => B, init: B)(
         p: (A, B) => Boolean)(implicit encK: Encoder[K], encKE: Encoder[(K, Event[A])]): Dataset[Event[A]] = {
       implicit val encE: Encoder[Event[A]] = ds.encoder
-      ds.groupByKey(key)
-        .flatMapGroups { (_: K, it: Iterator[Event[A]]) =>
-          val sorted = it.toIndexedSeq.sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
-          var acc = init
-          sorted.flatMap { e =>
-            e.value match {
-              case Some(v) =>
-                val keep = p(v, acc)
-                acc = accfn(acc, v)
-                if (keep) Some(e) else None
-              case None => Some(e)
-            }
-          }.iterator
+      keyedSorted(key).mapPartitions { it =>
+        var started = false
+        var cur: K = null.asInstanceOf[K]
+        var acc = init
+        it.flatMap { case (k, e) =>
+          if (!started || k != cur) { started = true; cur = k; acc = init }
+          e.value match {
+            case Some(v) =>
+              val keep = p(v, acc)
+              acc = accfn(acc, v)
+              if (keep) Iterator.single(e) else Iterator.empty
+            case None => Iterator.single(e)
+          }
         }
+      }
     }
 
     def streamScanByKey[K, B](key: Event[A] => K, f: (B, A) => B, init: B)(
-        implicit encK: Encoder[K], enc: Encoder[Event[B]]): Dataset[Event[B]] =
-      ds.groupByKey(key)
-        .flatMapGroups { (_: K, it: Iterator[Event[A]]) =>
-          val sorted = it.toIndexedSeq.sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
-          var acc = init
-          sorted.map { e =>
-            e.value match {
-              case Some(v) => acc = f(acc, v); Event(e.time, Some(acc))
-              case None    => Event[B](e.time, None)
-            }
-          }.iterator
+        implicit encK: Encoder[K], encKE: Encoder[(K, Event[A])],
+        enc: Encoder[Event[B]]): Dataset[Event[B]] =
+      keyedSorted(key).mapPartitions { it =>
+        var started = false
+        var cur: K = null.asInstanceOf[K]
+        var acc = init
+        it.map { case (k, e) =>
+          if (!started || k != cur) { started = true; cur = k; acc = init }
+          e.value match {
+            case Some(v) => acc = f(acc, v); Event(e.time, Some(acc))
+            case None    => Event[B](e.time, None)
+          }
         }
+      }
   }
 }

@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   * This is the operator SQL window frames cannot express (a frame can
   * aggregate, but not rank-within-frame), and materializing each window
   * via collect_list is the O(n·w) blow-up SURVEY §7.4 warns about. Instead:
-  * an incremental two-pointer pass per key — events arrive time-sorted,
-  * a frequency map is maintained by adding the entering event and evicting
-  * events older than the window, and each event emits the current top-k.
-  * O(n·distinct) worst case, O(n·k) typical; state is one window of events
-  * per key. Keys process independently (flatMapGroups), so the operator
-  * scales by key-sharding exactly like the other stateful operators.
+  * SECONDARY SORT — one hash exchange on the key, a spillable in-partition
+  * sort on (key, ts, id), then one streaming pass over the key-runs keeping
+  * a sliding queue of the current window and its frequency map. State is
+  * O(window) per key (the queue) — never the key's whole history, so a hot
+  * key streams through instead of buffering in executor memory.
+  * O(n·distinct) worst case, O(n·k) typical per event.
   */
 object SlidingTopK {
 
@@ -35,29 +35,36 @@ object SlidingTopK {
                    key: String, id: String, ts: String, item: String,
                    windowMs: Long, k: Int): DataFrame = {
     import spark.implicits._
-    df.select(col(key).cast("long"), col(id).cast("long"),
-        unix_micros(col(ts)), col(item).cast("string"))
+    val winUs = windowMs * 1000
+    // explicit names BEFORE repartition/sort: `.as[T]` does not rename
+    // columns, and tuple-positional names would resolve against hidden
+    // lineage (dropping the sort silently)
+    df.select(col(key).cast("long").as("__k"), col(id).cast("long").as("__i"),
+        unix_micros(col(ts)).as("__t"), col(item).cast("string").as("__v"))
+      .repartition(col("__k"))
+      .sortWithinPartitions(col("__k"), col("__t"), col("__i")) // (key, ts, id)
       .as[(Long, Long, Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroups { (keyVal: Long, it: Iterator[(Long, Long, Long, String)]) =>
-        val events = it.toArray.sortBy(e => (e._3, e._2)) // (ts, id)
-        val freq = mutable.HashMap.empty[String, Int]
-        val out = mutable.ArrayBuffer.empty[(Long, Long, Int, String, Long)]
-        var tail = 0
-        val winUs = windowMs * 1000
-        events.foreach { case (_, eid, t, itemVal) =>
+      .mapPartitions { it =>
+        var started = false
+        var curKey = 0L
+        var freq = mutable.HashMap.empty[String, Int]
+        var win = mutable.Queue.empty[(Long, String)] // (ts, item) in window
+        it.flatMap { case (keyVal, eid, t, itemVal) =>
+          if (!started || keyVal != curKey) {
+            started = true; curKey = keyVal
+            freq = mutable.HashMap.empty; win = mutable.Queue.empty
+          }
+          win.enqueue((t, itemVal))
           freq.updateWith(itemVal)(c => Some(c.getOrElse(0) + 1))
-          while (events(tail)._3 < t - winUs) {
-            val old = events(tail)._4
+          while (win.head._1 < t - winUs) {
+            val (_, old) = win.dequeue()
             freq.updateWith(old)(c => c.flatMap(x => if (x > 1) Some(x - 1) else None))
-            tail += 1
           }
           val top = freq.toSeq.sortBy { case (i, n) => (-n, i) }.take(k)
-          top.zipWithIndex.foreach { case ((i, n), r) =>
-            out += ((keyVal, eid, r + 1, i, n.toLong))
+          top.zipWithIndex.map { case ((i, n), r) =>
+            (curKey, eid, r + 1, i, n.toLong)
           }
         }
-        out.iterator
       }
       .toDF(key, id, "rank", item, "n")
   }

@@ -68,7 +68,13 @@ object StreamingOps {
     * `FunctionalProcessing.hs:188-191`): running fold with state in
     * `flatMapGroupsWithState`; events within each micro-batch are folded in
     * (time, tiebreak-less) order. Value-less events pass through without
-    * updating state. */
+    * updating state.
+    *
+    * Memory note: the per-key sort buffers one key's events from ONE
+    * micro-batch (bounded by the trigger's batch size via
+    * maxOffsetsPerTrigger/maxFilesPerTrigger), never the key's history —
+    * kept state is only the accumulator. The batch-mode analogs
+    * ([[graft.core.StreamOps.KeyedStream]]) use secondary sort instead. */
   def scanByKey[K, A, B](ds: Dataset[(K, Event[A])], f: (B, A) => B, init: B)(
       implicit encK: Encoder[K], encOut: Encoder[(K, Event[B])],
       encState: Encoder[B]): Dataset[(K, Event[B])] =
