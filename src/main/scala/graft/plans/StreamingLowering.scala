@@ -15,10 +15,21 @@ import graft.core.Event
   *
   * Supported: Source, Map, Filter, Expand, Merge (unordered union —
   * downstream event-time logic re-imposes order, matching SURVEY §2.1's
-  * merge relaxation), FilterAcc, Scan, Sink.
-  * Unsupported (throws): Window and Join — arbitrary window makers and
-  * zip joins need the batch surface; use [[graft.streaming.StreamingOps]]
-  * watermarked aggregations / [[graft.streaming.StreamJoins]] for the
+  * merge relaxation), FilterAcc, Scan, Sink, Join (stateful zip — both
+  * sides buffered per-side in state, k-th paired with k-th), and Window
+  * for the RECOGNIZED window-maker forms (`chop N`, `chopTime MS`,
+  * `sliding N`, `slidingTime MS`, by param source string — the same
+  * convention [[Bandwidth]] uses): each lowers to a stateful pass whose
+  * state is one open window (plus, for sliding forms, the pending tail),
+  * emitted exactly when the reference's lazy-list semantics would close it
+  * (a window closes when the first event beyond it arrives; trailing
+  * partial windows of a finite replay stay pending, since an unbounded
+  * stream never ends).
+  *
+  * Unsupported (throws): Window with an ARBITRARY window-maker closure —
+  * an opaque `Stream a -> [Stream a]` function cannot be incrementalized;
+  * use the batch surface, or [[graft.streaming.StreamingOps]] watermarked
+  * aggregations / [[graft.streaming.StreamJoins]] for column-typed
   * streaming-native forms.
   */
 object StreamingLowering {
@@ -81,14 +92,126 @@ object StreamingLowering {
             }
             (outEvs, acc)
           }
-        case OpWindow | OpJoin =>
-          throw new UnsupportedOperationException(
-            s"${v.op.name} has no direct streaming lowering; use " +
-              "graft.streaming.StreamingOps / StreamJoins for streaming-native forms")
+        case OpWindow =>
+          v.params.head.src.trim.split("\\s+").toList match {
+            case "chop" :: n :: Nil if n.forall(_.isDigit)          => chopLower(in0, n.toInt)
+            case "chopTime" :: ms :: Nil if ms.forall(_.isDigit)    => chopTimeLower(in0, ms.toLong)
+            case "sliding" :: n :: Nil if n.forall(_.isDigit)       => slidingLower(in0, n.toInt)
+            case "slidingTime" :: ms :: Nil if ms.forall(_.isDigit) => slidingTimeLower(in0, ms.toLong)
+            case _ =>
+              throw new UnsupportedOperationException(
+                "Window with an arbitrary window-maker has no streaming lowering " +
+                  "(recognized param forms: 'chop N', 'chopTime MS', 'sliding N', " +
+                  "'slidingTime MS'); use graft.streaming.StreamingOps watermarked " +
+                  "aggregations for column-typed pipelines")
+          }
+        case OpJoin => zipJoinLower(ins(0), ins(1))
       }
       out += v.id -> ds
     }
     out
+  }
+
+  private def windowEvent(w: List[Event[Any]]): Event[Any] = w match {
+    case Nil => Event[Any](None, Some(Nil: List[Any]))
+    case _   => Event(w.head.time, Some(w.filter(_.isData).map(_.value.get): Any))
+  }
+
+  /** `chop n` (FunctionalProcessing.hs:113-116): state = the open window's
+    * data events (≤ n−1 between batches). */
+  private def chopLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
+    statefulLower(ds) { (events, st) =>
+      var buf = if (st == null) List.empty[Event[Any]] else st.asInstanceOf[List[Event[Any]]]
+      val out = IndexedSeq.newBuilder[Event[Any]]
+      events.filter(_.isData).foreach { e =>
+        buf = buf :+ e
+        if (buf.length == n) { out += windowEvent(buf); buf = Nil }
+      }
+      (out.result(), buf)
+    }
+
+  /** `chopTime ms` with the reference's first-event alignment
+    * (FunctionalProcessing.hs:118-129): state = (current window start, open
+    * window). A window closes — and period-spanning gaps emit EMPTY
+    * windows — when the first event at/after its end arrives. */
+  private def chopTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
+    statefulLower(ds) { (events, st) =>
+      var (start, buf) =
+        if (st == null) (-1L, List.empty[Event[Any]])
+        else st.asInstanceOf[(Long, List[Event[Any]])]
+      val out = IndexedSeq.newBuilder[Event[Any]]
+      events.filter(_.isTimed).foreach { e =>
+        val t = e.time.get.getTime
+        if (start < 0) start = t
+        while (t >= start + ms) {
+          out += windowEvent(buf)
+          buf = Nil
+          start += ms
+        }
+        buf = buf :+ e
+      }
+      (out.result(), (start, buf))
+    }
+
+  /** `sliding n` (FunctionalProcessing.hs:93-97): per data event, the window
+    * of the next n events; state = the last ≤ n−1 data events. */
+  private def slidingLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
+    statefulLower(ds) { (events, st) =>
+      var buf = if (st == null) List.empty[Event[Any]] else st.asInstanceOf[List[Event[Any]]]
+      val out = IndexedSeq.newBuilder[Event[Any]]
+      events.filter(_.isData).foreach { e =>
+        buf = buf :+ e
+        if (buf.length == n) { out += windowEvent(buf); buf = buf.tail }
+      }
+      (out.result(), buf)
+    }
+
+  /** `slidingTime ms` (FunctionalProcessing.hs:99-108): per timed event e,
+    * the window [e.time, e.time+ms); e's window closes when the first event
+    * at/after e.time+ms arrives. State = events still inside some pending
+    * window — O(window), not O(history). */
+  private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
+    statefulLower(ds) { (events, st) =>
+      var buf = if (st == null) List.empty[Event[Any]] else st.asInstanceOf[List[Event[Any]]]
+      val out = IndexedSeq.newBuilder[Event[Any]]
+      events.filter(_.isTimed).foreach { e =>
+        val t = e.time.get.getTime
+        while (buf.nonEmpty && buf.head.time.get.getTime + ms <= t) {
+          val end = buf.head.time.get.getTime + ms
+          out += windowEvent(buf.takeWhile(_.time.get.getTime < end))
+          buf = buf.tail
+        }
+        buf = buf :+ e
+      }
+      (out.result(), buf)
+    }
+
+  /** `streamJoin` pairwise zip (FunctionalProcessing.hs:148-155): both
+    * sides' data events buffered per-side in state, k-th paired with k-th,
+    * output stamped from the LEFT event. State grows with the rate
+    * MISMATCH between sides (exactly the reference's lazy-list buffering),
+    * not with stream length when rates match. */
+  private def zipJoinLower(left: Dataset[Event[Any]], right: Dataset[Event[Any]]): Dataset[Event[Any]] = {
+    val tagged = left.map(e => Event(e.time, e.value.map(v => (0, v): Any)))
+      .union(right.map(e => Event(e.time, e.value.map(v => (1, v): Any))))
+    statefulLower(tagged) { (events, st) =>
+      var (lq, rq) =
+        if (st == null) (List.empty[(Option[java.sql.Timestamp], Any)], List.empty[Any])
+        else st.asInstanceOf[(List[(Option[java.sql.Timestamp], Any)], List[Any])]
+      events.foreach { e =>
+        e.value match {
+          case Some((0, v)) => lq = lq :+ (e.time -> v)
+          case Some((1, v)) => rq = rq :+ v
+          case _            => () // ticks don't join
+        }
+      }
+      val k = math.min(lq.length, rq.length)
+      val out = lq.take(k).zip(rq.take(k)).map { case ((lt, lv), rv) =>
+        Event(lt, Some((lv, rv): Any))
+      }.toIndexedSeq
+      lq = lq.drop(k); rq = rq.drop(k)
+      (out, (lq, rq))
+    }
   }
 
   /** Single-group stateful pass: micro-batch events sorted by event time,

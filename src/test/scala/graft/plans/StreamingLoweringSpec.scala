@@ -55,11 +55,88 @@ class StreamingLoweringSpec extends SparkSuite {
     assert(got == expected)
   }
 
-  test("window/join vertices report an explicit unsupported-lowering error") {
+  private def replayedSource(limit: Int): (Dataset[Event[Any]], List[Event[Any]]) = {
+    val eventsBatch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .orderBy("ts", "event_id").limit(limit)
+    val replayDir = Files.createTempDirectory("graft-slower").toString
+    eventsBatch.write.mode("overwrite").parquet(replayDir)
+    val stream: Dataset[Event[Any]] = spark.readStream
+      .schema(eventsBatch.schema).parquet(replayDir)
+      .select(col("ts"), col("value"))
+      .as[(java.sql.Timestamp, Double)]
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+    val asList = eventsBatch.select(col("ts"), col("value"))
+      .as[(java.sql.Timestamp, Double)].collect()
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }.toList
+    (stream, asList)
+  }
+
+  test("chopTime window lowers to a stateful streaming pass agreeing with the interpreter") {
+    // 6h windows over the replayed event stream, first-event aligned
+    val ms = 6L * 3600 * 1000
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param(s"chopTime $ms",
+        (s: List[Event[Any]]) => graft.core.WindowMakers.chopTime[Any](ms)(s))), "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val (src, input) = replayedSource(300)
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered
+      .map(e => (e.time.map(_.getTime).getOrElse(-1L),
+        e.value.get.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).sum))
+      .toDF("start_ms", "sum_v")
+      .writeStream.format("memory").queryName("slower_choptime").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_choptime")
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 100))).toList.sorted
+
+    val expectedAll = Interpreter.runToSinks(g, Map(0 -> input)).values.head
+      .map(e => (e.time.map(_.getTime).getOrElse(-1L),
+        math.round(e.value.get.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).sum * 100)))
+    // the final window of a finite replay never closes in streaming mode
+    val expected = expectedAll.dropRight(1).sorted
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("zip-join lowers to a stateful pairing agreeing with the interpreter") {
+    val g = StreamGraph(
+      Vector(
+        StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+        StreamVertex(1, OpSource(1), Nil, "Double", "Double", 1),
+        StreamVertex(2, OpJoin, Nil, "Double", "(Double,Double)", 1),
+        StreamVertex(3, OpSink, Nil, "(Double,Double)", "(Double,Double)", 1)),
+      Vector(0 -> 2, 1 -> 2, 2 -> 3))
+    val (srcA, inputA) = replayedSource(100)
+    val (srcB, inputB) = replayedSource(60)
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> srcA, 1 -> srcB))(3)
+    val q = lowered
+      .map { e =>
+        val (a, b) = e.value.get.asInstanceOf[(Any, Any)]
+        (e.time.map(_.getTime).getOrElse(-1L), a.asInstanceOf[Double], b.asInstanceOf[Double])
+      }
+      .toDF("lt", "a", "b")
+      .writeStream.format("memory").queryName("slower_zip").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_zip")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList.sorted
+
+    val expected = Interpreter.runToSinks(g, Map(0 -> inputA, 1 -> inputB)).values.head
+      .map { e =>
+        val (a, b) = e.value.get.asInstanceOf[(Any, Any)]
+        (e.time.map(_.getTime).getOrElse(-1L), a.asInstanceOf[Double], b.asInstanceOf[Double])
+      }.sorted
+    assert(got == expected)
+    assert(got.length == 60) // shorter side bounds the zip
+  }
+
+  test("arbitrary window makers report an explicit unsupported-lowering error") {
     val g = StreamGraph.path(Seq(
       StreamVertex(0, OpSource(1), Nil, "Int", "Int", 1),
-      StreamVertex(1, OpWindow, List(Param("chop 2",
-        (s: List[Event[Any]]) => graft.core.WindowMakers.chop[Any](2)(s))), "Int", "[Int]", 1),
+      StreamVertex(1, OpWindow, List(Param("complete",
+        (s: List[Event[Any]]) => graft.core.WindowMakers.complete[Any](s))), "Int", "[Int]", 1),
       StreamVertex(2, OpSink, Nil, "[Int]", "[Int]", 1)))
     val src = spark.readStream.format("rate").load()
       .select(col("timestamp"), col("value"))
