@@ -39,10 +39,11 @@ object SimilarityQueries {
     }),
 
     // LSH (random-hyperplane) bucketed ANN — the scale path; approximate,
-    // rows-only check.
+    // rows-only check. 8 tables × 6 planes: ~tables/2^6 ≈ 12% of the corpus
+    // scanned per query, recall tuned by the OR-construction S-curve.
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.lshKnn(e, e.filter(col("vec_id") < 10), dims = 64, numPlanes = 8, k = 5)
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 10), dims = 64, numPlanes = 6, k = 5, tables = 8)
     }),
 
     // Per-label centroid-free stats: mean pairwise-comparable norm + count

@@ -66,24 +66,41 @@ object Similarity {
     * array (one array op per plane) rather than `dims` scalar terms — keeps
     * the codegen'd expression tree small at any dimensionality. */
   def srpBucket(emb: Column, dims: Int, numPlanes: Int): Column =
+    srpBucketFrom(emb, dims, numPlanes, planeOffset = 0)
+
+  private def srpBucketFrom(emb: Column, dims: Int, numPlanes: Int, planeOffset: Int): Column =
     (0 until numPlanes).map { p =>
-      val weights = array((0 until dims).map(d => lit(planeSign(p, d).toDouble)): _*)
+      val weights = array((0 until dims).map(d => lit(planeSign(planeOffset + p, d).toDouble)): _*)
       val proj = aggregate(
         zip_with(emb, weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: bucket corpus and queries on SRP signatures and rank
-    * within the bucket join — scans only colliding buckets instead of the
-    * full corpus. Recall < 1 by construction (approximate). */
-  def lshKnn(corpus: DataFrame, queries: DataFrame, dims: Int, numPlanes: Int, k: Int): DataFrame = {
+  /** One SRP bucket id per hash table (independent plane sets) — the
+    * OR-construction: a candidate pair needs to collide in ANY table.
+    * Collision probability for angle θ is 1 − (1 − (1−θ/π)^b)^L with
+    * b = planesPerTable, L = tables — the same S-curve lever as MinHash
+    * banding. More planes per table → smaller buckets (less scanned);
+    * more tables → higher recall. */
+  def srpTableBuckets(emb: Column, dims: Int, planesPerTable: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      srpBucketFrom(emb, dims, planesPerTable, planeOffset = t * planesPerTable)): _*)
+
+  /** Multi-table LSH-bucketed ANN: bucket corpus and queries on `tables`
+    * independent SRP signatures, union candidates over tables (dedup), rank
+    * by exact cosine. Scans only colliding buckets — expected candidate
+    * fraction ≈ tables/2^planesPerTable of the corpus for unrelated
+    * vectors — instead of a full scan. Recall < 1 by construction. */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, dims: Int, numPlanes: Int, k: Int,
+             tables: Int = 8): DataFrame = {
     val cb = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      srpBucket(col("embedding"), dims, numPlanes).as("bucket"))
+      posexplode(srpTableBuckets(col("embedding"), dims, numPlanes, tables)).as(Seq("t", "bucket")))
     val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      srpBucket(col("embedding"), dims, numPlanes).as("bucket"))
-    val pairs = qb.join(cb, "bucket")
+      posexplode(srpTableBuckets(col("embedding"), dims, numPlanes, tables)).as(Seq("t", "bucket")))
+    val pairs = qb.join(cb, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id") // a pair may collide in several tables
       .withColumn("cos", roundp(cosine(col("q_emb"), col("n_emb")), 6))
     Relational.topKPerGroup(
         pairs, k, Seq(col("q_id")), Seq(col("cos").desc, col("n_id")))
