@@ -424,7 +424,6 @@ object Rules {
     LabelledRule("mapFuse", mapFuse),
     LabelledRule("mapScan", mapScan),
     LabelledRule("expandFilter", expandFilter),
-    LabelledRule("mapFilterAcc", mapFilterAcc),
     LabelledRule("mapWindow", mapWindow),
     LabelledRule("expandMap", expandMap),
     LabelledRule("expandScan", expandScan),
@@ -444,7 +443,21 @@ object Rules {
     LabelledRule("filterWindow", filterWindow),
     LabelledRule("filterAccWindow", filterAccWindow))
 
+  /** mapFilterAcc is NOT semantics-preserving when the accumulator update
+    * is value-sensitive (see the rule's caveat) — like the reshaping rules,
+    * it is kept OUT of [[defaultRules]] so [[Planner.bestPlan]] cannot
+    * silently pick a result-changing variant. [[referenceParityRules]]
+    * includes it, matching the reference's (unconditional) rule set for
+    * comparison tests. */
+  val conditionalRules: List[LabelledRule] = List(
+    LabelledRule("mapFilterAcc", mapFilterAcc))
+
   val defaultRules: List[LabelledRule] = pureRules ++ reorderingRules
+
+  /** The reference's `defaultRewriteRules` surface: includes mapFilterAcc
+    * unconditionally, as `LogicalOptimiser.hs:124-152` does. */
+  val referenceParityRules: List[LabelledRule] =
+    pureRules ++ conditionalRules ++ reorderingRules
 
   // -- variant enumeration ---------------------------------------------------
 

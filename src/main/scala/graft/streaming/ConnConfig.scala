@@ -30,4 +30,18 @@ object ConnConfig {
       "MQTT has no built-in Spark source; bridge via Kafka or a custom connector")
     case other => throw new IllegalArgumentException(s"unknown ingress type: $other")
   }
+
+  /** Attach the configured streaming sink writer (caller `.start()`s it).
+    * MQTT is a deliberate non-goal (decided, not implicit): Spark ships no
+    * MQTT connector and the reference's QoS0 usage (`Nodes/MQTT.hs:29-86`)
+    * is covered operationally by a Kafka bridge — both directions report a
+    * directed error naming that path. */
+  def openSink(df: DataFrame, c: Conn, checkpointDir: String) = c.kind match {
+    case "kafka"   => StreamingOps.kafkaSink(df, s"${c.host}:${c.port}", c.topic, checkpointDir)
+    case "memory"  => df.writeStream.format("memory").queryName(c.topic)
+    case "console" => df.writeStream.format("console")
+    case "mqtt" => throw new UnsupportedOperationException(
+      "MQTT has no built-in Spark sink; bridge via Kafka or a custom connector")
+    case other => throw new IllegalArgumentException(s"unknown egress type: $other")
+  }
 }

@@ -121,6 +121,26 @@ object StreamingOps {
           out.iterator
       }
 
+  /** Kafka producer sink (reference `sendStreamKafka`,
+    * `Nodes/Kafka.hs:24-119`): serialize a value column to the topic.
+    * Returns the configured writer; caller `.start()`s it (needs a broker —
+    * env-gated in tests, like the consumer). */
+  def kafkaSink(df: DataFrame, servers: String, topic: String, checkpointDir: String) =
+    df.selectExpr("CAST(value AS STRING) AS value")
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Batch Kafka producer (the reference's sink used from a finite replay):
+    * one-shot write of a value column to the topic. */
+  def kafkaWriteBatch(df: DataFrame, servers: String, topic: String): Unit =
+    df.selectExpr("CAST(value AS STRING) AS value")
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
+
   /** Write a streaming DataFrame through `foreachBatch` (the reference's
     * arbitrary-IO sink, `Nodes.hs:119-159`). */
   def foreachBatchSink(df: DataFrame, name: String)(f: (DataFrame, Long) => Unit) =

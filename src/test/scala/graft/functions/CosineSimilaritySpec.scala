@@ -29,4 +29,21 @@ class CosineSimilaritySpec extends SparkSuite {
     val out = df.select(round(CosineSimilarity(col("a"), col("b")), 6)).as[Double].collect().toList
     assert(out == List(1.0, 0.0, 1.0))
   }
+
+  test("array<double> inputs are rejected at analysis time, not silently misread") {
+    val df = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(CosineSimilarity(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("null array elements are skipped, not read as garbage") {
+    val df = Seq(
+      (Array[java.lang.Float](1f, null, 0f), Array[java.lang.Float](1f, 2f, 0f)))
+      .toDF("a", "b")
+    val out = df.select(round(CosineSimilarity(col("a"), col("b")), 6)).as[Double].collect()
+    assert(out.head == 1.0) // only index 0 contributes: cos((1),(1)) = 1
+  }
 }

@@ -20,5 +20,23 @@ class ConnConfigSpec extends AnyFunSuite {
       ConnConfig.openSource(spark, ConnConfig.Conn("mqtt", "h", 1883, "t"))
     }
     assert(ex.getMessage.contains("MQTT"))
+    val ex2 = intercept[UnsupportedOperationException] {
+      ConnConfig.openSink(spark.range(1).toDF(), ConnConfig.Conn("mqtt", "h", 1883, "t"), "/tmp/cp")
+    }
+    assert(ex2.getMessage.contains("MQTT"))
+  }
+
+  test("kafka producer sink configures a writer without needing a broker") {
+    // broker-less environment: the writer must build (options validated at
+    // start(), which a real deployment calls with a reachable broker)
+    val spark = graft.SparkSuite.session
+    import spark.implicits._
+    val df = spark.readStream.format("rate").load().select($"value")
+    val w = ConnConfig.openSink(df, ConnConfig.Conn("kafka", "broker1", 9092, "t"), "/tmp/cp-kafka")
+    assert(w != null)
+    val batch = Seq("a", "b").toDF("value")
+    // batch writer helper: same shape; .save() needs a broker, so only
+    // exercise construction + serialization projection here
+    assert(batch.selectExpr("CAST(value AS STRING) AS value").columns.sameElements(Array("value")))
   }
 }
