@@ -82,8 +82,17 @@ object Similarity {
     * Collision probability for angle θ is 1 − (1 − (1−θ/π)^b)^L with
     * b = planesPerTable, L = tables — the same S-curve lever as MinHash
     * banding. More planes per table → smaller buckets (less scanned);
-    * more tables → higher recall. */
+    * more tables → higher recall.
+    *
+    * Computed by the native kernel [[graft.functions.SrpBuckets]] (one JVM
+    * loop per row); [[srpTableBucketsHof]] is the composed-builtin
+    * reference the spec checks it against bucket-for-bucket. */
   def srpTableBuckets(emb: Column, dims: Int, planesPerTable: Int, tables: Int): Column =
+    graft.functions.SrpBuckets(emb, dims, planesPerTable, tables)
+
+  /** Composed higher-order-function formulation of [[srpTableBuckets]]
+    * (interpreted lambdas; reference for tests). */
+  def srpTableBucketsHof(emb: Column, dims: Int, planesPerTable: Int, tables: Int): Column =
     array((0 until tables).map(t =>
       srpBucketFrom(emb, dims, planesPerTable, planeOffset = t * planesPerTable)): _*)
 
