@@ -1,26 +1,26 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print formatted physical plans for selected queries —
-  * verify pushdown (PushedFilters/ReadSchema), broadcast joins, and
-  * WholeStageCodegen spans. Usage: runMain graft.Explain [queryName ...] */
+/** Dev tool: print the formatted physical plan of named driver queries —
+  * the plan-audit loop ("is the filter pushed, is the small side
+  * broadcast, does codegen span the hot path"). Usage:
+  * `runMain graft.Explain <sfDir> <query> [<query> ...]` */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.catalyst.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
-      println(s"\n========== $name ==========")
-      try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
