@@ -82,7 +82,14 @@ object SimilarityQueries {
     // Multimodal decode plumbing: binary blob column → partition-batched
     // stubbed decode → typed metadata (rows-only; stub is unit-tested).
     "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.extractMeta(s, Multimodal.withFakeBlob(docs(s, dir))).toDF())
+      Multimodal.extractMeta(s, Multimodal.withFakeBlob(docs(s, dir))).toDF()),
+
+    // Multimodal frame sampling (the video path): 64-byte frames, every
+    // 2nd kept — slicing is column arithmetic the oracle reproduces from
+    // byte lengths alone.
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.withFakeBlob(docs(s, dir)), frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n_bytes")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +112,19 @@ object SimilarityQueries {
         |       floor(avg(sqrt(list_sum(list_transform(embedding,
         |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5) / 10000 AS avg_norm,
         |       count(*) AS n
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+
+    // frame lengths derived arithmetically from the blob's byte length —
+    // an independent derivation of the Spark-side slicing
+    "q_frame_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (
+        |  SELECT doc_id, nb,
+        |         unnest(range(0, greatest(CAST(ceil(nb / 64.0) AS INT), 1))) AS frame_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(least(64, nb - frame_idx * 64) AS INT) AS n_bytes
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin
   )
 }

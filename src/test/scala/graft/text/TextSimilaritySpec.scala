@@ -68,4 +68,24 @@ class TextSimilaritySpec extends SparkSuite {
     assert(metas(7L)._4 != metas(9L)._4)
     assert(metas.values.forall(m => m._2 >= 64 && m._3 >= 64))
   }
+
+  test("multimodal feature extraction: fixed-dim deterministic embeddings, ANN-composable") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withFakeBlob(df), dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.values.forall(_.length == 16))
+    assert(feats(1L) == feats(2L)) // deterministic
+    assert(feats(1L) != feats(3L))
+    assert(feats.values.flatten.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("multimodal frame sampling: stride filter, last partial frame, empty blob") {
+    val df = Seq(
+      (1L, "a" * 200),  // 200 bytes → frames of 64: [64,64,64,8], keep idx 0,2
+      (2L, "")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.withFakeBlob(df), frameBytes = 64, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(frames == Set((1L, 0, 64), (1L, 2, 64), (2L, 0, 0)))
+  }
 }
