@@ -89,7 +89,12 @@ object SimilarityQueries {
     // byte lengths alone.
     "q_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.withFakeBlob(docs(s, dir)), frameBytes = 64, stride = 2)
-        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n_bytes")))
+        .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n_bytes"))),
+
+    // Embedding-cosine near-duplicate pairs — exact form (the oracle
+    // baseline; the LSH-bucketed scale path is spec-checked against it).
+    "q_embedding_dedup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.42))
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +118,16 @@ object SimilarityQueries {
         |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5) / 10000 AS avg_norm,
         |       count(*) AS n
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    "q_embedding_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       floor(list_cosine_similarity(
+        |         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |         list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE floor(list_cosine_similarity(
+        |        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 >= 0.42""".stripMargin,
 
     // frame lengths derived arithmetically from the blob's byte length —
     // an independent derivation of the Spark-side slicing

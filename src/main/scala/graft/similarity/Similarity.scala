@@ -96,6 +96,37 @@ object Similarity {
     array((0 until tables).map(t =>
       srpBucketFrom(emb, dims, planesPerTable, planeOffset = t * planesPerTable)): _*)
 
+  /** Embedding-cosine near-duplicate pairs, EXACT: every (a < b) pair with
+    * cosine ≥ threshold. An O(n²) scan — the verification baseline (oracle-
+    * checkable); at corpus scale use [[cosineNearDupPairsLsh]], which cuts
+    * the pair space through the same multi-table SRP buckets as the ANN
+    * path and re-checks candidates with the exact cosine. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
+    corpus.select(col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+      .crossJoin(corpus.select(col("vec_id").as("id_b"), col("embedding").as("b_emb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", roundp(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+
+  /** Embedding-cosine near-dup, scale path: SRP bucket collision in any
+    * table generates candidates (≈ tables/2^planes of the pair space),
+    * exact cosine verifies. Recall < 1 per the OR-construction S-curve. */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                            dims: Int, planesPerTable: Int, tables: Int): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      posexplode(srpTableBuckets(col("embedding"), dims, planesPerTable, tables))
+        .as(Seq("t", "bucket")))
+    val l = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
+    val r = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+    l.join(r, Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", roundp(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Multi-table LSH-bucketed ANN: bucket corpus and queries on `tables`
     * independent SRP signatures, union candidates over tables (dedup), rank
     * by exact cosine. Scans only colliding buckets — expected candidate

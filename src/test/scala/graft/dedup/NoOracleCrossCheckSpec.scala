@@ -93,6 +93,21 @@ class NoOracleCrossCheckSpec extends SparkSuite {
     assert(cands.values.forall(n => n >= 1 && n <= 8))
   }
 
+  test("LSH-bucketed embedding near-dup is a subset of the exact pairs with real recall") {
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty)
+    val lsh = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.42,
+        dims = 64, planesPerTable = 6, tables = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // every LSH pair is an exact pair with the identical cosine (the exact
+    // re-check guarantees no false positives)
+    lsh.foreach { case (p, c) => assert(exact.get(p).contains(c), s"false positive $p") }
+    // recall floor — deterministic hashes make this a fixed data property
+    assert(lsh.length.toDouble / exact.size >= 0.5,
+      s"near-dup recall ${lsh.length.toDouble / exact.size}")
+  }
+
   test("SRP-LSH kNN returns true-cosine values and nonzero recall vs brute force on sf0.01") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceKnn(emb, queries, k = 5)
