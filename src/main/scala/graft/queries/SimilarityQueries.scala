@@ -60,7 +60,7 @@ object SimilarityQueries {
       val e = emb(s, dir)
       val centroids = codebooks.computeIfAbsent(s"$dir#8",
         _ => graft.similarity.Ivf.trainCentroids(e, "embedding", nlist = 8))
-      graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids, k = 5)
+      graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 2)
     }),
 
     // MinHash + LSH banding near-dup candidates (xxhash64-based; rows-only).

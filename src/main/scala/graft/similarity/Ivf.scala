@@ -44,14 +44,28 @@ object Ivf {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** IVF kNN with nprobe=1: bucket corpus and queries by nearest centroid,
-    * join per cell, rank by exact cosine within the cell. */
+  /** The `nprobe` nearest cell ids, closest first — queries probe several
+    * cells to recover neighbors that fell just across a Voronoi boundary
+    * (the standard IVF recall lever; the corpus stays bucketed once). */
+  def cellsOf(emb: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.length)
+    val dists = array(centroids.map(c => sqDist(emb, c)): _*)
+    // rank cells by distance via a sorted (dist, idx) struct array
+    val tagged = array(centroids.indices.map(i =>
+      struct(element_at(dists, i + 1).as("d"), lit(i).as("cell"))): _*)
+    slice(transform(array_sort(tagged), s => s.getField("cell")), 1, nprobe)
+  }
+
+  /** IVF kNN: corpus bucketed ONCE by nearest centroid; each query probes
+    * its `nprobe` nearest cells (exploded), candidates ranked by exact
+    * cosine. A neighbor lives in exactly one cell, so probing several
+    * cells cannot duplicate candidates. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame,
-             centroids: Array[Array[Double]], k: Int): DataFrame = {
+             centroids: Array[Array[Double]], k: Int, nprobe: Int = 1): DataFrame = {
     val cb = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       cellOf(col("embedding"), centroids).as("cell"))
     val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      cellOf(col("embedding"), centroids).as("cell"))
+      explode(cellsOf(col("embedding"), centroids, nprobe)).as("cell"))
     val pairs = qb.join(cb, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", Relational.roundp(Similarity.cosine(col("q_emb"), col("n_emb")), 6))

@@ -28,4 +28,25 @@ class IvfSpec extends SparkSuite {
         s"IVF cos for $key disagrees with brute force")
     }
   }
+
+  test("nprobe > 1 probes the nearest cells in order and never loses recall") {
+    val centroids = Ivf.trainCentroids(emb, "embedding", nlist = 4)
+    val queries = emb.filter(col("vec_id") < 10)
+    // cellsOf(…, 1) head must equal cellOf
+    val agree = emb.select(
+        Ivf.cellOf(col("embedding"), centroids).as("one"),
+        element_at(Ivf.cellsOf(col("embedding"), centroids, 2), 1).as("firstOfTwo"))
+      .filter(col("one") =!= col("firstOfTwo")).count()
+    assert(agree == 0)
+
+    def hits(nprobe: Int): Set[(Long, Long)] =
+      Ivf.ivfKnn(emb, queries, centroids, k = 5, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.similarity.Similarity.bruteForceKnn(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = hits(1).intersect(brute).size
+    val r4 = hits(4).intersect(brute).size
+    assert(r4 >= r1)              // monotone recall in nprobe
+    assert(r4 == brute.size)      // nprobe = nlist probes everything → exact
+  }
 }
