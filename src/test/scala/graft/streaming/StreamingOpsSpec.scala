@@ -66,6 +66,52 @@ class StreamingOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("full wearable pipeline runs streaming end-to-end and matches the batch composite") {
+    // map(norm) → filter → stateful falling-edge per user → tumbling count:
+    // the flagship composite (WearableExample.hs:66-96) on the streaming
+    // surface. The subset is deduped to one event per (user_id, ts): the
+    // micro-batch fold orders by time only, while the batch formulation
+    // tiebreaks on event_id — unique timestamps make both orders identical.
+    val subset = eventsBatch
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    val subsetDir = Files.createTempDirectory("graft-wear").toString
+    subset.write.mode("overwrite").parquet(subsetDir)
+
+    val signal = spark.readStream.schema(subset.schema).parquet(subsetDir)
+      .filter(col("event_type") =!= "error")
+      .withColumn("norm", graft.operators.Relational.roundp(
+        sqrt(col("value") * col("value") + 1), 4))
+      .select(col("user_id"), col("ts"), col("norm"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .map { case (u, ts, v) => (u, Event(Some(ts), Some(v))) }
+    val edges = StreamingOps.filterAccByKey[Long, Double, Option[Double]](
+      signal, (_, v) => Some(v), None, (v, acc) => acc.exists(_ > 50.0) && v <= 50.0)
+    val steps = StreamingOps.tumblingAgg(
+      edges.map { case (_, e) => e.time.get }.toDF("ts"),
+      "ts", "1 hour", "10 minutes", Nil, Seq(count(lit(1)).as("n_steps")))
+    val q = StreamingOps.memorySink(steps, "wearable_stream", mode = "complete")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wearable_stream")
+      .select(col("window.start"), col("n_steps"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+
+    val sigB = subset.filter(col("event_type") =!= "error")
+      .withColumn("norm", graft.operators.Relational.roundp(
+        sqrt(col("value") * col("value") + 1), 4))
+    val edgesB = graft.operators.Relational.fallingEdge(
+      sigB, col("norm"), 50.0, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+    val expected = edgesB.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_steps"))
+      .select(col("window.start"), col("n_steps"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming filterAccByKey deduplicates consecutive values per key") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
