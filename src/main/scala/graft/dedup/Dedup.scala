@@ -19,13 +19,24 @@ object Dedup {
   // callers can release them: Verify/Bench call spark.catalog.clearCache()
   // per query, but a long-lived session embedding these pipelines should call
   // `unpersistAll()` after consuming the result (the caching contract).
-  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
-  private def track(df: DataFrame): DataFrame = synchronized { tracked += df; df.persist() }
+  // Tracked through WEAK references: once the caller drops the pipeline (or
+  // clearCache has already released the blocks), the registry does not pin
+  // the query plans, so a long-lived session that never calls unpersistAll
+  // does not accumulate them. Dead entries are pruned on every track().
+  private val tracked =
+    scala.collection.mutable.ListBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
+  private def track(df: DataFrame): DataFrame = synchronized {
+    tracked.filterInPlace(_.get != null)
+    tracked += new java.lang.ref.WeakReference(df)
+    df.persist()
+  }
 
-  /** Unpersist every intermediate DataFrame the dedup builders have cached.
-    * Call after the actions consuming a builder's result have run. */
+  /** Unpersist every intermediate DataFrame the dedup builders have cached
+    * and are still reachable. Call after the actions consuming a builder's
+    * result have run. */
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking)); tracked.clear()
+    tracked.foreach(r => Option(r.get).foreach(_.unpersist(blocking)))
+    tracked.clear()
   }
 
   /** Spread the corpus across the cluster before CPU-bound per-document work

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native Catalyst expression producing the DISTINCT word n-gram shingle
   * hashes of a token array as `array<bigint>` — the hot kernel of the
@@ -36,6 +37,12 @@ case class ShingleHash64(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash64"
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
   override def nullSafeEval(input: Any): Any =
     ShingleHash64.compute(input.asInstanceOf[ArrayData], n)
 
@@ -53,7 +60,8 @@ object ShingleHash64 {
 
   /** One pass per document; called from both interpreted eval and generated
     * code. Null tokens (not produced by our tokenizer, but defensively)
-    * hash as empty strings. */
+    * hash to the fixed sentinel `XXH64.hashLong(0, seed)` — distinct from
+    * the hash of any real token, including the empty string. */
   def compute(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)

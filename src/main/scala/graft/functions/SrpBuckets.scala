@@ -19,8 +19,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * each row costs `tables·planes·dims` fused multiply-adds.
   *
   * Plane signs use the same splitmix mix as
-  * [[graft.similarity.Similarity.planeSign]] — bucket ids are identical to
-  * the composed formulation, which the spec asserts.
+  * [[graft.similarity.Similarity.planeSign]] — for null-free, full-length
+  * (≥ dims elements) embeddings, bucket ids are identical to the composed
+  * formulation, which the spec asserts on real data. Degenerate inputs
+  * deliberately diverge: this kernel SKIPS null elements and projects over
+  * the common prefix of a short embedding, whereas the `zip_with`+
+  * `aggregate` formulation propagates a null element through the whole
+  * projection, forcing that plane's bit to 0 — silently degrading the
+  * hash table. A bucketing function should degrade per-element, not
+  * per-plane, so the kernel's semantics are kept and the identity claim
+  * is scoped to well-formed inputs.
   */
 case class SrpBuckets(child: Expression, dims: Int, planesPerTable: Int, tables: Int)
     extends UnaryExpression with Serializable {

@@ -133,7 +133,20 @@ object StreamingLowering {
   /** `chopTime ms` with the reference's first-event alignment
     * (FunctionalProcessing.hs:118-129): state = (current window start, open
     * window). A window closes — and period-spanning gaps emit EMPTY
-    * windows — when the first event at/after its end arrives. */
+    * windows — when the first event at/after its end arrives.
+    *
+    * Gap guard: the reference's lazy list materializes one empty window per
+    * elapsed period only as fast as the consumer demands them; a micro-batch
+    * must materialize them all at once, so a single corrupt far-future
+    * timestamp (or a tiny window over a long-idle stream) would emit an
+    * unbounded row burst and stall the batch. Gaps longer than
+    * [[MaxEmptyWindowsPerGap]] periods therefore close the open window,
+    * emit that many empties, and JUMP the window origin forward to the
+    * period containing the new event (`start + ((t-start)/ms)*ms` — still
+    * first-event-aligned). Normal gaps keep the faithful one-empty-per-period
+    * semantics. */
+  private[plans] val MaxEmptyWindowsPerGap = 10000L
+
   private def chopTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
       var (start, buf) =
@@ -143,6 +156,13 @@ object StreamingLowering {
       events.filter(_.isTimed).foreach { e =>
         val t = e.time.get.getTime
         if (start < 0) start = t
+        if (t >= start + ms && (t - start) / ms > MaxEmptyWindowsPerGap) {
+          out += windowEvent(buf)
+          buf = Nil
+          var emitted = 1L
+          while (emitted < MaxEmptyWindowsPerGap) { out += windowEvent(Nil); emitted += 1 }
+          start += ((t - start) / ms) * ms
+        }
         while (t >= start + ms) {
           out += windowEvent(buf)
           buf = Nil
@@ -215,7 +235,17 @@ object StreamingLowering {
   }
 
   /** Single-group stateful pass: micro-batch events sorted by event time,
-    * folded through `step`, state carried across batches. */
+    * folded through `step`, state carried across batches.
+    *
+    * Timestamp ties are broken by a content hash of the payload (`##` —
+    * Scala's structural hash, deterministic across JVM runs for the
+    * primitive/tuple/collection payloads the lowering carries), so the fold
+    * order — and hence e.g. which k-th left event the zip-join pairs with
+    * which k-th right — does not depend on shuffle arrival order within a
+    * batch. Equal-time events split ACROSS micro-batch boundaries still fold
+    * in batch order: that is inherent to incremental consumption (a source
+    * sequence number would not fix it either without a reorder buffer), and
+    * matches the reference's arrival-order contract for untimed streams. */
   private def statefulLower(ds: Dataset[Event[Any]])(
       step: (IndexedSeq[Event[Any]], Any) => (IndexedSeq[Event[Any]], Any)): Dataset[Event[Any]] =
     ds.map(e => (0, e))
@@ -223,7 +253,8 @@ object StreamingLowering {
       .flatMapGroupsWithState[Any, Event[Any]](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[(Int, Event[Any])], state: GroupState[Any]) =>
           val sorted = it.map(_._2).toIndexedSeq
-            .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+            .sortBy(e => (e.time.map(_.getTime).getOrElse(Long.MinValue),
+              e.value.map(_.##).getOrElse(0)))
           val (outEvs, acc) = step(sorted, state.getOption.orNull)
           state.update(acc)
           outEvs.iterator

@@ -65,6 +65,15 @@ class ShingleHash64Spec extends SparkSuite {
     assert(two(0) != two(1))
   }
 
+  test("non-array<string> children fail at analysis, not at runtime") {
+    val longs = Seq(Tuple1(Array(1L, 2L, 3L))).toDF("a")
+    val ex = intercept[Exception] {
+      longs.select(graft.functions.ShingleHash64(col("a"), 2)).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<string>") ||
+      ex.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("interpreted eval agrees with codegen path") {
     // force interpreted evaluation via a HOF context (lambdas interpret
     // their bodies), vs the projection path which goes through codegen

@@ -132,6 +132,42 @@ class StreamingLoweringSpec extends SparkSuite {
     assert(got.length == 60) // shorter side bounds the zip
   }
 
+  test("chopTime gap guard bounds empty-window bursts from corrupt far-future stamps") {
+    // 10ms windows; a third event 10^12 ms in the future would faithfully
+    // demand ~10^11 empty windows in ONE micro-batch — the guard emits
+    // MaxEmptyWindowsPerGap and jumps the (still first-event-aligned) origin.
+    val ms = 10L
+    val base = 1700000000000L
+    val rows = Seq((new java.sql.Timestamp(base), 1.0),
+      (new java.sql.Timestamp(base + 5), 2.0),
+      (new java.sql.Timestamp(base + 1000000000000L), 3.0))
+    val replayDir = Files.createTempDirectory("graft-gapguard").toString
+    rows.toDF("ts", "value").write.mode("overwrite").parquet(replayDir)
+    val src: Dataset[Event[Any]] = spark.readStream
+      .schema(rows.toDF("ts", "value").schema).parquet(replayDir)
+      .as[(java.sql.Timestamp, Double)]
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param(s"chopTime $ms",
+        (s: List[Event[Any]]) => graft.core.WindowMakers.chopTime[Any](ms)(s))), "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered
+      .map(e => (e.time.map(_.getTime).getOrElse(-1L),
+        e.value.get.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).sum))
+      .toDF("start_ms", "sum_v")
+      .writeStream.format("memory").queryName("slower_gap").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_gap").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == StreamingLowering.MaxEmptyWindowsPerGap)
+    // the one closed data window carries both early events; all others empty
+    assert(got.count(_._2 != 0.0) == 1)
+    assert(got.find(_._2 != 0.0).get._2 == 3.0)
+  }
+
   test("arbitrary window makers report an explicit unsupported-lowering error") {
     val g = StreamGraph.path(Seq(
       StreamVertex(0, OpSource(1), Nil, "Int", "Int", 1),
