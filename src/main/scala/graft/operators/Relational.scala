@@ -140,6 +140,50 @@ object Relational {
       .drop("__first_us", "__bucket")
   }
 
+  /** As-of join: attach to each left row the MOST RECENT right row with
+    * `right.ts <= left.ts` within the same key — the standard
+    * point-in-time enrichment (fills the "no as-of join as an engine
+    * primitive" gap SURVEY §2.6 notes for the reference, whose only joins
+    * are zip/windowed).
+    *
+    * Implemented join-free with the union trick: tag both sides, union,
+    * ONE hash exchange on the key, one in-partition sort by
+    * `(ts, side, rightOrder)` (right rows sort before left rows at equal
+    * timestamps, so "at-or-before" includes same-instant right events),
+    * then a running `last(right_payload, ignoreNulls)` window carries the
+    * latest right payload forward onto each left row. No theta join, no
+    * per-left-row probe: at 100 TB this is exactly one shuffle of
+    * |left| + |right| rows, skew-bounded by the key like any keyed window.
+    * Left rows with no prior right row carry nulls (left-outer
+    * semantics); filter the null payload for inner semantics.
+    *
+    * Both inputs must carry `key` and `ts` columns under those names;
+    * `rightCols` (the payload to attach) must not collide with left's
+    * columns. `rightOrder` optionally names a rightCols member used to
+    * break ties among right rows sharing (key, ts) — larger wins. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightCols: Seq[String], rightOrder: Option[String] = None): DataFrame = {
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(rightCols.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val l = left.select(col(key).as("__k"), col(ts).as("__ts"), lit(1).as("__side"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val r = right.select(col(key).as("__k"), col(ts).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // Tiebreak column is null on the left side, but it sorts AFTER __side,
+    // which already strictly orders right-before-left within a timestamp —
+    // it only disambiguates among right rows.
+    val order = Seq(col("__ts"), col("__side")) ++
+      rightOrder.map(c => col(s"__r.$c")).toSeq
+    val w = Window.partitionBy(col("__k")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: rightCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** The reference's exact `median`: the UPPER middle element of the sorted
     * list (index ⌊n/2⌋, zero-based) — NOT an interpolated percentile
     * (`examples/taxi/Taxi.hs:272-274`). Aggregate expression usable in any

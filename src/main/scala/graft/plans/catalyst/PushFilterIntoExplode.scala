@@ -1,6 +1,7 @@
 package graft.plans.catalyst
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -37,8 +38,48 @@ object PushFilterIntoExplode extends Rule[LogicalPlan] {
 }
 
 /** Register via `spark.sql.extensions=graft.plans.catalyst.GraftExtensions`
-  * (or at runtime through `spark.experimental.extraOptimizations`). */
+  * (or at runtime through `spark.experimental.extraOptimizations`).
+  *
+  * Besides the optimizer rule, registers the library's native codegen'd
+  * kernels as SQL functions, so `spark.sql` users get the same fused
+  * loops the Column API exposes:
+  * `cosine_similarity(array<float>, array<float>)`,
+  * `shingle_hash64(array<string>, n)` (n a literal int),
+  * `srp_buckets(array<float>, dims, planesPerTable, tables)` (literal
+  * ints). Static parameters must be literals because the kernels
+  * materialize per-operator state (sign matrices) at plan time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import GraftExtensions.litInt
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushFilterIntoExplode)
+    e.injectFunction((FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(a, b) takes 2 arguments")
+        graft.functions.CosineSimilarity(args(0), args(1))
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hash64"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHash64].getName, "shingle_hash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hash64(tokens, n) takes 2 arguments")
+        graft.functions.ShingleHash64(args(0), litInt(args(1), "n"))
+      }))
+    e.injectFunction((FunctionIdentifier("srp_buckets"),
+      new ExpressionInfo(classOf[graft.functions.SrpBuckets].getName, "srp_buckets"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "srp_buckets(emb, dims, planesPerTable, tables) takes 4 arguments")
+        graft.functions.SrpBuckets(args(0),
+          litInt(args(1), "dims"), litInt(args(2), "planesPerTable"), litInt(args(3), "tables"))
+      }))
+  }
+}
+
+object GraftExtensions {
+  private def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a literal integer, got $other")
+  }
 }

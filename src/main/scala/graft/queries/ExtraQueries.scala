@@ -20,6 +20,14 @@ object ExtraQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), roundp(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Full cube over (returnflag, linestatus): all four grouping sets in
+    // one pass (Spark expands to a single Expand + aggregate — one
+    // shuffle, map-side combined, not four scans).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("l_quantity")), 2).as("sum_qty"))),
+
     // Set operations: customers appearing in both the open-order and
     // large-order populations (INTERSECT), and those with open orders but
     // no large ones (EXCEPT).
@@ -46,6 +54,11 @@ object ExtraQueries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_set_ops" ->
       """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Relational
 import graft.operators.Relational.roundp
 
 /** Relational/analytic coverage over the TPC-H-ish tables: scan+aggregate,
@@ -87,6 +88,26 @@ object RelationalQueries {
         .orderBy(col("totalprice").desc, col("o_orderkey"))
         .limit(20)),
 
+    // As-of join as an engine primitive (absent from the reference,
+    // SURVEY §2.6): each purchase event enriched with the user's most
+    // recent at-or-before click. Join-free plan — one union + one keyed
+    // window pass (see Relational.asofJoin); inner semantics via the
+    // null-payload filter.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      Relational.asofJoin(purchases, clicks, key = "user_id", ts = "ts",
+          rightCols = Seq("click_id", "click_ts"), rightOrder = Some("click_id"))
+        .filter(col("click_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("click_id"), col("click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    }),
+
     // Correlated-style aggregate filter: orders above their customer's
     // average order value (join against a pre-aggregated per-customer avg —
     // the decorrelated plan Catalyst would aim for).
@@ -144,6 +165,18 @@ object RelationalQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100 AS totalprice
         |FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent formulation: it picks
+    // the single greatest c.ts <= p.ts per left row — same contract the
+    // union-trick window computes. (user_id, ts) is unique in the data,
+    // so the rightOrder tiebreak never fires and both engines agree.
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       c.event_id AS click_id, c.ts AS click_ts,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "q_above_avg" ->
       """SELECT o_orderkey, o_custkey,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.operators.Relational.roundp
 import graft.text.TextAnalysis
 
 /** Training-data text pipeline over `documents` (doc_id, text, lang, source,
@@ -52,7 +53,29 @@ object TextQueries {
 
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
-        n = 3, maxDf = 10, minJaccard = 0.05))
+        n = 3, maxDf = 10, minJaccard = 0.05)),
+
+    // TF-IDF top-3 terms per document. Scale shape: term frequencies are
+    // ONE map-side-combined aggregate over the exploded tokens; document
+    // frequencies derive from the tf rows (count per term — vocabulary-
+    // sized, broadcast back); the doc count is a 1-row broadcast. The only
+    // per-corpus shuffles move (doc_id, term, count) rows.
+    "q_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf_raw").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf_raw", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("rank"),
+          roundp(col("tfidf_raw"), 4).as("tfidf"))
+    })
   )
 
   // DuckDB-side token expression shared by the oracles below.
@@ -144,6 +167,27 @@ object TextQueries {
          |FROM pairs
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05""".stripMargin
+         |WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf_raw
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf_raw,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf_raw DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, term, rank,
+         |       floor(tfidf_raw * 10000 + 0.5) / 10000 AS tfidf
+         |FROM ranked WHERE rank <= 3""".stripMargin
   )
 }

@@ -10,9 +10,12 @@ trait SparkSuite extends AnyFunSuite {
 
 object SparkSuite {
   lazy val session: SparkSession = {
+    // Same extensions as the Verify/Bench sessions, so specs exercise the
+    // exact runtime surface (optimizer rule + SQL function registry).
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.extensions", "graft.plans.catalyst.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
