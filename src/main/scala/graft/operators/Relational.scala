@@ -184,6 +184,33 @@ object Relational {
       .select(col("__l.*") +: rightCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Banded range join: all (left, right) pairs sharing `key` whose
+    * timestamps lie within `toleranceMs` of each other. A naive plan
+    * equi-joins on the key alone and filters — per hot key that
+    * materializes the full |L_k|×|R_k| cartesian before the time filter
+    * prunes it, which dies on a 100 TB skewed key. This formulation bands
+    * time into tolerance-sized buckets: the left side keeps its one band,
+    * the right side replicates into its band ±1 (3×|R| rows), and the join
+    * becomes a plain equi-join on (key, band) — each within-tolerance pair
+    * matches EXACTLY one replica (bands are disjoint), so no dedup pass is
+    * needed, and per-shuffle-partition work is bounded by temporal
+    * neighborhood density instead of key cardinality squared.
+    *
+    * Both inputs must carry `key` and `ts` under those names; `rightCols`
+    * is the right payload to attach (no collisions with left's columns —
+    * alias on the way in). The refine filter keeps |Δt| ≤ tolerance. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                toleranceMs: Long, rightCols: Seq[String]): DataFrame = {
+    val tolUs = toleranceMs * 1000
+    val l = left.withColumn("__band", floor(unix_micros(col(ts)) / tolUs))
+    val rBand = floor(unix_micros(col("__rts")) / tolUs)
+    val r = right.select(col(key).as("__rk") +: col(ts).as("__rts") +: rightCols.map(col): _*)
+      .withColumn("__band", explode(array(rBand - 1, rBand, rBand + 1)))
+    l.join(r, col(key) === col("__rk") && l("__band") === r("__band"))
+      .filter(abs(unix_micros(col(ts)) - unix_micros(col("__rts"))) <= tolUs)
+      .drop("__band", "__rk", "__rts")
+  }
+
   /** The reference's exact `median`: the UPPER middle element of the sorted
     * list (index ⌊n/2⌋, zero-based) — NOT an interpolated percentile
     * (`examples/taxi/Taxi.hs:272-274`). Aggregate expression usable in any

@@ -108,6 +108,23 @@ object RelationalQueries {
           (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     }),
 
+    // Range (interval) join as an engine primitive: error events paired
+    // with same-user view events within ±3 hours. Banded plan (see
+    // Relational.rangeJoin): equi-join on (user, time-band) — never the
+    // per-key cartesian a naive key-join + time filter materializes.
+    "q_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      Relational.rangeJoin(errors, views, key = "user_id", ts = "ts",
+          toleranceMs = 3L * 3600 * 1000, rightCols = Seq("view_id", "view_ts"))
+        .select(col("error_id"), col("view_id"), col("user_id"), col("ts"),
+          (unix_micros(col("view_ts")) - unix_micros(col("ts"))).as("delta_us"))
+    }),
+
     // Correlated-style aggregate filter: orders above their customer's
     // average order value (join against a pre-aggregated per-customer avg —
     // the decorrelated plan Catalyst would aim for).
@@ -177,6 +194,17 @@ object RelationalQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // the oracle is the naive inequality join — fine at sf0.01, and an
+    // independent formulation of the banded plan's semantics
+    "q_range_join" ->
+      """SELECT e.event_id AS error_id, v.event_id AS view_id,
+        |       e.user_id, e.ts,
+        |       epoch_us(v.ts) - epoch_us(e.ts) AS delta_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON e.user_id = v.user_id
+        | AND abs(epoch_us(e.ts) - epoch_us(v.ts)) <= 10800000000""".stripMargin,
 
     "q_above_avg" ->
       """SELECT o_orderkey, o_custkey,
