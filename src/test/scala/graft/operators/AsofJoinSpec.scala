@@ -47,6 +47,30 @@ class AsofJoinSpec extends SparkSuite {
     assert(joined("l_e") == 401L)
   }
 
+  test("randomized agreement with the naive per-left-row argmax formulation") {
+    val rnd = new scala.util.Random(7)
+    val ls = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, ts(rnd.nextInt(500).toLong), i.toLong))
+      .toDF("user_id", "ts", "lid")
+    val rs = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, ts(rnd.nextInt(500).toLong), i.toLong))
+      .toDF("user_id", "ts", "rid")
+    val viaAsof = Relational.asofJoin(ls, rs, "user_id", "ts",
+        rightCols = Seq("rid"), rightOrder = Some("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // naive: theta-join all at-or-before rights, keep the (ts, rid)-max one
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("rts").desc, col("rid").desc)
+    val naive = ls.join(
+        rs.select(col("user_id").as("ruk"), col("ts").as("rts"), col("rid")),
+        col("user_id") === col("ruk") && col("rts") <= col("ts"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matched = viaAsof.filter(_._2 >= 0)
+    assert(matched == naive)
+    assert(matched.nonEmpty && matched.size < viaAsof.size) // both cases exercised
+  }
+
   test("plan is join-free: one keyed window over the union, no join operator") {
     val plan = Relational.asofJoin(left, right, "user_id", "ts", Seq("rid"))
       .queryExecution.executedPlan.toString
