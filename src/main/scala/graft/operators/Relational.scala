@@ -163,6 +163,9 @@ object Relational {
     * break ties among right rows sharing (key, ts) — larger wins. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightCols: Seq[String], rightOrder: Option[String] = None): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
+    require(rightOrder.forall(rightCols.contains),
+      "rightOrder must name a rightCols member")
     val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val rStruct = struct(rightCols.map(col): _*)
     val lType = left.select(lStruct).schema.head.dataType
@@ -201,6 +204,7 @@ object Relational {
     * alias on the way in). The refine filter keeps |Δt| ≤ tolerance. */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                 toleranceMs: Long, rightCols: Seq[String]): DataFrame = {
+    require(toleranceMs > 0, "rangeJoin tolerance must be positive")
     val tolUs = toleranceMs * 1000
     val l = left.withColumn("__band", floor(unix_micros(col(ts)) / tolUs))
     val rBand = floor(unix_micros(col("__rts")) / tolUs)

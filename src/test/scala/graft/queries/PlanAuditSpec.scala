@@ -1,0 +1,43 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Whole-surface plan guardrail: no driver query may silently plan a
+  * cartesian/nested-loop join — the classic way a correct-at-test-scale
+  * query dies at 100 TB. Queries whose DESIGN is a deliberate small-side
+  * cross join are whitelisted with the reason inline, so a regression in
+  * any other query (a lost equi-key, a broadcast hint dropped, a refactor
+  * that turns a banded join back into a theta join) fails CI instead of
+  * surfacing in a cluster bill.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // deliberate nested-loop/cross shapes, all with a 1-row or
+  // query-set-sized (broadcastable by construction) build side:
+  private val crossJoinByDesign = Set(
+    "q_tfidf",          // 1-row corpus-count broadcast onto tf rows
+    "q_knn_cosine",     // brute-force ANN baseline: broadcast query set x corpus scan
+    "q_embedding_dedup" // exact cosine near-dup: threshold theta-join (the
+                        //   documented baseline; the LSH variant is the scale path)
+  )
+
+  test("no driver query plans a cartesian or nested-loop join unawares") {
+    val crossPlanned = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      spark.catalog.clearCache()
+      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
+        Some(name)
+      else None
+    }.toSet
+    val offenders = crossPlanned -- crossJoinByDesign
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/nested-loop plans in: ${offenders.mkString(", ")}")
+    // the whitelist must stay honest: every entry actually cross-joins
+    val stale = crossJoinByDesign -- crossPlanned
+    assert(stale.isEmpty, s"whitelist entries no longer cross-join: ${stale.mkString(", ")}")
+  }
+}
