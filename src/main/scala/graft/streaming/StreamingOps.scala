@@ -64,6 +64,25 @@ object StreamingOps {
       .groupBy(window(col(tsName), duration, slide) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Session event-time window aggregate: per-key sessions closed by a
+    * `gap` of inactivity (beyond the reference, whose window makers are
+    * count/fixed-duration only — the streaming twin of the batch
+    * `q_session_window` gaps-and-islands formulation). State per open
+    * session is the partial aggregate; the watermark closes and emits
+    * sessions whose gap has provably passed. */
+  def sessionAgg(df: DataFrame, tsName: String, gap: String, watermark: String,
+                 keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsName, watermark)
+      .groupBy(session_window(col(tsName), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Stream-static enrichment: join each streaming row to a static
+    * dimension snapshot on `key`. The static side is explicitly broadcast —
+    * per micro-batch this is a map-side hash probe with NO shuffle of the
+    * stream, the only sane plan when the stream is the 100 TB side. */
+  def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming `streamScan` per key (reference
     * `FunctionalProcessing.hs:188-191`): running fold with state in
     * `flatMapGroupsWithState`; events within each micro-batch are folded in

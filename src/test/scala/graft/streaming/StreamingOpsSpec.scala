@@ -112,6 +112,47 @@ class StreamingOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming session windows match the batch session_window aggregate") {
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(replayDir)
+    val agg = StreamingOps.sessionAgg(stream, "ts", "10 minutes", "10 minutes",
+      Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    val q = StreamingOps.memorySink(agg, "session_test", mode = "complete")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("session_test")
+      .select(col("session_window.start").as("ws"), col("user_id"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = eventsBatch
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start"), col("user_id"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("stream-static enrichment broadcasts the dimension, never shuffles the stream") {
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(replayDir)
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5))
+      .toDF("event_type", "type_code")
+    val enriched = StreamingOps.staticEnrich(stream, dim, "event_type")
+      .groupBy(col("type_code")).agg(count(lit(1)).as("n"))
+    val q = StreamingOps.memorySink(enriched, "enrich_test", mode = "complete")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enrich_test")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val expected = eventsBatch.join(dim, Seq("event_type"))
+      .groupBy(col("type_code")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // batch twin of the same helper: broadcast hash join, no stream-side exchange
+    val batchPlan = StreamingOps.staticEnrich(eventsBatch, dim, "event_type")
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"), batchPlan)
+    assert(!batchPlan.contains("SortMergeJoin"))
+  }
+
   test("streaming filterAccByKey deduplicates consecutive values per key") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
