@@ -200,4 +200,49 @@ object Dedup {
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over a candidate-pair edge list — the stage that
+    * turns near-duplicate PAIRS into duplicate GROUPS (one keeper per
+    * group = the component's minimum id). Iterative min-label propagation:
+    * each round every vertex takes the min of its own label and its
+    * neighbors' labels, until a fixpoint; rounds needed = graph diameter,
+    * and near-dup components are dense (diameter ≈ 2-3), so this
+    * converges in a handful of rounds even on a corpus-scale pair set.
+    * Each round is one shuffled join + one min-aggregate — the standard
+    * distributed-CC shape. `localCheckpoint` truncates the growing
+    * iterative lineage so the plan doesn't deepen with every round
+    * (checkpoint-per-iteration is the difference between 20 rounds and an
+    * optimizer meltdown at scale).
+    *
+    * Output: (id, comp) for every vertex appearing in `pairs`, comp = min
+    * id of its component. Singletons (docs with no candidate pair) aren't
+    * rows here — a left join from the corpus defaults them to their own
+    * id. */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(comp.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+      val next = comp.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev"))
+        .isEmpty
+      comp = next
+      i += 1
+    }
+    comp
+  }
 }

@@ -55,6 +55,25 @@ object TextQueries {
       Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
         n = 3, maxDf = 10, minJaccard = 0.05)),
 
+    // Near-dup GROUPS from candidate pairs: the dedup pipeline's final
+    // stage (pairs → connected components → one keeper per group).
+    // Oracle = transitive closure by recursive CTE over the identical
+    // pair set.
+    "q_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), col("doc_id"), col("text"),
+        n = 3, maxDf = 10, minJaccard = 0.05)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }),
+
+    // Deterministic train/val/test split by content-addressed hash
+    // (md5 of the id — reproducible across engines/runs, no RNG):
+    // first hex char 0-b → train (75%), c-d → val, e-f → test.
+    "q_split" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+          .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "val")
+          .otherwise("test").as("split"))),
+
     // TF-IDF top-3 terms per document. Scale shape: term frequencies are
     // ONE map-side-combined aggregate over the exploded tokens; document
     // frequencies derive from the tf rows (count per term — vocabulary-
@@ -168,6 +187,46 @@ object TextQueries {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05""".stripMargin,
+
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents),
+         |shingled AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN len(t) < 3 THEN []
+         |                  ELSE list_transform(range(1, len(t) - 1),
+         |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+         |    FROM toks)),
+         |rare AS (
+         |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
+         |pruned AS (
+         |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+         |cand AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |    FROM pruned a JOIN pruned b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+         |SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH terms AS (

@@ -64,4 +64,28 @@ class DedupSpec extends SparkSuite {
     assert(fps(1L) == fps(4L))
     assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
   }
+
+  test("connected components: chain, triangle, and isolated pair resolve to min ids") {
+    import spark.implicits._
+    // component {1,2,3,4} as a path (diameter 3 — exercises iteration),
+    // component {10,11,12} as a triangle, component {20,21} as one edge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+    assert(comp.size == 9)
+  }
+
+  test("connected components: long path needs multiple propagation rounds") {
+    import spark.implicits._
+    val n = 30 // path 0-1-2-...-30, diameter 30
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.forall(_ == 0L))
+    assert(comp.size == n + 1)
+  }
 }
