@@ -203,26 +203,73 @@ object Dedup {
 
   /** Connected components over a candidate-pair edge list — the stage that
     * turns near-duplicate PAIRS into duplicate GROUPS (one keeper per
-    * group = the component's minimum id). Iterative min-label propagation:
-    * each round every vertex takes the min of its own label and its
-    * neighbors' labels, until a fixpoint; rounds needed = graph diameter,
-    * and near-dup components are dense (diameter ≈ 2-3), so this
-    * converges in a handful of rounds even on a corpus-scale pair set.
-    * Each round is one shuffled join + one min-aggregate — the standard
-    * distributed-CC shape. `localCheckpoint` truncates the growing
-    * iterative lineage so the plan doesn't deepen with every round
-    * (checkpoint-per-iteration is the difference between 20 rounds and an
-    * optimizer meltdown at scale).
+    * group = the component's minimum id).
     *
-    * Output: (id, comp) for every vertex appearing in `pairs`, comp = min
-    * id of its component. Singletons (docs with no candidate pair) aren't
-    * rows here — a left join from the corpus defaults them to their own
-    * id. */
+    * Size-gated hybrid, which is how production dedup pipelines actually
+    * run this stage: the candidate-pair set is orders of magnitude smaller
+    * than the corpus (it IS the point of LSH/df-pruning), so when it fits
+    * comfortably on the driver (≤ `driverMaxPairs` long pairs — the
+    * default 2M is ~32 MB), union-find finishes in milliseconds where an
+    * iterative distributed loop pays seconds of per-round scheduling for
+    * the same answer. Larger pair sets (or non-long ids) take the
+    * distributed path: iterative min-label propagation — each round one
+    * shuffled join + min-aggregate, a `localCheckpoint` to keep the
+    * iterative lineage flat, and a ride-along change flag for
+    * convergence; rounds = graph diameter. (Per-round pointer doubling
+    * was explored and measured counterproductive here: the label lookup
+    * doubles the round's join tree, and deeper fused doubling stalls the
+    * driver in Catalyst size-estimate BigInteger arithmetic.)
+    *
+    * Both paths produce identical output — (id, comp) for every vertex
+    * appearing in `pairs`, comp = min id of its component — and the spec
+    * asserts their agreement. Singletons (docs with no candidate pair)
+    * aren't rows here; a left join from the corpus defaults them to their
+    * own id. */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
-                          maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
+                          maxIter: Int = 25, driverMaxPairs: Long = 2000000L): DataFrame = {
+    // materialize the pair list ONCE before mirroring it: a union's
+    // branches evaluate independently, so without this the (possibly
+    // expensive) upstream candidate-pair pipeline would run twice
+    val p = pairs.select(col(a).as("src"), col(b).as("dst")).localCheckpoint(true)
+    val isLongIds = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (isLongIds && p.count() <= driverMaxPairs) driverCc(p)
+    else distributedCc(p, maxIter)
+  }
+
+  /** Union-find (union by min root + path compression) over a collected
+    * pair list; roots are component minima by construction. */
+  private def driverCc(p: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    val it = p.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      val (x, y) = (row.getLong(0), row.getLong(1))
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry) }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    val keys = new java.util.HashSet[Long]()
+    val pit = p.select(col("src")).union(p.select(col("dst").as("src"))).distinct().toLocalIterator()
+    while (pit.hasNext) { keys.add(pit.next().getLong(0)) }
+    keys.forEach { k => out += ((k, find(k))) }
+    val spark = p.sparkSession
+    import spark.implicits._
+    out.toSeq.toDF("id", "comp")
+  }
+
+  /** Iterative distributed min-label propagation; see the public doc. */
+  private def distributedCc(p: DataFrame, maxIter: Int): DataFrame = {
+    // no distinct on edges: duplicate edges are harmless under the min
+    // aggregate, and the input pair set is already unique per (a, b)
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -233,14 +280,15 @@ object Dedup {
       val nbrMin = edges
         .join(comp.select(col("id").as("dst"), col("comp").as("dcomp")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dcomp")).as("ncomp"))
+      // convergence rides along as a flag column, so checking it is a scan
+      // of the (already materialized) checkpoint — no extra join per round
       val next = comp.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("comp")) < col("comp")).as("__changed"))
         .localCheckpoint(true)
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      comp = next
+      converged = next.filter(col("__changed")).isEmpty
+      comp = next.drop("__changed")
       i += 1
     }
     comp

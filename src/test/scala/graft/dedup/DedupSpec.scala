@@ -83,9 +83,28 @@ class DedupSpec extends SparkSuite {
     import spark.implicits._
     val n = 30 // path 0-1-2-...-30, diameter 30
     val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
-    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 40)
+    // driverMaxPairs = 0 forces the distributed iterative path
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        maxIter = 40, driverMaxPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.values.forall(_ == 0L))
     assert(comp.size == n + 1)
+  }
+
+  test("driver union-find and distributed propagation agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.tabulate(200)(_ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (x, y) => x != y }
+      .map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .distinct.toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDistributed = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverMaxPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaDistributed)
+    assert(viaDriver.nonEmpty)
   }
 }
