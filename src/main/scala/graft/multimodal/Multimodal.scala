@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * (`mapPartitions` — the Scala analog of `mapInPandas`: one iterator per
   * partition, amortized per-batch setup for a decoder library).
   *
-  * The actual media decoding is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic fake metadata from the
-  * raw bytes. The Spark-side plumbing — binary schema, partitioning, batch
-  * iterator shape, typed output — is real and tested; swapping the stub for
-  * a JNI/ffmpeg/ImageIO decoder changes only the function body.
+  * Decoders are pluggable per format: [[Multimodal.NetpbmDecoder]] REALLY
+  * decodes binary netpbm images (PGM/PPM — header parse, dimension
+  * validation, brightness-histogram features) with zero external
+  * libraries; every other format is STUBBED (`decodeStub` derives
+  * deterministic fake metadata — no image/audio codecs in this
+  * environment). The Spark-side plumbing — binary schema, partitioning,
+  * batch iterator shape, typed output — is identical for both; swapping
+  * the stub for a JNI/ffmpeg/ImageIO decoder changes only the function
+  * body.
   */
 object Multimodal {
 
@@ -62,6 +66,86 @@ object Multimodal {
           d += 1
         }
         out
+      }
+    }
+  }
+
+  /** REAL decoder for binary netpbm images (PGM `P5` grayscale / PPM `P6`
+    * RGB — the one raster format decodable with zero external libraries):
+    * parses the header (magic, whitespace/`#`-comment-tolerant width,
+    * height, maxval), validates the pixel payload length, and exposes
+    *  - metadata: true (width, height) + pixel-byte sum as checksum;
+    *  - features: an L1-normalized `dim`-bucket brightness histogram over
+    *    the pixels (channels averaged for PPM) — a genuine, deterministic
+    *    image feature suitable for the ANN pipelines.
+    * Formats beyond netpbm still need an external codec; this decoder
+    * throws on other magics, demonstrating the error path the pluggable
+    * surface carries. */
+  object NetpbmDecoder extends (() => MediaDecoder) with Serializable {
+    def apply(): MediaDecoder = new MediaDecoder {
+      def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+        val h = Header.parse(bytes)
+        var s = 0L
+        var i = h.pixelOffset
+        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        MediaMeta(docId, bytes.length, h.width, h.height, s)
+      }
+      def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+        val h = Header.parse(bytes)
+        val hist = new Array[Float](dim)
+        val channels = if (h.color) 3 else 1
+        var i = h.pixelOffset
+        var n = 0
+        while (i + channels <= bytes.length) {
+          var lum = 0
+          var c = 0
+          while (c < channels) { lum += bytes(i + c) & 0xff; c += 1 }
+          lum /= channels
+          hist(math.min(dim - 1, lum * dim / (h.maxval + 1))) += 1f
+          n += 1
+          i += channels
+        }
+        if (n > 0) { var d = 0; while (d < dim) { hist(d) /= n; d += 1 } }
+        hist
+      }
+    }
+
+    private case class Header(color: Boolean, width: Int, height: Int,
+                              maxval: Int, pixelOffset: Int)
+
+    private object Header {
+      /** netpbm header: magic, then 3 ints separated by whitespace, with
+        * `#`-to-end-of-line comments allowed; a single whitespace byte
+        * precedes the raster. */
+      def parse(bytes: Array[Byte]): Header = {
+        require(bytes.length >= 2, "truncated netpbm header")
+        val magic = new String(bytes, 0, 2, "US-ASCII")
+        require(magic == "P5" || magic == "P6", s"unsupported magic '$magic' (netpbm P5/P6 only)")
+        var pos = 2
+        def nextInt(): Int = {
+          // skip whitespace and comments
+          var inComment = false
+          while (pos < bytes.length &&
+            (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+            if (bytes(pos) == '#') inComment = true
+            if (bytes(pos) == '\n') inComment = false
+            pos += 1
+          }
+          var v = 0
+          var any = false
+          while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+            v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+          }
+          require(any, "malformed netpbm header")
+          v
+        }
+        val (w, h, mv) = (nextInt(), nextInt(), nextInt())
+        require(w > 0 && h > 0 && mv > 0 && mv < 65536, "invalid netpbm dimensions")
+        pos += 1 // the single whitespace byte before the raster
+        val channels = if (magic == "P6") 3 else 1
+        require(bytes.length - pos >= w.toLong * h * channels,
+          s"truncated raster: need ${w.toLong * h * channels}, have ${bytes.length - pos}")
+        Header(magic == "P6", w, h, mv, pos)
       }
     }
   }

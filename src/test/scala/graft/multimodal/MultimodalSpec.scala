@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.SparkSuite
+
+/** The netpbm decoder really decodes: constructed PGM/PPM binaries go
+  * through the same partition-batched plumbing as the stub and come out
+  * with true dimensions and meaningful histogram features. */
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Binary PGM (P5): 4x2, maxval 255, pixels 0,0,0,0,255,255,255,255. */
+  private def pgm: Array[Byte] =
+    ("P5\n# a comment\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0, -1, -1, -1, -1))
+
+  /** Binary PPM (P6): 2x1, maxval 255, one black and one white RGB pixel. */
+  private def ppm: Array[Byte] =
+    ("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, -1, -1, -1))
+
+  test("PGM decode through the partition-batched plumbing yields true dimensions") {
+    val df = Seq((1L, pgm), (2L, ppm)).toDF("doc_id", "blob")
+    val metas = Multimodal.extractMeta(spark, df, Multimodal.NetpbmDecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).width == 4 && metas(1L).height == 2)
+    assert(metas(1L).checksum == 4L * 255) // four white pixels
+    assert(metas(2L).width == 2 && metas(2L).height == 1)
+    assert(metas(2L).checksum == 3L * 255) // one white RGB pixel
+  }
+
+  test("brightness-histogram features: half black half white, L1-normalized") {
+    val df = Seq((1L, pgm)).toDF("doc_id", "blob")
+    val feats = Multimodal.extractFeatures(spark, df, dim = 4, Multimodal.NetpbmDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val h = feats(1L)
+    assert(h.length == 4)
+    assert(math.abs(h.sum - 1.0) < 1e-6)
+    assert(h.head == 0.5f && h.last == 0.5f) // darkest + brightest buckets
+    assert(h(1) == 0f && h(2) == 0f)
+  }
+
+  test("non-netpbm bytes fail with a directed error, truncated rasters too") {
+    val d = Multimodal.NetpbmDecoder()
+    val bad = intercept[IllegalArgumentException] {
+      d.decode(1L, "JFIF....".getBytes("US-ASCII"))
+    }
+    assert(bad.getMessage.contains("netpbm"))
+    val trunc = intercept[IllegalArgumentException] {
+      d.decode(1L, "P5\n4 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 0))
+    }
+    assert(trunc.getMessage.contains("truncated"))
+  }
+}
