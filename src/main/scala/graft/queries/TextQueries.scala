@@ -74,6 +74,22 @@ object TextQueries {
           .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "val")
           .otherwise("test").as("split"))),
 
+    // REAL image decode in the driver contract: wrap each (ASCII) document
+    // into a valid binary PGM (32-wide, space-padded raster), then run the
+    // actual netpbm decoder through the partition-batched multimodal
+    // plumbing. The oracle recomputes the decoded dimensions and byte
+    // count from the text length alone — an independent check that the
+    // decoder parsed the header and raster it was given.
+    "q_image_decode" -> ((s, dir) => {
+      val h = greatest(ceil(length(col("text")).cast("double") / 32).cast("int"), lit(1))
+      val blob = encode(concat(lit("P5\n32 "), h.cast("string"), lit("\n255\n"),
+        rpad(col("text"), h * 32, lit(" "))), "UTF-8")
+      graft.multimodal.Multimodal.extractMeta(s,
+          docs(s, dir).select(col("doc_id"), blob.as("blob")),
+          graft.multimodal.Multimodal.NetpbmDecoder)
+        .toDF().select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+    }),
+
     // TF-IDF top-3 terms per document. Scale shape: term frequencies are
     // ONE map-side-combined aggregate over the exploded tokens; document
     // frequencies derive from the tf rows (count per term — vocabulary-
@@ -227,6 +243,15 @@ object TextQueries {
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    // header is 'P5\n32 ' (6) + digits(h) + '\n255\n' (5); raster is 32*h
+    "q_image_decode" ->
+      """SELECT doc_id,
+        |       11 + length(CAST(h AS VARCHAR)) + 32 * h AS n_bytes,
+        |       32 AS width, h AS height
+        |FROM (SELECT doc_id,
+        |             greatest(CAST(ceil(length(text) / 32.0) AS INT), 1) AS h
+        |      FROM documents)""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH terms AS (

@@ -48,6 +48,24 @@ class RangeJoinSpec extends SparkSuite {
     assert(banded.filter(_._1 == "m100").map(_._2).toSet == Set("s110"))
   }
 
+  test("randomized agreement with the naive theta join") {
+    val rnd = new scala.util.Random(13)
+    val ls = Seq.tabulate(250)(i => (rnd.nextInt(6).toLong, ts(rnd.nextInt(400).toLong), i.toLong))
+      .toDF("user_id", "ts", "lid")
+    val rs = Seq.tabulate(250)(i => (rnd.nextInt(6).toLong, ts(rnd.nextInt(400).toLong), i.toLong))
+      .toDF("user_id", "ts", "rid")
+    val banded = Relational.rangeJoin(ls,
+        rs.select(col("user_id"), col("ts"), col("rid"), col("ts").as("rts")),
+        "user_id", "ts", tolMs, rightCols = Seq("rid", "rts"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = ls.as("l").join(rs.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          abs(unix_micros(col("l.ts")) - unix_micros(col("r.ts"))) <= tolMs * 1000)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(banded == naive)
+    assert(banded.nonEmpty && banded.distinct == banded)
+  }
+
   test("plans as an equi-join on (key, band), not a nested loop") {
     val plan = Relational.rangeJoin(left, rightSel, "user_id", "ts", tolMs,
       rightCols = Seq("rtag", "rts")).queryExecution.executedPlan.toString
