@@ -74,6 +74,40 @@ object TextQueries {
           .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "val")
           .otherwise("test").as("split"))),
 
+    // Sequence packing for training: concatenate documents in a stable
+    // order and cut at a token budget (contiguous greedy packing — the
+    // streaming form used when assembling fixed-length training
+    // sequences). Partitioned by `source` so the running sum is a keyed
+    // window (one hash exchange), never a global single-partition sort.
+    // bin = exclusive-prefix-sum div budget: a doc goes in the bin its
+    // first token lands in.
+    "q_pack" -> ((s, dir) => {
+      val budget = 2000
+      val toks = TextAnalysis.tokenCount(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), toks.as("n_tokens"))
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+    }),
+
+    // Internal repetition score: fraction of a document's word 3-grams
+    // that are repeats of an earlier 3-gram in the same document — the
+    // standard boilerplate/spam signal. Pure per-row expression, fused
+    // into the scan.
+    "q_repetition" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val total = greatest(size(toks) - 2, lit(0))
+      val distinctN = size(Dedup.wordNgrams(col("text"), 3))
+      docs(s, dir).select(col("doc_id"),
+        total.as("n_ngrams"),
+        when(total === 0, lit(0.0))
+          .otherwise(roundp(lit(1.0) - distinctN.cast("double") / total, 4))
+          .as("repetition"))
+    }),
+
     // REAL image decode in the driver contract: wrap each (ASCII) document
     // into a valid binary PGM (32-wide, space-padded raster), then run the
     // actual netpbm decoder through the partition-batched multimodal
@@ -243,6 +277,29 @@ object TextQueries {
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "q_pack" ->
+      s"""SELECT doc_id, source, CAST(len($Toks) AS INT) AS n_tokens,
+         |       CAST(COALESCE(sum(CAST(len($Toks) AS INT)) OVER (
+         |              PARTITION BY source ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            // 2000 AS BIGINT) AS bin
+         |FROM documents""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents),
+         |r AS (
+         |  SELECT doc_id, greatest(len(toks) - 2, 0) AS n_ngrams,
+         |         CASE WHEN len(toks) < 3 THEN 0
+         |              ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+         |                   i -> array_to_string(toks[i:i+2], ' ')))) END AS n_distinct
+         |  FROM t)
+         |SELECT doc_id, CAST(n_ngrams AS INT) AS n_ngrams,
+         |       CASE WHEN n_ngrams = 0 THEN 0.0
+         |            ELSE floor((1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) * 10000 + 0.5) / 10000
+         |       END AS repetition
+         |FROM r""".stripMargin,
 
     // header is 'P5\n32 ' (6) + digits(h) + '\n255\n' (5); raster is 32*h
     "q_image_decode" ->
