@@ -96,11 +96,14 @@ object TextQueries {
     // Internal repetition score: fraction of a document's word 3-grams
     // that are repeats of an earlier 3-gram in the same document — the
     // standard boilerplate/spam signal. Pure per-row expression, fused
-    // into the scan.
+    // into the scan; the distinct count comes from the codegen'd
+    // ShingleHash64 kernel (one JVM loop) rather than the interpreted
+    // string-shingle HOF — identical counts modulo ~2⁻⁶⁴ hash collisions,
+    // which the string-based oracle confirms don't occur.
     "q_repetition" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val total = greatest(size(toks) - 2, lit(0))
-      val distinctN = size(Dedup.wordNgrams(col("text"), 3))
+      val distinctN = size(Dedup.wordNgramHashes(col("text"), 3))
       docs(s, dir).select(col("doc_id"),
         total.as("n_ngrams"),
         when(total === 0, lit(0.0))
