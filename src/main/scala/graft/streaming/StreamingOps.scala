@@ -83,6 +83,16 @@ object StreamingOps {
   def staticEnrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming exact deduplication: drop rows whose key columns repeat
+    * within the watermark horizon — the streaming form of the batch
+    * content-hash dedup (state per distinct key is bounded by the
+    * watermark, so it never grows with stream length; an unbounded-state
+    * `dropDuplicates` would OOM on an infinite stream). */
+  def dedupeStream(df: DataFrame, tsName: String, watermark: String,
+                   keys: Seq[String]): DataFrame =
+    df.withWatermark(tsName, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Streaming `streamScan` per key (reference
     * `FunctionalProcessing.hs:188-191`): running fold with state in
     * `flatMapGroupsWithState`; events within each micro-batch are folded in

@@ -153,6 +153,23 @@ class StreamingOpsSpec extends SparkSuite {
     assert(!batchPlan.contains("SortMergeJoin"))
   }
 
+  test("streaming dedupe keeps one row per key within the watermark horizon") {
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(replayDir)
+    // dedupe on (user_id, event_type): all events fit inside one generous
+    // watermark horizon on a finite replay, so this matches batch distinct
+    val deduped = StreamingOps.dedupeStream(stream, "ts", "48 hours",
+      Seq("user_id", "event_type"))
+    val q = StreamingOps.memorySink(deduped, "sdedup_test")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup_test")
+      .select("user_id", "event_type").distinct().count()
+    val gotRows = spark.table("sdedup_test").count()
+    val expected = eventsBatch.select("user_id", "event_type").distinct().count()
+    assert(gotRows == expected) // exactly one survivor per key
+    assert(got == expected)
+  }
+
   test("streaming filterAccByKey deduplicates consecutive values per key") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
