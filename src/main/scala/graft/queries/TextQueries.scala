@@ -65,6 +65,25 @@ object TextQueries {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // The composed dedup user story, end to end: drop exact-duplicate
+    // non-keepers (min doc id per content hash survives) AND near-dup
+    // non-keepers (component keeper survives), emit the clean corpus.
+    // One window pass for exact groups, the candidate-pair + components
+    // pipeline for near-dups, one anti-join to subtract both.
+    "q_clean_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keeper = min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+      val exactNonKeepers = d.select(col("doc_id"), keeper.as("k"))
+        .filter(col("doc_id") =!= col("k")).select("doc_id")
+      val nearNonKeepers = Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+            n = 3, maxDf = 10, minJaccard = 0.05), "id_a", "id_b")
+        .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+      d.select("doc_id")
+        .join(exactNonKeepers.union(nearNonKeepers).distinct(), Seq("doc_id"), "left_anti")
+    }),
+
     // Deterministic train/val/test split by content-addressed hash
     // (md5 of the id — reproducible across engines/runs, no RNG):
     // first hex char 0-b → train (75%), c-d → val, e-f → test.
@@ -273,6 +292,50 @@ object TextQueries {
          |  UNION
          |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
          |SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    "q_clean_corpus" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents),
+         |shingled AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN len(t) < 3 THEN []
+         |                  ELSE list_transform(range(1, len(t) - 1),
+         |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+         |    FROM toks)),
+         |rare AS (
+         |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
+         |pruned AS (
+         |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+         |cand AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |    FROM pruned a JOIN pruned b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |near_nk AS (
+         |  SELECT id AS doc_id FROM (
+         |    SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+         |  WHERE id <> comp),
+         |exact_nk AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+         |    FROM documents)
+         |  WHERE doc_id <> k)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near_nk)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exact_nk)""".stripMargin,
 
     "q_split" ->
       """SELECT doc_id,
