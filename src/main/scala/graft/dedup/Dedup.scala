@@ -19,23 +19,23 @@ object Dedup {
   // callers can release them: Verify/Bench call spark.catalog.clearCache()
   // per query, but a long-lived session embedding these pipelines should call
   // `unpersistAll()` after consuming the result (the caching contract).
-  // Tracked through WEAK references: once the caller drops the pipeline (or
-  // clearCache has already released the blocks), the registry does not pin
-  // the query plans, so a long-lived session that never calls unpersistAll
-  // does not accumulate them. Dead entries are pruned on every track().
-  private val tracked =
-    scala.collection.mutable.ListBuffer.empty[java.lang.ref.WeakReference[DataFrame]]
+  // References must be STRONG — Spark's CacheManager pins a persisted plan
+  // until unpersist/clearCache regardless of whether the Dataset wrapper is
+  // still reachable, so a weak registry could never release it. Unbounded
+  // growth is prevented by self-pruning instead: every track() drops entries
+  // that are no longer persisted (clearCache or a direct unpersist already
+  // released them), so the registry only ever holds live cache entries.
+  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
   private def track(df: DataFrame): DataFrame = synchronized {
-    tracked.filterInPlace(_.get != null)
-    tracked += new java.lang.ref.WeakReference(df)
+    tracked.filterInPlace(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    tracked += df
     df.persist()
   }
 
-  /** Unpersist every intermediate DataFrame the dedup builders have cached
-    * and are still reachable. Call after the actions consuming a builder's
-    * result have run. */
+  /** Unpersist every intermediate DataFrame the dedup builders have cached.
+    * Call after the actions consuming a builder's result have run. */
   def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    tracked.foreach(r => Option(r.get).foreach(_.unpersist(blocking)))
+    tracked.foreach(_.unpersist(blocking))
     tracked.clear()
   }
 
@@ -248,17 +248,16 @@ object Dedup {
       while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
+    val keys = new java.util.HashSet[Long]()
     val it = p.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
       val (x, y) = (row.getLong(0), row.getLong(1))
+      keys.add(x); keys.add(y) // vertex set collected in the same pass
       val (rx, ry) = (find(x), find(y))
       if (rx != ry) { if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry) }
     }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
-    val keys = new java.util.HashSet[Long]()
-    val pit = p.select(col("src")).union(p.select(col("dst").as("src"))).distinct().toLocalIterator()
-    while (pit.hasNext) { keys.add(pit.next().getLong(0)) }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](keys.size)
     keys.forEach { k => out += ((k, find(k))) }
     val spark = p.sparkSession
     import spark.implicits._
@@ -291,6 +290,11 @@ object Dedup {
       comp = next.drop("__changed")
       i += 1
     }
+    // an unconverged labeling silently splits real components (dedup would
+    // then RETAIN duplicates) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; " +
+        "the pair graph has a longer chain than expected — raise maxIter")
     comp
   }
 }

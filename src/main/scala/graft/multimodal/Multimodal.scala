@@ -140,7 +140,10 @@ object Multimodal {
           v
         }
         val (w, h, mv) = (nextInt(), nextInt(), nextInt())
-        require(w > 0 && h > 0 && mv > 0 && mv < 65536, "invalid netpbm dimensions")
+        require(w > 0 && h > 0 && mv > 0, "invalid netpbm dimensions")
+        // the spec allows maxval up to 65535 (2 bytes/sample); this decoder
+        // implements the 1-byte form only, so reject rather than misparse
+        require(mv <= 255, s"netpbm maxval $mv > 255 (16-bit samples) unsupported")
         pos += 1 // the single whitespace byte before the raster
         val channels = if (magic == "P6") 3 else 1
         require(bytes.length - pos >= w.toLong * h * channels,

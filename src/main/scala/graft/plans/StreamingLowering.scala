@@ -140,11 +140,12 @@ object StreamingLowering {
     * must materialize them all at once, so a single corrupt far-future
     * timestamp (or a tiny window over a long-idle stream) would emit an
     * unbounded row burst and stall the batch. Gaps longer than
-    * [[MaxEmptyWindowsPerGap]] periods therefore close the open window,
-    * emit that many empties, and JUMP the window origin forward to the
-    * period containing the new event (`start + ((t-start)/ms)*ms` — still
-    * first-event-aligned). Normal gaps keep the faithful one-empty-per-period
-    * semantics. */
+    * [[MaxEmptyWindowsPerGap]] periods therefore close the open window and
+    * emit empties up to a TOTAL of [[MaxEmptyWindowsPerGap]] emitted
+    * windows for the gap (the closing data window counts as one), then
+    * JUMP the window origin forward to the period containing the new event
+    * (`start + ((t-start)/ms)*ms` — still first-event-aligned). Normal
+    * gaps keep the faithful one-empty-per-period semantics. */
   private[plans] val MaxEmptyWindowsPerGap = 10000L
 
   private def chopTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
@@ -234,18 +235,27 @@ object StreamingLowering {
     }
   }
 
+  /** Content hash used as a sort tiebreak: structural (`##`) for ordinary
+    * payloads, `deepHashCode` for arrays (whose `##` is identity-based and
+    * so differs across runs). Deterministic across JVM runs for the
+    * primitive/tuple/collection/array payloads the lowering carries. */
+  private def stableHash(v: Any): Int = v match {
+    case a: Array[_] => java.util.Arrays.deepHashCode(a.map(_.asInstanceOf[AnyRef]))
+    case other       => other.##
+  }
+
   /** Single-group stateful pass: micro-batch events sorted by event time,
     * folded through `step`, state carried across batches.
     *
-    * Timestamp ties are broken by a content hash of the payload (`##` —
-    * Scala's structural hash, deterministic across JVM runs for the
-    * primitive/tuple/collection payloads the lowering carries), so the fold
-    * order — and hence e.g. which k-th left event the zip-join pairs with
-    * which k-th right — does not depend on shuffle arrival order within a
-    * batch. Equal-time events split ACROSS micro-batch boundaries still fold
-    * in batch order: that is inherent to incremental consumption (a source
-    * sequence number would not fix it either without a reorder buffer), and
-    * matches the reference's arrival-order contract for untimed streams. */
+    * TIMED events with equal timestamps are tiebroken by a content hash of
+    * the payload, so the fold order — and hence e.g. which k-th left event
+    * the zip-join pairs with which k-th right — does not depend on shuffle
+    * arrival order within a batch. UNTIMED events keep arrival order (the
+    * sort is stable and their key is constant) — the reference's contract
+    * for untimed streams. Equal-time events split ACROSS micro-batch
+    * boundaries still fold in batch order: that is inherent to incremental
+    * consumption (a source sequence number would not fix it either without
+    * a reorder buffer). */
   private def statefulLower(ds: Dataset[Event[Any]])(
       step: (IndexedSeq[Event[Any]], Any) => (IndexedSeq[Event[Any]], Any)): Dataset[Event[Any]] =
     ds.map(e => (0, e))
@@ -253,8 +263,12 @@ object StreamingLowering {
       .flatMapGroupsWithState[Any, Event[Any]](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[(Int, Event[Any])], state: GroupState[Any]) =>
           val sorted = it.map(_._2).toIndexedSeq
-            .sortBy(e => (e.time.map(_.getTime).getOrElse(Long.MinValue),
-              e.value.map(_.##).getOrElse(0)))
+            .sortBy { e =>
+              e.time.map(_.getTime) match {
+                case Some(t) => (t, e.value.map(stableHash).getOrElse(0))
+                case None    => (Long.MinValue, 0) // stable sort keeps arrival order
+              }
+            }
           val (outEvs, acc) = step(sorted, state.getOption.orNull)
           state.update(acc)
           outEvs.iterator

@@ -91,6 +91,15 @@ class DedupSpec extends SparkSuite {
     assert(comp.size == n + 1)
   }
 
+  test("distributed CC fails loudly instead of returning unconverged labels") {
+    import spark.implicits._
+    val pairs = (0 until 30).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIter = 2, driverMaxPairs = 0L)
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
   test("driver union-find and distributed propagation agree on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

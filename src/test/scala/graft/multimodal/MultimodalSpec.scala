@@ -49,5 +49,10 @@ class MultimodalSpec extends SparkSuite {
       d.decode(1L, "P5\n4 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](0, 0))
     }
     assert(trunc.getMessage.contains("truncated"))
+    // 16-bit samples (maxval > 255) are rejected, not misparsed as 8-bit
+    val deep = intercept[IllegalArgumentException] {
+      d.decode(1L, "P5\n1 1\n65535\n".getBytes("US-ASCII") ++ Array[Byte](0, 0))
+    }
+    assert(deep.getMessage.contains("255"))
   }
 }
