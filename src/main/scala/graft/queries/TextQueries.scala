@@ -65,6 +65,30 @@ object TextQueries {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Quality-percentile curation: keep the top 80% of documents by
+    // quality score WITHIN each language (ntile over a deterministic
+    // (score desc, doc_id) order — per-lang keyed window, one exchange).
+    "q_quality_filter" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), q.as("quality"))
+        .withColumn("tile", ntile(5).over(w))
+        .filter(col("tile") <= 4)
+    }),
+
+    // Language-balanced capping: at most 80 documents per language by
+    // deterministic rank — the stratified-cap sampling step of a corpus
+    // rebalance. Per-lang keyed window; survivors carry their rank.
+    "q_lang_balance" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 80)
+    }),
+
     // The composed dedup user story, end to end: drop exact-duplicate
     // non-keepers (min doc id per content hash survives) AND near-dup
     // non-keepers (component keeper survives), emit the clean corpus.
@@ -292,6 +316,40 @@ object TextQueries {
          |  UNION
          |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
          |SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    // same quality arithmetic as q_quality, then per-lang ntile
+    "q_quality_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, $Toks AS toks,
+         |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, toks, digits, length(text) AS tlen,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE floor(CAST(len(list_filter(toks,
+         |                     t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |                   / len(toks) * 10000 + 0.5) / 10000 END AS stop_ratio
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |               + least(stop_ratio * 5.0, 1.0) * 0.3
+         |               + (1.0 - least(CAST(digits AS DOUBLE) / greatest(tlen, 1), 1.0)) * 0.2)
+         |               * 10000 + 0.5) / 10000 AS quality
+         |  FROM r),
+         |tiled AS (
+         |  SELECT doc_id, lang, quality,
+         |         CAST(ntile(5) OVER (PARTITION BY lang
+         |                             ORDER BY quality DESC, doc_id) AS INT) AS tile
+         |  FROM scored)
+         |SELECT doc_id, lang, quality, tile FROM tiled WHERE tile <= 4""".stripMargin,
+
+    "q_lang_balance" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS INT) AS rank
+        |  FROM documents)
+        |WHERE rank <= 80""".stripMargin,
 
     "q_clean_corpus" ->
       s"""WITH RECURSIVE toks AS (
