@@ -45,11 +45,14 @@ object Relational {
   }
 
   /** 1-in-n systematic sampling per key in stream order — the reference's
-    * `sample` (`streamFilterAcc` countdown, `docs/Operators.md:123-129`). */
+    * `sample` (`streamFilterAcc` countdown, `docs/Operators.md:123-129`).
+    * Keeps rows 1, n+1, 2n+1, … — formulated as `(rn-1) % n == 0` so n=1
+    * correctly keeps everything (`rn % n == 1` would keep nothing). */
   def sampleEveryN(df: DataFrame, n: Int, partition: Seq[Column], order: Seq[Column]): DataFrame = {
+    require(n >= 1, "sample period must be >= 1")
     val w = Window.partitionBy(partition: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") % n) === 1)
+      .filter(((col("__rn") - 1) % n) === 0)
       .drop("__rn")
   }
 
@@ -116,8 +119,13 @@ object Relational {
     * fallback when AQE's skew-join splitting isn't available (e.g.
     * non-AQE engines or stream-static joins). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    // the salt must be a DETERMINISTIC function of row content:
+    // monotonically_increasing_id varies across task re-attempts, so a
+    // partial stage retry would re-salt recomputed rows into different
+    // sub-keys and the retried reduce partitions would drop/duplicate rows
+    // (the SPARK-23207 failure class)
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -222,6 +230,10 @@ object Relational {
   def medianUpper(value: Column): Column = {
     val sorted = sort_array(collect_list(value))
     // element_at is 1-based; reference index is 0-based floor(n/2).
-    element_at(sorted, (floor(size(sorted) / 2) + 1).cast("int"))
+    // try_element_at: a group whose values are all null collects an empty
+    // array, and under Spark 4's default ANSI mode plain element_at would
+    // abort the query with INVALID_ARRAY_INDEX — the median of nothing is
+    // null, not an error.
+    try_element_at(sorted, (floor(size(sorted) / 2) + 1).cast("int"))
   }
 }

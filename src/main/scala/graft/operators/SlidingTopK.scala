@@ -41,6 +41,11 @@ object SlidingTopK {
     // lineage (dropping the sort silently)
     df.select(col(key).cast("long").as("__k"), col(id).cast("long").as("__i"),
         unix_micros(col(ts)).as("__t"), col(item).cast("string").as("__v"))
+      // unkeyed/untimed/itemless rows cannot participate in a keyed time
+      // window — drop them (the typed surface's isTimed/isData gating)
+      // rather than crash the non-nullable Dataset decode below
+      .filter(col("__k").isNotNull && col("__i").isNotNull &&
+        col("__t").isNotNull && col("__v").isNotNull)
       .repartition(col("__k"))
       .sortWithinPartitions(col("__k"), col("__t"), col("__i")) // (key, ts, id)
       .as[(Long, Long, Long, String)]

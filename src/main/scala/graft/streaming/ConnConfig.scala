@@ -40,6 +40,12 @@ object ConnConfig {
     case "kafka"   => StreamingOps.kafkaSink(df, s"${c.host}:${c.port}", c.topic, checkpointDir)
     case "memory"  => df.writeStream.format("memory").queryName(c.topic)
     case "console" => df.writeStream.format("console")
+    // "socket" is the (reference-style) DEFAULT kind, but Spark ships no
+    // socket sink — give the default config a directed error naming the
+    // working egress kinds instead of an "unknown type" dead end
+    case "socket" => throw new UnsupportedOperationException(
+      "Spark has no socket sink; set GRAFT_EGRESS_TYPE to kafka, memory, or " +
+        "console (socket is ingest-only)")
     case "mqtt" => throw new UnsupportedOperationException(
       "MQTT has no built-in Spark sink; bridge via Kafka or a custom connector")
     case other => throw new IllegalArgumentException(s"unknown egress type: $other")

@@ -27,7 +27,9 @@ final class Metrics extends StreamingQueryListener {
   }
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit =
-    stats.putIfAbsent(event.name, QueryStats(0, 0, 0, 0))
+    // name is null for queries started without .queryName(...) — mirror
+    // onQueryProgress's id fallback (ConcurrentHashMap rejects null keys)
+    stats.putIfAbsent(Option(event.name).getOrElse(event.id.toString), QueryStats(0, 0, 0, 0))
 
   override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = event.progress

@@ -14,10 +14,14 @@ import graft.core.Event
   * watermarked event-time aggregations.
   *
   * The reference has NO watermarks (lazy lists close windows when the next
-  * element arrives) and assumes time order; in streaming mode we take a
-  * caller-chosen watermark for state cleanup (generous by default) and
-  * order within each micro-batch by event time. The batch API
-  * ([[graft.core.StreamOps]]) remains the exact-parity surface.
+  * element arrives) and assumes time order; in streaming mode the window
+  * aggregates take a caller-chosen watermark for state cleanup, the keyed
+  * stateful operators take an optional processing-time idle timeout (an
+  * accumulator has no window to expire with — by default it lives forever,
+  * exactly the reference's semantics; pass a timeout to bound state for
+  * keys that go quiet), and events are ordered within each micro-batch by
+  * event time. The batch API ([[graft.core.StreamOps]]) remains the
+  * exact-parity surface.
   */
 object StreamingOps {
 
@@ -29,11 +33,19 @@ object StreamingOps {
       .select(col("timestamp").as("time"), col("value"))
 
   /** Socket text source (the reference's TCP ingest analog,
-    * `Nodes/TCP.hs`). */
-  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame =
+    * `Nodes/TCP.hs`), stamped PER ROW at ingest like the reference's
+    * per-element `getCurrentTime` (`Nodes.hs:309-319`) — a
+    * `current_timestamp()` column would pin every row of a micro-batch to
+    * the single batch timestamp, quantizing downstream event-time windows
+    * to trigger boundaries. */
+  def socketSource(spark: SparkSession, host: String, port: Int): DataFrame = {
+    import spark.implicits._
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
-      .select(current_timestamp().as("time"), col("value"))
+      .as[String]
+      .map(v => (new java.sql.Timestamp(System.currentTimeMillis()), v))
+      .toDF("time", "value")
+  }
 
   /** Kafka source (reference `Nodes/Kafka.hs:24-119`, `offsetReset
     * Earliest`). */
@@ -103,52 +115,74 @@ object StreamingOps {
     * micro-batch (bounded by the trigger's batch size via
     * maxOffsetsPerTrigger/maxFilesPerTrigger), never the key's history —
     * kept state is only the accumulator. The batch-mode analogs
-    * ([[graft.core.StreamOps.KeyedStream]]) use secondary sort instead. */
-  def scanByKey[K, A, B](ds: Dataset[(K, Event[A])], f: (B, A) => B, init: B)(
+    * ([[graft.core.StreamOps.KeyedStream]]) use secondary sort instead.
+    *
+    * State lifetime: an accumulator never expires by default (the
+    * reference's semantics — `idleTimeoutMs = None` keeps state per key
+    * forever, which on a stream with unbounded key cardinality grows the
+    * state store without bound). Pass `idleTimeoutMs` to evict state for
+    * keys idle (no new events, processing time) longer than the horizon;
+    * a key that reappears later restarts from `init`. */
+  def scanByKey[K, A, B](ds: Dataset[(K, Event[A])], f: (B, A) => B, init: B,
+                         idleTimeoutMs: Option[Long] = None)(
       implicit encK: Encoder[K], encOut: Encoder[(K, Event[B])],
       encState: Encoder[B]): Dataset[(K, Event[B])] =
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState[B, (K, Event[B])](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[B, (K, Event[B])](OutputMode.Append, timeoutConf(idleTimeoutMs)) {
         (k: K, it: Iterator[(K, Event[A])], state: GroupState[B]) =>
-          var acc = state.getOption.getOrElse(init)
-          val sorted = it.map(_._2).toIndexedSeq
-            .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
-          val out = sorted.map { e =>
-            e.value match {
-              case Some(v) => acc = f(acc, v); (k, Event(e.time, Some(acc)))
-              case None    => (k, Event[B](e.time, None))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var acc = state.getOption.getOrElse(init)
+            val sorted = it.map(_._2).toIndexedSeq
+              .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+            val out = sorted.map { e =>
+              e.value match {
+                case Some(v) => acc = f(acc, v); (k, Event(e.time, Some(acc)))
+                case None    => (k, Event[B](e.time, None))
+              }
             }
+            state.update(acc)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(acc)
-          out.iterator
       }
 
   /** Streaming `streamFilterAcc` per key (reference
     * `FunctionalProcessing.hs:181-185`): stateful filter; accumulator
     * updated on every data event, emission iff pred(value, accBefore);
-    * value-less events pass. */
+    * value-less events pass. State lifetime contract as in
+    * [[scanByKey]] (`idleTimeoutMs`). */
   def filterAccByKey[K, A, B](ds: Dataset[(K, Event[A])],
-      accfn: (B, A) => B, init: B, pred: (A, B) => Boolean)(
+      accfn: (B, A) => B, init: B, pred: (A, B) => Boolean,
+      idleTimeoutMs: Option[Long] = None)(
       implicit encK: Encoder[K], encOut: Encoder[(K, Event[A])],
       encState: Encoder[B]): Dataset[(K, Event[A])] =
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState[B, (K, Event[A])](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[B, (K, Event[A])](OutputMode.Append, timeoutConf(idleTimeoutMs)) {
         (k: K, it: Iterator[(K, Event[A])], state: GroupState[B]) =>
-          var acc = state.getOption.getOrElse(init)
-          val sorted = it.map(_._2).toIndexedSeq
-            .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
-          val out = sorted.flatMap { e =>
-            e.value match {
-              case Some(v) =>
-                val keep = pred(v, acc)
-                acc = accfn(acc, v)
-                if (keep) Some((k, e)) else None
-              case None => Some((k, e))
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var acc = state.getOption.getOrElse(init)
+            val sorted = it.map(_._2).toIndexedSeq
+              .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+            val out = sorted.flatMap { e =>
+              e.value match {
+                case Some(v) =>
+                  val keep = pred(v, acc)
+                  acc = accfn(acc, v)
+                  if (keep) Some((k, e)) else None
+                case None => Some((k, e))
+              }
             }
+            state.update(acc)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(acc)
-          out.iterator
       }
+
+  private def timeoutConf(idleTimeoutMs: Option[Long]): GroupStateTimeout =
+    if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
 
   /** Kafka producer sink (reference `sendStreamKafka`,
     * `Nodes/Kafka.hs:24-119`): serialize a value column to the topic.
