@@ -53,8 +53,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
-      // null elements contribute nothing (skipped) — same as the HOF
-      // formulation folding over a null-filtered zip
+      // null elements contribute nothing (skipped). Deliberate divergence
+      // from the HOF formulation, which null-propagates: one null element
+      // nulls cosineHof's whole result. A similarity should degrade
+      // per-element, so the kernel's semantics are kept; the HOF-identity
+      // claim holds for null-free arrays (what the spec asserts).
       if (!a.isNullAt(i) && !b.isNullAt(i)) {
         val x = a.getFloat(i).toDouble
         val y = b.getFloat(i).toDouble

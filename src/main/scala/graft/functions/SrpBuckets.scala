@@ -18,17 +18,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * the ±1 weight matrix is materialized once per operator instance, and
   * each row costs `tables·planes·dims` fused multiply-adds.
   *
-  * Plane signs use the same splitmix mix as
-  * [[graft.similarity.Similarity.planeSign]] — for null-free, full-length
-  * (≥ dims elements) embeddings, bucket ids are identical to the composed
-  * formulation, which the spec asserts on real data. Degenerate inputs
-  * deliberately diverge: this kernel SKIPS null elements and projects over
-  * the common prefix of a short embedding, whereas the `zip_with`+
-  * `aggregate` formulation propagates a null element through the whole
-  * projection, forcing that plane's bit to 0 — silently degrading the
-  * hash table. A bucketing function should degrade per-element, not
-  * per-plane, so the kernel's semantics are kept and the identity claim
-  * is scoped to well-formed inputs.
+  * Plane signs come from THE shared splitmix mix ([[SrpBuckets.planeSign]],
+  * which [[graft.similarity.Similarity]] delegates to) — for null-free
+  * embeddings of EXACTLY `dims` elements, bucket ids are identical to the
+  * composed formulation, which the spec asserts on real data. Degenerate
+  * inputs deliberately diverge in the kernel's favor: it SKIPS null
+  * elements and projects over the common prefix of a length-mismatched
+  * embedding (shorter OR longer than dims), whereas the `zip_with`+
+  * `aggregate` formulation null-propagates — a null element, a short
+  * array's missing tail, or a long array's null-padded weights each force
+  * whole plane bits to 0, silently degrading the hash table. A bucketing
+  * function should degrade per-element, not per-plane, so the kernel's
+  * semantics are kept and the identity claim is scoped to well-formed
+  * inputs.
   */
 case class SrpBuckets(child: Expression, dims: Int, planesPerTable: Int, tables: Int)
     extends UnaryExpression with Serializable {
@@ -63,8 +65,11 @@ case class SrpBuckets(child: Expression, dims: Int, planesPerTable: Int, tables:
 
 object SrpBuckets {
 
-  /** Same deterministic splitmix sign as `Similarity.planeSign`. */
-  private def planeSign(plane: Int, dim: Int): Double = {
+  /** THE deterministic splitmix plane sign — single source of truth; the
+    * HOF formulation in [[graft.similarity.Similarity]] delegates here, so
+    * the kernel-vs-HOF bucket identity cannot drift through divergent
+    * copies of the mixing constants. */
+  private[graft] def planeSign(plane: Int, dim: Int): Double = {
     var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

@@ -51,8 +51,12 @@ object Bandwidth {
   }
 
   private def chopTimeMs(v: StreamVertex): Option[Double] =
-    v.params.headOption.map(_.src.trim.split("\\s+").toList).collect {
-      case "chopTime" :: ms :: _ if ms.forall(c => c.isDigit || c == '.') => ms.toDouble
+    // toDoubleOption, not a digit-class guard: "1.2.3" or "." would pass a
+    // character filter and crash costing with NumberFormatException instead
+    // of being treated as an unrecognized window form
+    v.params.headOption.map(_.src.trim.split("\\s+").toList).flatMap {
+      case "chopTime" :: ms :: _ => ms.toDoubleOption.filter(d => d > 0 && d.isFinite)
+      case _                     => None
     }
 
   /** Estimated payload size of a chopTime window's list output

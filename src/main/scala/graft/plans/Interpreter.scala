@@ -78,17 +78,31 @@ object Interpreter {
   }
 
   /** Reference merge': timestamp merge-sort, arbitrary interleave (with the
-    * reference's exact stream-swapping behavior) when untimed. */
-  private def merge2(s1: S, s2: S): S = (s1, s2) match {
-    case (xs, Nil) => xs
-    case (Nil, ys) => ys
-    case (e1 :: xs, e2 :: ys) =>
-      (e1.time, e2.time) match {
-        case (Some(t1), Some(t2)) =>
-          if (t1.getTime < t2.getTime) e1 :: merge2(s2, xs)
-          else e2 :: merge2(ys, s1)
-        case _ => e1 :: merge2(s2, xs)
+    * reference's exact stream-swapping behavior) when untimed. Iterative —
+    * the direct recursion costs one stack frame per merged event and
+    * overflows on the large random streams the property tests feed this
+    * ground truth. */
+  private def merge2(s1: S, s2: S): S = {
+    val out = List.newBuilder[Event[Any]]
+    var a = s1
+    var b = s2
+    var done = false
+    while (!done) {
+      (a, b) match {
+        case (xs, Nil) => out ++= xs; done = true
+        case (Nil, ys) => out ++= ys; done = true
+        case (e1 :: xs, e2 :: ys) =>
+          (e1.time, e2.time) match {
+            case (Some(t1), Some(t2)) if t1.getTime >= t2.getTime =>
+              // e2 :: merge2(ys, s1)
+              out += e2; b = a; a = ys
+            case _ =>
+              // e1 :: merge2(s2, xs) — timed-earlier e1, or untimed interleave
+              out += e1; a = b; b = xs
+          }
       }
+    }
+    out.result()
   }
 
   def streamJoin(s1: S, s2: S): S = {

@@ -94,6 +94,9 @@ object Jackson {
         arrRate = lambda(i),
         svcRate = mu(i),
         util = util,
+        // mirrors the reference verbatim (`Jackson.hs:140`: `util < 1/0`) —
+        // trivially true for any finite util; over-utilization is judged by
+        // `isOverUtilised` (util > 1), NOT this flag
         stab = util < Double.PositiveInfinity,
         custInSys = util / (1.0 - util),
         respTime = 1.0 / (mu(i) - lambda(i)),

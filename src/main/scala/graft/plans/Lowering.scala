@@ -22,7 +22,19 @@ object Lowering {
 
   implicit private val enc: Encoder[Event[Any]] = Encoders.kryo[Event[Any]]
 
-  private def keyOf(e: Event[Any]): Long = e.time.map(_.getTime).getOrElse(Long.MinValue)
+  /** Merge sort key: event time, with a content-hash tiebreak for TIMED
+    * events so equal-timestamp events from different sources order
+    * deterministically (RDD.sortBy gives equal keys arbitrary post-shuffle
+    * order otherwise). Untimed events all map to (MinValue, 0) — their
+    * relative order is the union's, matching the reference's
+    * arbitrary-interleave contract for untimed merges. */
+  private def keyOf(e: Event[Any]): (Long, Int) = e.time.map(_.getTime) match {
+    case Some(t) => (t, e.value.map {
+      case a: Array[_] => java.util.Arrays.deepHashCode(a.map(_.asInstanceOf[AnyRef]))
+      case other       => other.##
+    }.getOrElse(0))
+    case None => (Long.MinValue, 0)
+  }
 
   /** Evaluate every vertex; returns each vertex's output Dataset. */
   def lower(spark: SparkSession, g: StreamGraph,

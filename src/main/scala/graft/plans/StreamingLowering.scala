@@ -93,17 +93,21 @@ object StreamingLowering {
             (outEvs, acc)
           }
         case OpWindow =>
+          // range-checked extractors, not `forall(_.isDigit)`: an
+          // out-of-range count like "chop 9999999999" must reach the
+          // directed unsupported error below, not a bare NumberFormatException
           v.params.head.src.trim.split("\\s+").toList match {
-            case "chop" :: n :: Nil if n.forall(_.isDigit)          => chopLower(in0, n.toInt)
-            case "chopTime" :: ms :: Nil if ms.forall(_.isDigit)    => chopTimeLower(in0, ms.toLong)
-            case "sliding" :: n :: Nil if n.forall(_.isDigit)       => slidingLower(in0, n.toInt)
-            case "slidingTime" :: ms :: Nil if ms.forall(_.isDigit) => slidingTimeLower(in0, ms.toLong)
+            case "chop" :: AsPosInt(n) :: Nil           => chopLower(in0, n)
+            case "chopTime" :: AsPosLong(ms) :: Nil     => chopTimeLower(in0, ms)
+            case "sliding" :: AsPosInt(n) :: Nil        => slidingLower(in0, n)
+            case "slidingTime" :: AsPosLong(ms) :: Nil  => slidingTimeLower(in0, ms)
             case _ =>
               throw new UnsupportedOperationException(
                 "Window with an arbitrary window-maker has no streaming lowering " +
                   "(recognized param forms: 'chop N', 'chopTime MS', 'sliding N', " +
-                  "'slidingTime MS'); use graft.streaming.StreamingOps watermarked " +
-                  "aggregations for column-typed pipelines")
+                  "'slidingTime MS', N/MS positive in-range integers); use " +
+                  "graft.streaming.StreamingOps watermarked aggregations for " +
+                  "column-typed pipelines")
           }
         case OpJoin => zipJoinLower(ins(0), ins(1))
       }
@@ -112,22 +116,35 @@ object StreamingLowering {
     out
   }
 
+  private object AsPosInt {
+    def unapply(s: String): Option[Int] = s.toIntOption.filter(_ > 0)
+  }
+  private object AsPosLong {
+    def unapply(s: String): Option[Long] = s.toLongOption.filter(_ > 0)
+  }
+
   private def windowEvent(w: List[Event[Any]]): Event[Any] = w match {
     case Nil => Event[Any](None, Some(Nil: List[Any]))
     case _   => Event(w.head.time, Some(w.filter(_.isData).map(_.value.get): Any))
   }
 
   /** `chop n` (FunctionalProcessing.hs:113-116): state = the open window's
-    * data events (≤ n−1 between batches). */
+    * data events (≤ n−1 between batches), kept REVERSED with an explicit
+    * count so each event costs O(1) (a `buf :+ e` + `buf.length` formulation
+    * is O(buffer) per event — O(n²) per window on this single-threaded hot
+    * path). */
   private def chopLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var buf = if (st == null) List.empty[Event[Any]] else st.asInstanceOf[List[Event[Any]]]
+      var (count, rev) =
+        if (st == null) (0, List.empty[Event[Any]])
+        else st.asInstanceOf[(Int, List[Event[Any]])]
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isData).foreach { e =>
-        buf = buf :+ e
-        if (buf.length == n) { out += windowEvent(buf); buf = Nil }
+        rev = e :: rev
+        count += 1
+        if (count == n) { out += windowEvent(rev.reverse); rev = Nil; count = 0 }
       }
-      (out.result(), buf)
+      (out.result(), (count, rev))
     }
 
   /** `chopTime ms` with the reference's first-event alignment
@@ -150,59 +167,77 @@ object StreamingLowering {
 
   private def chopTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var (start, buf) =
-        if (st == null) (-1L, List.empty[Event[Any]])
+      // Long.MinValue = "no window open yet": a -1 sentinel would re-trigger
+      // initialization on every PRE-EPOCH (negative) timestamp, resetting
+      // the origin forever and never closing a window. Buffer kept reversed
+      // for O(1) append (see chopLower).
+      var (start, rev) =
+        if (st == null) (Long.MinValue, List.empty[Event[Any]])
         else st.asInstanceOf[(Long, List[Event[Any]])]
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isTimed).foreach { e =>
         val t = e.time.get.getTime
-        if (start < 0) start = t
+        if (start == Long.MinValue) start = t
         if (t >= start + ms && (t - start) / ms > MaxEmptyWindowsPerGap) {
-          out += windowEvent(buf)
-          buf = Nil
+          out += windowEvent(rev.reverse)
+          rev = Nil
           var emitted = 1L
           while (emitted < MaxEmptyWindowsPerGap) { out += windowEvent(Nil); emitted += 1 }
           start += ((t - start) / ms) * ms
         }
         while (t >= start + ms) {
-          out += windowEvent(buf)
-          buf = Nil
+          out += windowEvent(rev.reverse)
+          rev = Nil
           start += ms
         }
-        buf = buf :+ e
+        rev = e :: rev
       }
-      (out.result(), (start, buf))
+      (out.result(), (start, rev))
     }
 
   /** `sliding n` (FunctionalProcessing.hs:93-97): per data event, the window
-    * of the next n events; state = the last ≤ n−1 data events. */
+    * of the next n events; state = the last ≤ n−1 data events, in a FIFO
+    * queue with an explicit count so enqueue/dequeue are O(1) per event
+    * (the window materializes O(n) only when one closes — unavoidable). */
   private def slidingLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var buf = if (st == null) List.empty[Event[Any]] else st.asInstanceOf[List[Event[Any]]]
+      var (count, buf) =
+        if (st == null) (0, scala.collection.immutable.Queue.empty[Event[Any]])
+        else st.asInstanceOf[(Int, scala.collection.immutable.Queue[Event[Any]])]
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isData).foreach { e =>
-        buf = buf :+ e
-        if (buf.length == n) { out += windowEvent(buf); buf = buf.tail }
+        buf = buf.enqueue(e)
+        count += 1
+        if (count == n) {
+          out += windowEvent(buf.toList)
+          val (_, rest) = buf.dequeue
+          buf = rest
+          count -= 1
+        }
       }
-      (out.result(), buf)
+      (out.result(), (count, buf))
     }
 
   /** `slidingTime ms` (FunctionalProcessing.hs:99-108): per timed event e,
     * the window [e.time, e.time+ms); e's window closes when the first event
     * at/after e.time+ms arrives. State = events still inside some pending
-    * window — O(window), not O(history). */
+    * window — O(window), not O(history) — in a FIFO queue so the per-event
+    * append and the per-closed-window head-drop are O(1). */
   private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var buf = if (st == null) List.empty[Event[Any]] else st.asInstanceOf[List[Event[Any]]]
+      var buf =
+        if (st == null) scala.collection.immutable.Queue.empty[Event[Any]]
+        else st.asInstanceOf[scala.collection.immutable.Queue[Event[Any]]]
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isTimed).foreach { e =>
         val t = e.time.get.getTime
         while (buf.nonEmpty && buf.head.time.get.getTime + ms <= t) {
           val end = buf.head.time.get.getTime + ms
-          out += windowEvent(buf.takeWhile(_.time.get.getTime < end))
-          buf = buf.tail
+          out += windowEvent(buf.iterator.takeWhile(_.time.get.getTime < end).toList)
+          val (_, rest) = buf.dequeue
+          buf = rest
         }
-        buf = buf :+ e
+        buf = buf.enqueue(e)
       }
       (out.result(), buf)
     }

@@ -50,15 +50,13 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: `numPlanes` rows of ±1 weights
-    * per dimension, derived from a splitmix-style integer mix — no RNG state,
-    * reproducible across the cluster and across engines. */
-  private def planeSign(plane: Int, dim: Int): Int = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 0L) -1 else 1
-  }
+    * per dimension — delegates to the single shared splitmix mix in
+    * [[graft.functions.SrpBuckets.planeSign]], so the HOF formulation and
+    * the native kernel can never drift apart through divergent copies of
+    * the mixing constants. No RNG state; reproducible across the cluster
+    * and across engines. */
+  private def planeSign(plane: Int, dim: Int): Int =
+    graft.functions.SrpBuckets.planeSign(plane, dim).toInt
 
   /** Random-hyperplane (SRP) LSH bucket id: one sign bit per plane, packed
     * into a long. Vectors with small angle collide with high probability.
