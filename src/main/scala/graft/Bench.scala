@@ -18,6 +18,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same session timezone as Verify: otherwise a non-UTC host would
+      // benchmark different window/date groupings than were validated
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.catalyst.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -29,20 +32,32 @@ object Bench {
     try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // a query that throws must NOT be timed as a success — its
+    // time-to-failure would read as a performance win; failed queries are
+    // reported in an "errors" map and excluded from the total
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // drop per-query persists between runs
         dt
       }.sorted
       name -> times(times.length / 2) // upper-median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}""")
     spark.stop()
   }
 }

@@ -21,6 +21,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale/partial output for the failed query: leftovers
+        // from a previous run would be validated as a PASS by the driver's
+        // compare, silently masking the breakage
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
       spark.catalog.clearCache() // drop per-query persists between queries
     }

@@ -148,6 +148,11 @@ object Dedup {
     * probability s^rowsPerBand — the standard S-curve. The band join is an
     * equi-join on (band_idx, band_hash): shuffle-partitioned, no n² scan. */
   def minhashLshCandidates(signatures: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    // non-divisible banding would silently DROP the remainder permutations
+    // (computed, shuffled, then never read); rowsPerBand > numPerms would
+    // yield zero bands and report "no duplicates" — fail loudly instead
+    require(rowsPerBand >= 1 && numPerms >= rowsPerBand && numPerms % rowsPerBand == 0,
+      s"banding must tile the signature exactly: numPerms=$numPerms rowsPerBand=$rowsPerBand")
     val numBands = numPerms / rowsPerBand
     // Materialize signatures ONCE before banding: the banding expression
     // references the signature array numBands×rowsPerBand times, and

@@ -18,12 +18,14 @@ object Wearable {
 
   val Threshold = 100 // WearableExample.hs:81
 
-  /** ed: filter vibe==0, map to the (rounded) Euclidean norm
-    * (`edEvent`, intSqrt of x²+y²+z²). */
+  /** ed: filter vibe==0, map to the FLOORED Euclidean norm — the
+    * reference's `intSqrt` truncates (`WearableExample.hs:66-70`), so a
+    * `.round` here would flip step detection whenever the true norm's
+    * fractional part is ≥ 0.5 around the threshold. */
   def ed(s: Dataset[Event[Sample]])(implicit spark: SparkSession): Dataset[Event[Int]] = {
     import spark.implicits._
     s.streamFilter(_.vibe == 0)
-      .streamMap(p => math.sqrt((p.x.toLong * p.x + p.y.toLong * p.y + p.z.toLong * p.z).toDouble).round.toInt)
+      .streamMap(p => math.sqrt((p.x.toLong * p.x + p.y.toLong * p.y + p.z.toLong * p.z).toDouble).toInt)
   }
 
   /** stepEvent: emit when the previous sample was above the threshold and

@@ -85,18 +85,23 @@ object Multimodal {
     def apply(): MediaDecoder = new MediaDecoder {
       def decode(docId: Long, bytes: Array[Byte]): MediaMeta = {
         val h = Header.parse(bytes)
+        // sum exactly the declared raster: trailing bytes (a writer's
+        // newline after the raster is a common, legal netpbm artifact)
+        // must not change the checksum of pixel-identical images
+        val rasterEnd = h.pixelOffset + h.width * h.height * (if (h.color) 3 else 1)
         var s = 0L
         var i = h.pixelOffset
-        while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+        while (i < rasterEnd) { s += bytes(i) & 0xff; i += 1 }
         MediaMeta(docId, bytes.length, h.width, h.height, s)
       }
       def features(bytes: Array[Byte], dim: Int): Array[Float] = {
         val h = Header.parse(bytes)
         val hist = new Array[Float](dim)
         val channels = if (h.color) 3 else 1
+        val rasterEnd = h.pixelOffset + h.width * h.height * channels
         var i = h.pixelOffset
         var n = 0
-        while (i + channels <= bytes.length) {
+        while (i + channels <= rasterEnd) {
           var lum = 0
           var c = 0
           while (c < channels) { lum += bytes(i + c) & 0xff; c += 1 }

@@ -161,9 +161,13 @@ object TextQueries {
     // count from the text length alone — an independent check that the
     // decoder parsed the header and raster it was given.
     "q_image_decode" -> ((s, dir) => {
-      val h = greatest(ceil(length(col("text")).cast("double") / 32).cast("int"), lit(1))
+      // sanitize to printable ASCII first, so characters == bytes and the
+      // oracle's length arithmetic is exact even on a non-ASCII corpus
+      // (rpad pads by CHARS; a multi-byte char would desync the raster)
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
+      val h = greatest(ceil(length(ascii).cast("double") / 32).cast("int"), lit(1))
       val blob = encode(concat(lit("P5\n32 "), h.cast("string"), lit("\n255\n"),
-        rpad(col("text"), h * 32, lit(" "))), "UTF-8")
+        rpad(ascii, h * 32, lit(" "))), "UTF-8")
       graft.multimodal.Multimodal.extractMeta(s,
           docs(s, dir).select(col("doc_id"), blob.as("blob")),
           graft.multimodal.Multimodal.NetpbmDecoder)
@@ -425,13 +429,14 @@ object TextQueries {
          |       END AS repetition
          |FROM r""".stripMargin,
 
-    // header is 'P5\n32 ' (6) + digits(h) + '\n255\n' (5); raster is 32*h
+    // header is 'P5\n32 ' (6) + digits(h) + '\n255\n' (5); raster is 32*h;
+    // length() over the ASCII-sanitized text = exact byte count
     "q_image_decode" ->
       """SELECT doc_id,
         |       11 + length(CAST(h AS VARCHAR)) + 32 * h AS n_bytes,
         |       32 AS width, h AS height
         |FROM (SELECT doc_id,
-        |             greatest(CAST(ceil(length(text) / 32.0) AS INT), 1) AS h
+        |             greatest(CAST(ceil(length(regexp_replace(text, '[^\x20-\x7e]', '?', 'g')) / 32.0) AS INT), 1) AS h
         |      FROM documents)""".stripMargin,
 
     "q_tfidf" ->

@@ -28,6 +28,21 @@ class WearableSpec extends SparkSuite {
     assert(out.map(_.time.get.getTime) == List(40L, 160L))
   }
 
+  test("norm floors like the reference intSqrt — no rounding up at .5") {
+    // x=100,y=8,z=7: sqrt(10113) = 100.56… — intSqrt gives 100 (at/below
+    // the 100 threshold), so the subsequent high sample is a RISE and the
+    // low one after it a step; a .round norm (101) would instead put the
+    // first sample above threshold, detecting a different step pattern
+    val samples = Seq(
+      Event.data(0L, Sample(120, 0, 0, 0)),  // above
+      Event.data(40L, Sample(100, 8, 7, 0)), // 100.56 -> floor 100 = at-threshold (step!)
+      Event.data(80L, Sample(30, 0, 0, 0)))  // below (no step: prev not > 100)
+      .toDS()
+    val edges = Wearable.stepEvent(Wearable.ed(samples)).collect().toList
+    assert(edges.map(_.value.get) == List(100))
+    assert(edges.map(_.time.get.getTime) == List(40L))
+  }
+
   test("vibe filter removes vibrating samples before norm computation") {
     val samples = Seq(
       Event.data(0L, Sample(120, 0, 0, 1)),

@@ -39,6 +39,15 @@ class MultimodalSpec extends SparkSuite {
     assert(h(1) == 0f && h(2) == 0f)
   }
 
+  test("trailing bytes after the raster don't change checksum or features") {
+    val d = Multimodal.NetpbmDecoder()
+    val clean = d.decode(1L, pgm)
+    val trailed = d.decode(1L, pgm ++ "\n".getBytes("US-ASCII"))
+    assert(clean.checksum == trailed.checksum)
+    assert(clean.width == trailed.width && clean.height == trailed.height)
+    assert(d.features(pgm, 4).toSeq == d.features(pgm ++ "\n".getBytes("US-ASCII"), 4).toSeq)
+  }
+
   test("non-netpbm bytes fail with a directed error, truncated rasters too") {
     val d = Multimodal.NetpbmDecoder()
     val bad = intercept[IllegalArgumentException] {
