@@ -182,10 +182,17 @@ object Dedup {
 
   /** 64-bit SimHash over the token multiset: per token a 64-bit hash votes
     * ±1 on each bit position; the fingerprint sets bit b iff the sum of
-    * votes is positive. Computed PER ROW (hash the token array once, then
-    * fold per-bit votes over it) — no explode, no shuffle; a pure map over
-    * the corpus scan at any scale. */
-  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    * votes is positive. No explode, no shuffle — a pure map over the
+    * corpus scan at any scale, computed by the native codegen'd
+    * [[graft.functions.SimHash64]] kernel (one pass accumulating all 64
+    * vote counters; the composed-HOF form below walks the array 64 times
+    * INTERPRETED and is kept as the agreement-spec reference). */
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      graft.functions.SimHash64(TextAnalysis.tokens(text)).as("simhash"))
+
+  /** Composed-builtin SimHash (interpreted; spec reference for the kernel). */
+  def simhashHof(df: DataFrame, id: Column, text: Column): DataFrame = {
     val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
     // dynamic bit tests via a powers-of-two literal (shiftleft/shiftright
     // only take static shifts): bit b of h ⟺ (h & 2^b) ≠ 0

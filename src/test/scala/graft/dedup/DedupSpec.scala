@@ -65,6 +65,16 @@ class DedupSpec extends SparkSuite {
     assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
   }
 
+  test("native SimHash64 kernel matches the composed-HOF formulation on real docs") {
+    val real = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaKernel = Dedup.simhash(real, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaHof = Dedup.simhashHof(real, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaKernel == viaHof)
+    assert(viaKernel.nonEmpty)
+  }
+
   test("connected components: chain, triangle, and isolated pair resolve to min ids") {
     import spark.implicits._
     // component {1,2,3,4} as a path (diameter 3 — exercises iteration),
