@@ -15,6 +15,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // 1-minute load average at start: timings on a co-tenant machine can
+    // double with zero code change, so the JSON self-identifies busy runs
+    // (compare load_before/load_after against host_cpus)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,12 +60,16 @@ object Bench {
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // escape ALL control chars (<0x20), not just \n\r\t: an exception
+    // message carrying a raw control byte would otherwise emit invalid JSON
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+      .replaceAll("[\\p{Cntrl}]", " ") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(200))}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}""")
+    val loadAfter = loadAvg()
+    val cpusAvail = Runtime.getRuntime.availableProcessors()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"errors":$errJson}""")
     spark.stop()
   }
 }

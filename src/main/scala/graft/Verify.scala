@@ -26,8 +26,10 @@ object Verify {
         // compare, silently masking the breakage
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
         }
       }
       spark.catalog.clearCache() // drop per-query persists between queries

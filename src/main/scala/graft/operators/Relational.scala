@@ -101,6 +101,46 @@ object Relational {
     sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
+  /** Windowed theta-join — the scalable form of the reference's
+    * `streamJoinE` (`FunctionalProcessing.hs:161-173`: window both sides,
+    * pair windows, cartesian-filter within the pair). Both sides are
+    * bucketed by their window expression and joined on window equality
+    * plus the `equi` key pairs, with `theta` as the join residual —
+    * Catalyst extracts the equi conjuncts into the hash-join keys and
+    * applies theta post-probe, so the plan is ONE hash exchange per side
+    * at any scale (never a per-window cartesian: the within-window pair
+    * space is cut by the equi keys before theta sees it).
+    *
+    * The caller aliases the right side's columns to avoid collisions; the
+    * window lands in an output column named `window`. */
+  def windowedThetaJoin(left: DataFrame, right: DataFrame,
+                        leftWindow: Column, rightWindow: Column,
+                        equi: Seq[(Column, Column)], theta: Column): DataFrame = {
+    val l = left.withColumn("window", leftWindow)
+    val r = right.withColumn("__rw", rightWindow)
+    val cond = equi.map { case (a, b) => a === b }
+      .foldLeft(col("window") === col("__rw") && theta)(_ && _)
+    l.join(r, cond).drop("__rw")
+  }
+
+  /** Window-pair join — the scalable form of the reference's `streamJoinW`
+    * (`FunctionalProcessing.hs:175-178`: aggregate each side's window
+    * wholesale, combine the pair). Each side collapses to one row per
+    * window via its own map-side-combined aggregate (window lengths may
+    * differ per side as long as the window keys align — the caller owns
+    * both window expressions, mirroring the reference's two window
+    * makers), then the per-window rows equi-join on `window`. Shuffles
+    * aggregate rows, never events. */
+  def windowPairJoin(left: DataFrame, right: DataFrame,
+                     leftWindow: Column, rightWindow: Column,
+                     leftAggs: Seq[Column], rightAggs: Seq[Column]): DataFrame = {
+    require(leftAggs.nonEmpty && rightAggs.nonEmpty,
+      "windowPairJoin needs at least one aggregate per side")
+    left.groupBy(leftWindow.as("window")).agg(leftAggs.head, leftAggs.tail: _*)
+      .join(right.groupBy(rightWindow.as("window")).agg(rightAggs.head, rightAggs.tail: _*),
+        "window")
+  }
+
   /** Exact top-k rows per group by an ordering, with a deterministic
     * tiebreak — the reference's per-window `topk` (frequency ranking,
     * `examples/taxi/Taxi.hs:160-169`). `row_number` (not `rank`) so exactly
@@ -118,14 +158,36 @@ object Relational {
     * shuffle partitions for a hot key shrink by `salts`× — the manual
     * fallback when AQE's skew-join splitting isn't available (e.g.
     * non-AQE engines or stream-static joins). */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
+                 saltCols: Seq[String] = Nil): DataFrame = {
     // the salt must be a DETERMINISTIC function of row content:
     // monotonically_increasing_id varies across task re-attempts, so a
     // partial stage retry would re-salt recomputed rows into different
     // sub-keys and the retried reduce partitions would drop/duplicate rows
-    // (the SPARK-23207 failure class)
+    // (the SPARK-23207 failure class).
+    //
+    // `saltCols` picks which columns feed the hash. Default: every
+    // hashable non-key column (xxhash64 fails analysis on MapType, and
+    // hashing the join key alone would put a hot key on ONE salt —
+    // useless). Callers whose hot keys consist of fully IDENTICAL rows
+    // (same values in every column) should pass a high-cardinality
+    // distinguishing column here if one exists; rows identical in the
+    // hashed columns inevitably share a salt.
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType      => true
+      case a: ArrayType    => hasMap(a.elementType)
+      case s: StructType   => s.fields.exists(f => hasMap(f.dataType))
+      case _               => false
+    }
+    val hashable = big.schema.fields
+      .filter(f => f.name != key && !hasMap(f.dataType))
+      .map(_.name).toSeq
+    val chosen = if (saltCols.nonEmpty) saltCols else hashable
+    require(chosen.nonEmpty,
+      "saltedJoin: no hashable non-key columns to salt on; pass saltCols explicitly")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(chosen.map(col): _*), lit(salts)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -29,10 +29,7 @@ object Lowering {
     * relative order is the union's, matching the reference's
     * arbitrary-interleave contract for untimed merges. */
   private def keyOf(e: Event[Any]): (Long, Int) = e.time.map(_.getTime) match {
-    case Some(t) => (t, e.value.map {
-      case a: Array[_] => java.util.Arrays.deepHashCode(a.map(_.asInstanceOf[AnyRef]))
-      case other       => other.##
-    }.getOrElse(0))
+    case Some(t) => (t, e.value.map(StableHash(_)).getOrElse(0))
     case None => (Long.MinValue, 0)
   }
 

@@ -270,14 +270,12 @@ object StreamingLowering {
     }
   }
 
-  /** Content hash used as a sort tiebreak: structural (`##`) for ordinary
-    * payloads, `deepHashCode` for arrays (whose `##` is identity-based and
-    * so differs across runs). Deterministic across JVM runs for the
-    * primitive/tuple/collection/array payloads the lowering carries. */
-  private def stableHash(v: Any): Int = v match {
-    case a: Array[_] => java.util.Arrays.deepHashCode(a.map(_.asInstanceOf[AnyRef]))
-    case other       => other.##
-  }
+  /** Content hash used as a sort tiebreak — [[StableHash]]: recurses into
+    * Products, Iterables, and arrays (including arrays NESTED in tuple
+    * payloads, where `##` would be identity-based and differ across runs).
+    * Deterministic across JVM runs for every payload shape the lowering
+    * carries. */
+  private def stableHash(v: Any): Int = StableHash(v)
 
   /** Single-group stateful pass: micro-batch events sorted by event time,
     * folded through `step`, state carried across batches.
@@ -291,6 +289,15 @@ object StreamingLowering {
     * boundaries still fold in batch order: that is inherent to incremental
     * consumption (a source sequence number would not fix it either without
     * a reorder buffer). */
+  /** Checkpoint state-shape version. Every stateful operator's state is
+    * stored wrapped as `(StateVersion, payload)`; a checkpoint written by a
+    * build with a DIFFERENT state encoding (the shapes changed in round 3:
+    * List → (Int, List)/Queue) fails the unwrap match and gets a DIRECTED
+    * error naming the fix, instead of a bare ClassCastException deep in an
+    * operator. Bump the version string whenever any operator's state shape
+    * changes. */
+  private val StateVersion = "graft-state-v2"
+
   private def statefulLower(ds: Dataset[Event[Any]])(
       step: (IndexedSeq[Event[Any]], Any) => (IndexedSeq[Event[Any]], Any)): Dataset[Event[Any]] =
     ds.map(e => (0, e))
@@ -304,8 +311,18 @@ object StreamingLowering {
                 case None    => (Long.MinValue, 0) // stable sort keeps arrival order
               }
             }
-          val (outEvs, acc) = step(sorted, state.getOption.orNull)
-          state.update(acc)
+          val acc0 = state.getOption.orNull match {
+            case null                       => null
+            case (StateVersion, payload)    => payload
+            case other => throw new IllegalStateException(
+              s"incompatible streaming checkpoint state (${other.getClass.getName}): " +
+                s"this build's state encoding is '$StateVersion'; the checkpoint was " +
+                "written by a build with a different encoding. Restart the query with " +
+                "a fresh checkpointLocation (streaming state is not migrated across " +
+                "encoding changes).")
+          }
+          val (outEvs, acc) = step(sorted, acc0)
+          state.update((StateVersion, acc))
           outEvs.iterator
       }
 }

@@ -13,8 +13,8 @@ import graft.text.TextAnalysis
 /** Similarity search over `embeddings` (vec_id, embedding array<float>,
   * label) plus the hash-based near-dup pipelines and the multimodal decode
   * plumbing. Queries whose arithmetic is not portable to DuckDB (xxhash64 /
-  * splitmix constants / the decode stub) ship without an oracle — they get
-  * the driver's rows-only check and are covered by unit tests instead.
+  * splitmix constants) ship without an oracle — they get the driver's
+  * rows-only check and are covered by NoOracleCrossCheckSpec instead.
   */
 object SimilarityQueries {
 
@@ -79,10 +79,23 @@ object SimilarityQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHashFingerprint(col("text")).as("fp"))),
 
-    // Multimodal decode plumbing: binary blob column → partition-batched
-    // stubbed decode → typed metadata (rows-only; stub is unit-tested).
-    "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.extractMeta(s, Multimodal.withFakeBlob(docs(s, dir))).toDF()),
+    // Multimodal decode plumbing through the REAL netpbm decoder: each doc
+    // wrapped into a valid binary PGM (same construction as q_image_decode),
+    // then header parse + raster checksum through the partition-batched
+    // decode surface. The oracle recomputes ALL outputs — dims, byte count,
+    // AND the pixel checksum (= sum of the padded text's ASCII codes) —
+    // from the text alone, independently verifying the decoder end to end.
+    "q_multimodal_meta" -> ((s, dir) => {
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
+      val h = greatest(ceil(length(ascii).cast("double") / 32).cast("int"), lit(1))
+      val blob = encode(concat(lit("P5\n32 "), h.cast("string"), lit("\n255\n"),
+        rpad(ascii, h * 32, lit(" "))), "UTF-8")
+      Multimodal.extractMeta(s,
+          docs(s, dir).select(col("doc_id"), blob.as("blob")),
+          Multimodal.NetpbmDecoder)
+        .toDF().select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("checksum"))
+    }),
 
     // Multimodal frame sampling (the video path): 64-byte frames, every
     // 2nd kept — slicing is column arithmetic the oracle reproduces from
@@ -91,10 +104,15 @@ object SimilarityQueries {
       Multimodal.sampleFrames(Multimodal.withFakeBlob(docs(s, dir)), frameBytes = 64, stride = 2)
         .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n_bytes"))),
 
-    // Embedding-cosine near-duplicate pairs — exact form (the oracle
-    // baseline; the LSH-bucketed scale path is spec-checked against it).
+    // Embedding-cosine near-duplicate pairs — the EXACT triangle-blocked
+    // equi-join (1-Bucket-Theta): identical results to the O(n²) cross
+    // join by construction, but planned as a shuffled equi-join on block
+    // pairs with bounded per-task memory — no cartesian/BNLJ node. The
+    // cross-join form remains the spec baseline; the LSH variant remains
+    // the approximate path (see Similarity scaladoc for the measured
+    // trade-off at this threshold).
     "q_embedding_dedup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.42))
+      Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.42, blocks = 8))
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +146,25 @@ object SimilarityQueries {
         |WHERE floor(list_cosine_similarity(
         |        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 >= 0.42""".stripMargin,
+
+    // every decoded field recomputed from the text alone: header arithmetic
+    // for dims/bytes, per-character ASCII-code sum (+ space padding) for
+    // the raster checksum
+    "q_multimodal_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '?', 'g') AS ascii
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, ascii,
+        |         greatest(CAST(ceil(length(ascii) / 32.0) AS INT), 1) AS h
+        |  FROM t)
+        |SELECT doc_id,
+        |       11 + length(CAST(h AS VARCHAR)) + 32 * h AS n_bytes,
+        |       32 AS width, h AS height,
+        |       CAST(coalesce(list_sum(list_transform(range(1, length(ascii) + 1),
+        |              i -> ord(substr(ascii, CAST(i AS INT), 1)))), 0)
+        |            + (32 * h - length(ascii)) * 32 AS BIGINT) AS checksum
+        |FROM d""".stripMargin,
 
     // frame lengths derived arithmetically from the blob's byte length —
     // an independent derivation of the Spark-side slicing

@@ -11,42 +11,77 @@ import org.apache.spark.sql.functions._
   * group (HyperLogLog++ registers; a Greenwald-Khanna summary), so they
   * combine map-side and move kilobytes per group regardless of row count.
   *
-  * Sketch internals aren't portable to DuckDB, so these ship without an
-  * oracle (driver rows-only check); SketchesSpec cross-checks both against
-  * the exact answers on sf0.01 within the sketches' published error
-  * bounds.
+  * Sketch INTERNALS aren't portable to DuckDB, so the driver queries emit
+  * (a) the deterministic exact answers and (b) booleans asserting the
+  * sketch landed within its published error bound of them — both fully
+  * oracle-checkable (the oracle computes the exact answers and asserts the
+  * bounds hold, i.e. emits TRUE). A broken sketch flips a boolean and
+  * fails the hash compare. SketchesSpec additionally cross-checks the raw
+  * sketch values on sf0.01.
   */
 object SketchQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // HLL++ distinct users per event type at 1% target rsd, alongside the
-    // exact answer (exact is feasible at test scale; at corpus scale the
-    // sketch column is the one you can afford).
+    // HLL++ distinct users per event type at 1% target rsd. The sketch
+    // EXECUTES (approx_count_distinct) and must land within 5×rsd of the
+    // exact count; the emitted columns are the exact count and the bound
+    // check, both of which the oracle reproduces.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n"))),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))),
 
     // GK quantile summary: p50/p95/p99 of `value` per event type at
-    // accuracy 10000 (rank error ≤ n/10000).
-    "q_approx_quantile" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-            lit(10000)).as("qs"),
+    // accuracy 10000 (guarantee: some element with rank within n/10000 of
+    // ⌈p·n⌉). The rank check is DISTRIBUTED — the 15 sketch outputs
+    // broadcast back onto the events scan and one aggregate counts rows
+    // ≤/< each quantile value — no per-group buffering anywhere.
+    "q_approx_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ps = Seq(0.5, 0.95, 0.99)
+      val pArr = array(ps.map(lit): _*)
+      val apx = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), pArr, lit(10000)).as("qs"),
           count(lit(1)).as("n"))
-        .select(col("event_type"),
-          element_at(col("qs"), 1).as("p50"),
-          element_at(col("qs"), 2).as("p95"),
-          element_at(col("qs"), 3).as("p99"),
-          col("n")))
+        .select(col("event_type"), col("n"),
+          posexplode(col("qs")).as(Seq("pi", "qv")))
+      val target = ceil(element_at(pArr, col("pi") + 1) * col("n"))
+      val eps = col("n").cast("double") / 10000.0
+      val ranked = ev.join(broadcast(apx), "event_type")
+        .groupBy(col("event_type"), col("pi"), col("qv"), col("n"))
+        .agg(
+          sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).as("rank_le"),
+          sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("rank_lt"))
+        // the value's rank interval [rank_lt+1, rank_le] must intersect
+        // the GK guarantee interval [target-eps, target+eps]
+        .withColumn("ok",
+          col("rank_le") >= target - eps && col("rank_lt") + 1 <= target + eps)
+      ranked.groupBy(col("event_type"), col("n"))
+        .agg(
+          first(when(col("pi") === 0, col("ok")), ignoreNulls = true).as("p50_ok"),
+          first(when(col("pi") === 1, col("ok")), ignoreNulls = true).as("p95_ok"),
+          first(when(col("pi") === 2, col("ok")), ignoreNulls = true).as("p99_ok"))
+    })
   )
 
-  // no DuckDB oracle: sketch state/merge order isn't reproducible there
-  val oracles: Map[String, String] = Map.empty
+  // the oracle computes the exact sides and asserts the bound booleans are
+  // TRUE — the sketch-internal values themselves stay Spark-side
+  val oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n, TRUE AS approx_ok
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT event_type, count(*) AS n,
+        |       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM events GROUP BY 1""".stripMargin
+  )
 }

@@ -106,6 +106,34 @@ object StreamQueries {
         .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))),
 
+    // The SAME tumbling aggregation executed THROUGH Structured Streaming
+    // (reference: the entire runtime layer is streaming, Nodes.hs:52-167):
+    // events parquet replayed via readStream → watermarked event-time
+    // window aggregate → foreachBatch parquet sink (the reference's
+    // arbitrary-IO sink), read back for the gate. Complete output mode
+    // closes every window of the finite replay, so the result matches the
+    // batch q_tumbling_1h oracle exactly. At production scale the same
+    // pipeline runs unbounded with update mode + a real watermark; the
+    // complete-mode finite replay is the oracle-checkable configuration.
+    "q_streaming_tumbling" -> ((s, dir) => {
+      val agg = graft.streaming.StreamingOps.tumblingAgg(
+          Tables.streamEvents(s, dir), "ts", "1 hour", watermark = "1 minute",
+          keys = Seq(col("event_type")),
+          aggs = Seq(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value")))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toAbsolutePath
+      val q = agg.writeStream.outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("overwrite").parquet(s"$tmp/result")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
     // ALL of two tagged substreams (downstream event-time ops re-impose order).
     "q_merge" -> ((s, dir) => {
@@ -136,27 +164,29 @@ object StreamQueries {
     "q_join_e" -> ((s, dir) => {
       val e = ev(s, dir)
       val a = e.filter(col("event_type") === "click").select(
-        date_trunc("hour", col("ts")).as("hour"), col("user_id"),
+        col("ts"), col("user_id"),
         col("event_id").as("click_id"), col("value").as("click_value"))
       val b = e.filter(col("event_type") === "purchase").select(
-        date_trunc("hour", col("ts")).as("b_hour"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), col("user_id").as("b_user"),
         col("event_id").as("purchase_id"), col("value").as("purchase_value"))
-      a.join(b, col("hour") === col("b_hour") && col("user_id") === col("b_user")
-          && col("click_value") > col("purchase_value"))
-        .select("hour", "user_id", "click_id", "purchase_id")
+      Relational.windowedThetaJoin(a, b,
+          date_trunc("hour", col("ts")), date_trunc("hour", col("b_ts")),
+          equi = Seq(col("user_id") -> col("b_user")),
+          theta = col("click_value") > col("purchase_value"))
+        .select(col("window").as("hour"), col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
     // streamJoinW (FunctionalProcessing.hs:175-178): window-level join — the
     // two sides' hourly windows are aggregated wholesale, then combined.
     "q_join_w" -> ((s, dir) => {
       val e = ev(s, dir)
-      val clicks = e.filter(col("event_type") === "click")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(count(lit(1)).as("n_clicks"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"))
-        .agg(roundp(sum(col("value")), 2).as("purchase_total"))
-      clicks.join(purchases, "hour")
+      Relational.windowPairJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"),
+          date_trunc("hour", col("ts")), date_trunc("hour", col("ts")),
+          leftAggs = Seq(count(lit(1)).as("n_clicks")),
+          rightAggs = Seq(roundp(sum(col("value")), 2).as("purchase_total")))
+        .withColumnRenamed("window", "hour")
         .withColumn("per_click", roundp(col("purchase_total") / col("n_clicks"), 4))
     }),
 
@@ -302,6 +332,13 @@ object StreamQueries {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_tumbling_1h" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical semantics to q_tumbling_1h — the Spark side executed
+    // through readStream is what differs
+    "q_streaming_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -21,6 +21,26 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  /** The events table replayed through Structured Streaming: `readStream`
+    * over the same parquet with the batch read's schema (and the same
+    * nanos→µs conversion as [[events]]) — the finite-replay twin of a live
+    * stream, used by the driver-gated streaming query. */
+  def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    // FileStreamSource requires a DIRECTORY to monitor; the testdata table
+    // is a single parquet file, so expose it through a temp dir of symlinks
+    // (zero copy — a live deployment points this at its real landing dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_src_")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val raw = graft.streaming.StreamingOps.fileReplaySource(
+      spark, dir.toString, spark.read.parquet(path))
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

@@ -107,7 +107,57 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
 
-  /** Embedding-cosine near-dup, scale path: SRP bucket collision in any
+  /** Embedding-cosine near-duplicate pairs, EXACT, distributed — the
+    * triangle-blocked self-join (the 1-Bucket-Theta construction, Okcan &
+    * Riedewald, "Processing Theta-Joins using MapReduce", SIGMOD 2011):
+    * vectors hash into `blocks` groups; the left side replicates each
+    * vector to every block pair (g, j≥g) it participates in as the lower
+    * block, the right side to every (i≤g, g) as the upper block, and the
+    * all-pairs comparison becomes a plain EQUI-join on the block-pair key.
+    * Every unordered vector pair is examined EXACTLY once (same-block
+    * pairs appear in both role orders and are halved by the id filter), so
+    * the result is identical to [[cosineNearDupPairs]] by construction —
+    * recall 1.0 is mathematical, not an empirically-tuned property of the
+    * corpus.
+    *
+    * Why this is the driver/scale formulation rather than
+    * [[cosineNearDupPairsLsh]]: the O(n²) cosine work is inherent to an
+    * EXACT threshold join over dense vectors, and what kills a naive plan
+    * at scale is not the arithmetic but the operator shape — Spark plans a
+    * cross join as BroadcastNestedLoopJoin (one side must fit in memory)
+    * or a single cartesian stage. Here the plan is an ordinary shuffled
+    * equi-join over m(m+1)/2 block-pair keys: per-task memory is bounded
+    * by two blocks (2·n/m rows), work is balanced across tasks, and no
+    * side is ever broadcast or collected. Shuffle volume is (m+1)·n rows.
+    * Pick `blocks` ≈ √(2·parallelism) to keep every core busy, larger if
+    * a block pair outgrows task memory. The LSH variant stays the right
+    * tool when approximate recall is acceptable — on corpora whose
+    * near-dups sit well above the threshold it prunes by orders of
+    * magnitude — but measured on near-orthogonal embeddings with pairs AT
+    * the threshold, every recall-1.0 SRP parameterization scans ≥3× the
+    * full pair space (see NOTES.md round 5), i.e. "approximate with
+    * recall tuned to 1.0" is strictly worse than this exact formulation
+    * there. */
+  def cosineNearDupPairsBlocked(corpus: DataFrame, threshold: Double,
+                                blocks: Int = 16): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val m = lit(blocks)
+    val g = pmod(xxhash64(col("vec_id")), m).cast("int")
+    val l = corpus.select(col("vec_id").as("l_id"), col("embedding").as("l_emb"), g.as("__i"))
+      .withColumn("__j", explode(sequence(col("__i"), m - 1)))
+    val r = corpus.select(col("vec_id").as("r_id"), col("embedding").as("r_emb"), g.as("__j"))
+      .withColumn("__i", explode(sequence(lit(0), col("__j"))))
+    l.join(r, Seq("__i", "__j"))
+      // same-block pairs (i == j) arrive in both role orders — keep one;
+      // cross-block pairs arrive exactly once in an arbitrary role order
+      .filter(col("__i") =!= col("__j") || col("l_id") < col("r_id"))
+      .withColumn("cos", roundp(cosine(col("l_emb"), col("r_emb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(least(col("l_id"), col("r_id")).as("id_a"),
+        greatest(col("l_id"), col("r_id")).as("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup, approximate: SRP bucket collision in any
     * table generates candidates (≈ tables/2^planes of the pair space),
     * exact cosine verifies. Recall < 1 per the OR-construction S-curve. */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,

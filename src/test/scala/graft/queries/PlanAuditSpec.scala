@@ -18,9 +18,10 @@ class PlanAuditSpec extends SparkSuite {
   // query-set-sized (broadcastable by construction) build side:
   private val crossJoinByDesign = Set(
     "q_tfidf",          // 1-row corpus-count broadcast onto tf rows
-    "q_knn_cosine",     // brute-force ANN baseline: broadcast query set x corpus scan
-    "q_embedding_dedup" // exact cosine near-dup: threshold theta-join (the
-                        //   documented baseline; the LSH variant is the scale path)
+    "q_knn_cosine"      // brute-force ANN baseline: broadcast query set x corpus scan
+    // q_embedding_dedup left this list in round 5: now the triangle-blocked
+    // exact equi-join (Similarity.cosineNearDupPairsBlocked) — same results,
+    // no cartesian node
   )
 
   test("no driver query plans a cartesian or nested-loop join unawares") {
