@@ -116,6 +116,12 @@ object Relational {
   def windowedThetaJoin(left: DataFrame, right: DataFrame,
                         leftWindow: Column, rightWindow: Column,
                         equi: Seq[(Column, Column)], theta: Column): DataFrame = {
+    require(!left.columns.contains("window"),
+      "windowedThetaJoin writes the window into a left column named 'window' — " +
+        "rename or drop the left side's existing 'window' column first")
+    require(!right.columns.contains("window") && !right.columns.contains("__rw"),
+      "windowedThetaJoin's join condition references 'window' and '__rw' unqualified — " +
+        "a right side carrying either column would make them ambiguous; alias it first")
     val l = left.withColumn("window", leftWindow)
     val r = right.withColumn("__rw", rightWindow)
     val cond = equi.map { case (a, b) => a === b }

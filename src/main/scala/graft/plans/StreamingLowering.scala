@@ -116,6 +116,51 @@ object StreamingLowering {
     out
   }
 
+  /** Per-operator checkpoint-state decoders. [[statefulLower]]'s
+    * `(StateVersion, payload)` wrap catches checkpoints from builds with a
+    * DIFFERENT version string; these catch the human-error case where a
+    * state shape changed WITHOUT a version bump — the destructure is forced
+    * inside the try (type erasure makes a bare `asInstanceOf` a no-op that
+    * would surface as a ClassCastException deep in the operator), so a
+    * wrong-shape payload gets a directed error naming the operator and the
+    * fix. Package-visible for direct spec coverage (a wrong-shape payload
+    * cannot be injected through a real checkpoint without one). */
+  private def badState(op: String, expected: String, got: Any, e: Throwable) =
+    new IllegalStateException(
+      s"incompatible streaming checkpoint state for operator '$op': expected " +
+        s"$expected, got ${got.getClass.getName} (state encoding '$StateVersion'). " +
+        "The checkpoint was written by a build with a different state shape — " +
+        "restart the query with a fresh checkpointLocation (streaming state is " +
+        "not migrated across shape changes), and bump StateVersion in the build " +
+        "that changed the shape.", e)
+
+  private[plans] def decodeChopState(st: Any): (Int, List[Event[Any]]) =
+    if (st == null) (0, Nil)
+    else try { val (c, r) = st.asInstanceOf[(Int, List[Event[Any]])]; (c, r) }
+    catch { case e: ClassCastException => throw badState("chop", "(Int, List[Event])", st, e) }
+
+  private[plans] def decodeChopTimeState(st: Any): (Long, List[Event[Any]]) =
+    if (st == null) (Long.MinValue, Nil)
+    else try { val (s, r) = st.asInstanceOf[(Long, List[Event[Any]])]; (s, r) }
+    catch { case e: ClassCastException => throw badState("chopTime", "(Long, List[Event])", st, e) }
+
+  private[plans] def decodeSlidingState(st: Any): (Int, scala.collection.immutable.Queue[Event[Any]]) =
+    if (st == null) (0, scala.collection.immutable.Queue.empty)
+    else try {
+      val (c, q) = st.asInstanceOf[(Int, scala.collection.immutable.Queue[Event[Any]])]; (c, q)
+    } catch { case e: ClassCastException => throw badState("sliding", "(Int, Queue[Event])", st, e) }
+
+  private[plans] def decodeSlidingTimeState(st: Any): scala.collection.immutable.Queue[Event[Any]] =
+    if (st == null) scala.collection.immutable.Queue.empty
+    else try st.asInstanceOf[scala.collection.immutable.Queue[Event[Any]]]
+    catch { case e: ClassCastException => throw badState("slidingTime", "Queue[Event]", st, e) }
+
+  private[plans] def decodeZipJoinState(st: Any): (List[(Option[java.sql.Timestamp], Any)], List[Any]) =
+    if (st == null) (Nil, Nil)
+    else try {
+      val (l, r) = st.asInstanceOf[(List[(Option[java.sql.Timestamp], Any)], List[Any])]; (l, r)
+    } catch { case e: ClassCastException => throw badState("zip-join", "(List[(time, value)], List[value])", st, e) }
+
   private object AsPosInt {
     def unapply(s: String): Option[Int] = s.toIntOption.filter(_ > 0)
   }
@@ -135,9 +180,7 @@ object StreamingLowering {
     * path). */
   private def chopLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var (count, rev) =
-        if (st == null) (0, List.empty[Event[Any]])
-        else st.asInstanceOf[(Int, List[Event[Any]])]
+      var (count, rev) = decodeChopState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isData).foreach { e =>
         rev = e :: rev
@@ -171,9 +214,7 @@ object StreamingLowering {
       // initialization on every PRE-EPOCH (negative) timestamp, resetting
       // the origin forever and never closing a window. Buffer kept reversed
       // for O(1) append (see chopLower).
-      var (start, rev) =
-        if (st == null) (Long.MinValue, List.empty[Event[Any]])
-        else st.asInstanceOf[(Long, List[Event[Any]])]
+      var (start, rev) = decodeChopTimeState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isTimed).foreach { e =>
         val t = e.time.get.getTime
@@ -201,9 +242,7 @@ object StreamingLowering {
     * (the window materializes O(n) only when one closes — unavoidable). */
   private def slidingLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var (count, buf) =
-        if (st == null) (0, scala.collection.immutable.Queue.empty[Event[Any]])
-        else st.asInstanceOf[(Int, scala.collection.immutable.Queue[Event[Any]])]
+      var (count, buf) = decodeSlidingState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isData).foreach { e =>
         buf = buf.enqueue(e)
@@ -225,9 +264,7 @@ object StreamingLowering {
     * append and the per-closed-window head-drop are O(1). */
   private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var buf =
-        if (st == null) scala.collection.immutable.Queue.empty[Event[Any]]
-        else st.asInstanceOf[scala.collection.immutable.Queue[Event[Any]]]
+      var buf = decodeSlidingTimeState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isTimed).foreach { e =>
         val t = e.time.get.getTime
@@ -251,9 +288,7 @@ object StreamingLowering {
     val tagged = left.map(e => Event(e.time, e.value.map(v => (0, v): Any)))
       .union(right.map(e => Event(e.time, e.value.map(v => (1, v): Any))))
     statefulLower(tagged) { (events, st) =>
-      var (lq, rq) =
-        if (st == null) (List.empty[(Option[java.sql.Timestamp], Any)], List.empty[Any])
-        else st.asInstanceOf[(List[(Option[java.sql.Timestamp], Any)], List[Any])]
+      var (lq, rq) = decodeZipJoinState(st)
       events.foreach { e =>
         e.value match {
           case Some((0, v)) => lq = lq :+ (e.time -> v)
@@ -296,7 +331,7 @@ object StreamingLowering {
     * error naming the fix, instead of a bare ClassCastException deep in an
     * operator. Bump the version string whenever any operator's state shape
     * changes. */
-  private val StateVersion = "graft-state-v2"
+  private[plans] val StateVersion = "graft-state-v2"
 
   private def statefulLower(ds: Dataset[Event[Any]])(
       step: (IndexedSeq[Event[Any]], Any) => (IndexedSeq[Event[Any]], Any)): Dataset[Event[Any]] =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational.roundp
@@ -28,6 +28,19 @@ object SimilarityQueries {
   // scales with corpus size.
   private val codebooks =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Wrap a text column into a valid one-byte-per-char binary PGM: every
+    * non-printable-ASCII CODE POINT becomes one '?' (Spark's regexp runs
+    * Java regex over the string's code points, matching DuckDB's code-point
+    * regexp — a supplementary-plane char yields ONE '?' on both sides;
+    * pinned by MultimodalSpec), then the text is space-padded into a
+    * 32-wide raster. Shared by q_multimodal_meta and its spec. */
+  private[graft] def textAsPgm(text: Column): Column = {
+    val ascii = regexp_replace(text, "[^\\x20-\\x7e]", "?")
+    val h = greatest(ceil(length(ascii).cast("double") / 32).cast("int"), lit(1))
+    encode(concat(lit("P5\n32 "), h.cast("string"), lit("\n255\n"),
+      rpad(ascii, h * 32, lit(" "))), "UTF-8")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -58,8 +71,9 @@ object SimilarityQueries {
     // codebook is k-means-trained, not SQL-expressible).
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = codebooks.computeIfAbsent(s"$dir#8",
-        _ => graft.similarity.Ivf.trainCentroids(e, "embedding", nlist = 8))
+      val nlist = 8
+      val centroids = codebooks.computeIfAbsent(s"$dir#nlist=$nlist",
+        _ => graft.similarity.Ivf.trainCentroids(e, "embedding", nlist = nlist))
       graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 2)
     }),
 
@@ -86,12 +100,8 @@ object SimilarityQueries {
     // AND the pixel checksum (= sum of the padded text's ASCII codes) —
     // from the text alone, independently verifying the decoder end to end.
     "q_multimodal_meta" -> ((s, dir) => {
-      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
-      val h = greatest(ceil(length(ascii).cast("double") / 32).cast("int"), lit(1))
-      val blob = encode(concat(lit("P5\n32 "), h.cast("string"), lit("\n255\n"),
-        rpad(ascii, h * 32, lit(" "))), "UTF-8")
       Multimodal.extractMeta(s,
-          docs(s, dir).select(col("doc_id"), blob.as("blob")),
+          docs(s, dir).select(col("doc_id"), textAsPgm(col("text")).as("blob")),
           Multimodal.NetpbmDecoder)
         .toDF().select(col("doc_id"), col("n_bytes"), col("width"),
           col("height"), col("checksum"))

@@ -53,7 +53,11 @@ object SketchQueries {
         .select(col("event_type"), col("n"),
           posexplode(col("qs")).as(Seq("pi", "qv")))
       val target = ceil(element_at(pArr, col("pi") + 1) * col("n"))
-      val eps = col("n").cast("double") / 10000.0
+      // floored at 1 rank: for n < 10000 the raw n/10000 tolerance is
+      // sub-1 rank, making the boolean hinge on ⌈p·n⌉ floating-point
+      // rounding matching Spark's internal target exactly (SketchesSpec
+      // uses the same slack for the same reason)
+      val eps = greatest(col("n").cast("double") / 10000.0, lit(1.0))
       val ranked = ev.join(broadcast(apx), "event_type")
         .groupBy(col("event_type"), col("pi"), col("qv"), col("n"))
         .agg(

@@ -64,4 +64,26 @@ class MultimodalSpec extends SparkSuite {
     }
     assert(deep.getMessage.contains("255"))
   }
+
+  test("textAsPgm normalizes on CODE POINTS: a supplementary-plane char is ONE '?'") {
+    // q_multimodal_meta's oracle replaces non-printable code points with one
+    // '?' each (DuckDB regexp is code-point based); the Spark side must
+    // agree even for chars outside the BMP (😀 = U+1F600 = 2 UTF-16 units).
+    val texts = Seq("plain ascii", "café 😀 end", "😀😁")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val metas = Multimodal.extractMeta(spark,
+        df.select($"doc_id", graft.queries.SimilarityQueries.textAsPgm($"text").as("blob")),
+        Multimodal.NetpbmDecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      // independent derivation over code points
+      val ascii = t.codePoints().toArray.map(cp =>
+        if (cp >= 0x20 && cp <= 0x7e) cp else '?'.toInt)
+      val h = math.max(1, math.ceil(ascii.length / 32.0).toInt)
+      val checksum = ascii.map(_.toLong).sum + (32L * h - ascii.length) * 32L
+      val m = metas(i.toLong)
+      assert(m.width == 32 && m.height == h, s"doc $i dims")
+      assert(m.checksum == checksum, s"doc $i checksum")
+    }
+  }
 }
