@@ -122,7 +122,7 @@ object StreamQueries {
           aggs = Seq(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value")))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_").toAbsolutePath
+      val tmp = graft.core.TempDirs.create("graft_stream_").toAbsolutePath
       val q = agg.writeStream.outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -132,6 +132,77 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$tmp/result")
+    }),
+
+    // chopTime executed THROUGH the stateful streaming lowering
+    // (StreamingLowering.lower → flatMapGroupsWithState): the reference's
+    // Source→Window(chopTime)→Filter→Map graph (FunctionalProcessing.hs:
+    // 118-129 + Nodes.hs:52-167) lowered onto Structured Streaming, fed a
+    // 4-file time-ordered replay (maxFilesPerTrigger=1 → 4 micro-batches,
+    // so windows span batch boundaries and the checkpointed state carry is
+    // what's being gated), sunk via foreachBatch. 6h windows anchored at
+    // the GLOBAL first event (the lowering is the single-ordered-stream
+    // runtime, matching the reference's one-stream interpreter — the
+    // per-user form is the batch q_choptime_aligned). A window closes when
+    // the first event at/after its end arrives, so the final partial
+    // window of the finite replay stays pending — the oracle excludes the
+    // last window for the same reason.
+    "q_streaming_choptime" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Dataset}
+      import graft.core.Event
+      import graft.plans._
+      val ms = 6L * 3600 * 1000
+      val msUs = ms * 1000L
+      val src: Dataset[Event[Any]] = Tables.streamEventsChunked(s, dir)
+        .select(col("ts"), col("value"))
+        .as[(java.sql.Timestamp, Double)](
+          Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble))
+        .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+      val g = StreamGraph.path(Seq(
+        StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+        StreamVertex(1, OpWindow, List(Param(s"chopTime $ms",
+          (st: List[Event[Any]]) => graft.core.WindowMakers.chopTime[Any](ms)(st))),
+          "Double", "[Double]", 1),
+        // period-spanning gaps emit faithful EMPTY windows; they carry no
+        // stamp and no rows, so drop them before aggregating
+        StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+          (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+        StreamVertex(3, OpMap, List(Param("countAndSum",
+          (v: Any) => {
+            val vs = v.asInstanceOf[List[Any]]
+            var n = 0L; var sum = 0.0
+            vs.foreach { x => n += 1; sum += x.asInstanceOf[Double] }
+            (n, sum): Any
+          })), "[Double]", "(Long,Double)", 1),
+        StreamVertex(4, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
+      val lowered = StreamingLowering.lower(s, g, Map(0 -> src))(4)
+      val tmp = graft.core.TempDirs.create("graft_stream_ct_").toAbsolutePath
+      val typed = lowered.map { e =>
+        val (n, sum) = e.value.get.asInstanceOf[(Long, Double)]
+        (e.time.get, n, sum)
+      }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
+      val q = typed.toDF("stamp", "n", "sum_raw").writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$tmp/result")
+        }
+        .start()
+      q.awaitTermination()
+      // each closed window is emitted exactly once (state carries partials
+      // across micro-batches), so the appended result needs no merging —
+      // only the window stamp (its first EVENT's time) normalized to the
+      // window BOUNDARY: anchor + k*period, anchor = global first event =
+      // the first window's stamp (a 1-row broadcast, like q_tfidf's count)
+      val res = s.read.parquet(s"$tmp/result")
+      val anchor = broadcast(res.agg(min(unix_micros(col("stamp"))).as("anchor_us")))
+      res.crossJoin(anchor)
+        .withColumn("us", unix_micros(col("stamp")))
+        .select(
+          timestamp_micros(col("anchor_us") +
+            expr(s"((us - anchor_us) div $msUs)") * msUs).as("window_start"),
+          col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
     // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
@@ -342,6 +413,22 @@ object StreamQueries {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // global-anchor chopTime; the last window never closes on a finite
+    // replay (no event at/after its end arrives), so it is excluded on
+    // both sides
+    "q_streaming_choptime" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS anchor_us, max(epoch_us(ts)) AS max_us FROM events),
+        |w AS (SELECT value,
+        |             CAST(floor((epoch_us(ts) - anchor_us) / 21600000000) AS BIGINT) AS k,
+        |             anchor_us,
+        |             CAST(floor((max_us - anchor_us) / 21600000000) AS BIGINT) AS k_last
+        |      FROM events, b)
+        |SELECT make_timestamp(CAST(anchor_us + k * 21600000000 AS BIGINT)) AS window_start,
+        |       count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM w WHERE k < k_last
+        |GROUP BY 1""".stripMargin,
 
     "q_merge" ->
       """SELECT event_id, ts, 'hi' AS src FROM events WHERE value > 90

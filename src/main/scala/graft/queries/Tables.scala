@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -21,24 +23,83 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  // one symlink dir + schema read per (sfDir), reused across calls — a
+  // table accessor must not create a fresh temp dir / batch scan / conf
+  // mutation per invocation (the bench calls it 3+ times per round)
+  private val streamEventsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
   /** The events table replayed through Structured Streaming: `readStream`
     * over the same parquet with the batch read's schema (and the same
     * nanos→µs conversion as [[events]]) — the finite-replay twin of a live
-    * stream, used by the driver-gated streaming query. */
+    * stream, used by the driver-gated streaming queries. The symlink
+    * source dir and schema are cached per `sfDir`; the dir is reaped at
+    * JVM exit. */
   def streamEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    // FileStreamSource requires a DIRECTORY to monitor; the testdata table
-    // is a single parquet file, so expose it through a temp dir of symlinks
-    // (zero copy — a live deployment points this at its real landing dir)
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_src_")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve("events.parquet"), java.nio.file.Paths.get(path))
-    val raw = graft.streaming.StreamingOps.fileReplaySource(
-      spark, dir.toString, spark.read.parquet(path))
-    if (raw.schema("ts").dataType == LongType)
+    val (dir, schema) = streamEventsCache.computeIfAbsent(sfDir, { _ =>
+      // nanosAsLong must be set before BOTH the schema read and any stream
+      // start; it is never unset, so setting it once per sfDir suffices
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path = s"$sfDir/events.parquet"
+      // FileStreamSource requires a DIRECTORY to monitor; the testdata
+      // table is a single parquet file, so expose it through a dir of
+      // symlinks (zero copy — a live deployment points this at its real
+      // landing dir)
+      val d = graft.core.TempDirs.create("graft_events_src_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      (d.toString, spark.read.parquet(path).schema)
+    })
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    if (schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  private val chunkedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** The events table split into (at most) `nChunks` time-contiguous
+    * parquet files with strictly increasing mtimes, replayed with
+    * `maxFilesPerTrigger=1` so Structured Streaming consumes them as
+    * separate micro-batches in event-time order — a rate-limited replay.
+    * A single-file source collapses to ONE micro-batch, which never
+    * exercises cross-batch state carry in the stateful lowerings; this
+    * source does (the driver-gated `q_streaming_choptime` closes windows
+    * whose events span chunk files). Chunk boundaries come from ts
+    * quantiles, so chunks are time-contiguous: a later file never carries
+    * an earlier event than a prior file, the contract a replayed ordered
+    * stream must keep. Built once per `sfDir` (cached; dir reaped at JVM
+    * exit). */
+  def streamEventsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    val (dir, schema) = chunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
+      val ev = events(spark, sfDir).withColumn("__us", unix_micros(col("ts")))
+      val cuts = ev.stat
+        .approxQuantile("__us", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+      val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+      val d = graft.core.TempDirs.create("graft_events_chunks_")
+      val base = System.currentTimeMillis() - 3600000L
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val sub = graft.core.TempDirs.create("graft_chunk_build_")
+        ev.filter(col("__us") >= lo && col("__us") < hi).drop("__us")
+          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+        val part = java.nio.file.Files.list(sub).iterator().asScala
+          .find { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }
+          .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
+        val target = d.resolve(f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        // mtime drives FileStreamSource's processing order; 10s apart so
+        // no filesystem granularity can tie two chunks
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+      }
+      (d.toString, events(spark, sfDir).schema)
+    })
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSuite {
   // query-set-sized (broadcastable by construction) build side:
   private val crossJoinByDesign = Set(
     "q_tfidf",          // 1-row corpus-count broadcast onto tf rows
-    "q_knn_cosine"      // brute-force ANN baseline: broadcast query set x corpus scan
+    "q_knn_cosine",     // brute-force ANN baseline: broadcast query set x corpus scan
+    "q_streaming_choptime" // 1-row anchor broadcast onto the (window-count-sized) read-back
     // q_embedding_dedup left this list in round 5: now the triangle-blocked
     // exact equi-join (Similarity.cosineNearDupPairsBlocked) — same results,
     // no cartesian node
