@@ -309,4 +309,34 @@ object Dedup {
         "the pair graph has a longer chain than expected — raise maxIter")
     comp
   }
+
+  /** The three products of corpus near-dup cleaning, all derived from ONE
+    * materialized candidate-pair stage (see [[cleanCorpusPipeline]]). */
+  final case class CorpusDedupProducts(pairs: DataFrame, groups: DataFrame, cleaned: DataFrame)
+
+  /** Corpus-cleaning pipeline sharing one shingle/candidate computation:
+    * `pairs` (near-dup candidate pairs), `groups` (duplicate groups from
+    * connected components), and `cleaned` (surviving doc ids after exact +
+    * near-dup removal, one keeper per group) — a real corpus→clean run
+    * wants all three, and composing the standalone builders would re-run
+    * the shingle pipeline per product. Here the pair list is eagerly
+    * `localCheckpoint`ed once; `groups` and `cleaned` both read the
+    * checkpoint, never the shingle job. Semantics are identical to the
+    * composed form (spec-asserted against the q_clean_corpus formulation).
+    * Output `cleaned`: the surviving ids as column `doc_id`. */
+  def cleanCorpusPipeline(df: DataFrame, id: Column, text: Column,
+                          n: Int, maxDf: Int, minJaccard: Double): CorpusDedupProducts = {
+    val pairs = ngramJaccardPairs(df, id, text, n, maxDf, minJaccard)
+      .localCheckpoint(true)
+    val groups = connectedComponents(pairs, "id_a", "id_b")
+    val keeper = min(id).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(text)))
+    val exactNonKeepers = df.select(id.as("doc_id"), keeper.as("k"))
+      .filter(col("doc_id") =!= col("k")).select("doc_id")
+    val nearNonKeepers = groups
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    val cleaned = df.select(id.as("doc_id"))
+      .join(exactNonKeepers.union(nearNonKeepers).distinct(), Seq("doc_id"), "left_anti")
+    CorpusDedupProducts(pairs, groups, cleaned)
+  }
 }

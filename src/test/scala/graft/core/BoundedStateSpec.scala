@@ -58,6 +58,27 @@ class BoundedStateSpec extends SparkSuite {
     assert(last.getLong(4) == 4L)
   }
 
+  test("streamScanByKey/streamFilterAccByKey stream a 200k-event hot key with O(1) state") {
+    // ONE key carrying 200k events — far beyond any plausible whole-group
+    // buffer. The secondary-sort formulation keeps only the accumulator as
+    // operator state (the sort itself spills through Spark's external
+    // sorter), so the hot key streams through; a flatMapGroups formulation
+    // would materialize the whole key in memory (the structural test above
+    // is the guard that we never regress to one).
+    val n = 200000
+    val base = 1704067200000L // local: the closure must not capture the suite
+    val ds = spark.range(n.toLong)
+      .map(i => Event(Some(new Timestamp(base + i * 1000L)), Some(1)))
+    val sums = ds.streamScanByKey((_: Event[Int]) => 7L, (b: Long, a: Int) => b + a, 0L)
+    assert(sums.count() == n.toLong)
+    // the running sum is 1..n exactly once each — final value n appears once
+    assert(sums.flatMap(_.value.toSeq).filter(_ == n.toLong).count() == 1)
+    val kept = ds.streamFilterAccByKey(
+      (_: Event[Int]) => 7L, (b: Long, _: Int) => b + 1, 0L)((_, seen) => seen % 1000L == 0L)
+    // keeps events number 0, 1000, 2000, ... (seen-so-far counter)
+    assert(kept.count() == (n / 1000).toLong)
+  }
+
   test("ByKey operators reset state between key-runs and keep per-key results") {
     // two keys that necessarily land in adjacent runs of some partition
     val ds = ((1 to 50).map(i => (1L, Event(Some(t(i * 1000L)), Some(1)))) ++

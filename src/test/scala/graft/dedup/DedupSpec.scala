@@ -126,4 +126,33 @@ class DedupSpec extends SparkSuite {
     assert(viaDriver == viaDistributed)
     assert(viaDriver.nonEmpty)
   }
+
+  test("cleanCorpusPipeline equals the composed form and shares one materialized pair stage") {
+    val d = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val p = Dedup.cleanCorpusPipeline(d, col("doc_id"), col("text"),
+      n = 3, maxDf = 10, minJaccard = 0.05)
+
+    // products agree with the independently composed builders
+    val composedPairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        n = 3, maxDf = 10, minJaccard = 0.05)
+    val composedGroups = Dedup.connectedComponents(composedPairs, "id_a", "id_b")
+    assert(p.pairs.collect().map(_.toSeq).toSet == composedPairs.collect().map(_.toSeq).toSet)
+    assert(p.groups.collect().map(_.toSeq).toSet == composedGroups.collect().map(_.toSeq).toSet)
+
+    // cleaned matches the driver query's composed formulation exactly
+    val viaQuery = graft.queries.TextQueries.queries("q_clean_corpus")(
+      spark, "/root/testdata/sf0.001")
+    assert(p.cleaned.collect().map(_.getLong(0)).toSet ==
+      viaQuery.collect().map(_.getLong(0)).toSet)
+
+    // the sharing contract: groups and cleaned read the checkpointed pair
+    // list, not the shingle pipeline — no shingle-stage node (the explode
+    // over the shingle kernel) may appear in either consumer's plan
+    for (consumer <- Seq(p.groups, p.cleaned)) {
+      val plan = consumer.queryExecution.executedPlan.toString.toLowerCase
+      assert(!plan.contains("shingle"), plan.take(500))
+      assert(!plan.contains("generate explode"), plan.take(500))
+    }
+    Dedup.unpersistAll()
+  }
 }

@@ -43,6 +43,43 @@ class StreamingOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("update-mode tumbling agg emits per-batch updates, evicts closed state, drops too-late rows") {
+    // The production configuration claimed for the finite-replay complete-
+    // mode queries: update mode + a real watermark. Two controlled
+    // micro-batches (file source picks up each append as its own batch):
+    //   batch 1: rows in hour-0 and hour-2 → watermark advances to
+    //            02:00 - 10min = 01:50, past hour-0's window end (01:00)
+    //   batch 2: a too-late hour-0 row (00:20 < watermark) must be DROPPED
+    //            and hour-0's state evicted; an on-time hour-2 row must
+    //            re-emit hour-2 with the updated count
+    val dir = Files.createTempDirectory("graft-update").toString
+    def write(rows: (java.sql.Timestamp, String, Double)*): Unit =
+      rows.toDF("ts", "event_type", "value").write.mode("append").parquet(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    write((ts("2024-01-01 00:10:00"), "click", 1.0), (ts("2024-01-01 02:00:00"), "click", 1.0))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val agg = StreamingOps.tumblingAgg(stream, "ts", "1 hour", "10 minutes",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")))
+    val q = agg.select(col("window.start").as("ws"), col("n"))
+      .writeStream.format("memory").queryName("upd_test").outputMode("update").start()
+    q.processAllAvailable()
+    write((ts("2024-01-01 00:20:00"), "click", 1.0), (ts("2024-01-01 02:05:00"), "click", 1.0))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val got = spark.table("upd_test").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toList
+    // batch 1 emitted both hours at 1; batch 2 re-emitted ONLY hour 2 at 2
+    assert(got.sorted == List(
+      (ts("2024-01-01 00:00:00").getTime, 1L), (ts("2024-01-01 02:00:00").getTime, 1L),
+      (ts("2024-01-01 02:00:00").getTime, 2L)).sorted)
+    // the too-late hour-0 row never surfaced as an update
+    assert(!got.contains((ts("2024-01-01 00:00:00").getTime, 2L)))
+    // and hour-0's window state was evicted: only hour-2 remains stateful
+    assert(stateRows == 1L, s"expected 1 surviving state row, got $stateRows")
+  }
+
   test("streaming scanByKey (flatMapGroupsWithState) matches batch per-key totals") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
