@@ -181,14 +181,23 @@ object StreamQueries {
         val (n, sum) = e.value.get.asInstanceOf[(Long, Double)]
         (e.time.get, n, sum)
       }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
-      val q = typed.toDF("stamp", "n", "sum_raw").writeStream
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(s"$tmp/result")
-        }
-        .start()
+      // the lowering is a SINGLE-group state machine (one ordered stream);
+      // at the default 32 shuffle partitions every micro-batch would still
+      // create, snapshot, and commit 32 state stores (31 of them forever
+      // empty) — pin the STREAM's shuffle partitions to 1 (captured into
+      // the checkpoint at query start), restore for the batch read-back
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        typed.toDF("stamp", "n", "sum_raw").writeStream
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       // each closed window is emitted exactly once (state carries partials
       // across micro-batches), so the appended result needs no merging —
