@@ -122,7 +122,22 @@ object SimilarityQueries {
     // the approximate path (see Similarity scaladoc for the measured
     // trade-off at this threshold).
     "q_embedding_dedup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.42, blocks = 8))
+      Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.42, blocks = 8)),
+
+    // Int8 embedding quantization (the 4× ANN-corpus compression): per
+    // vector the scale and the full integer code statistics, all
+    // reproduced bit-for-bit by the DuckDB oracle from the same double
+    // arithmetic (round-half-up via floor(+0.5) on both sides).
+    "q_quantize_embed" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(emb(s, dir), col("embedding"))
+      q.select(col("vec_id"),
+        size(col("q")).as("n_dims"),
+        roundp(col("q_scale"), 8).as("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        array_min(col("q")).as("min_q"),
+        array_max(col("q")).as("max_q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x.cast("bigint") * x).as("qnorm2"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,6 +202,28 @@ object SimilarityQueries {
         |  FROM t)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |       CAST(least(64, nb - frame_idx * 64) AS INT) AS n_bytes
-        |FROM f WHERE frame_idx % 2 = 0""".stripMargin
+        |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+
+    // identical double arithmetic to the Spark side: scale = max|x|/127
+    // (floored at 1e-12), q_i = floor(x/scale + 0.5) — every int agrees
+    "q_quantize_embed" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS sc
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, sc,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT)) AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |       CAST(len(qv) AS INT) AS n_dims,
+        |       floor(sc * 100000000 + 0.5) / 100000000 AS scale_r,
+        |       CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT))) AS BIGINT) AS sum_q,
+        |       list_min(qv) AS min_q,
+        |       list_max(qv) AS max_q,
+        |       CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm2
+        |FROM q""".stripMargin
   )
 }

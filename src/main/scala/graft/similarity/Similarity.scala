@@ -36,6 +36,24 @@ object Similarity {
     * float arrays, bit-identical to [[cosineHof]] (same fold order). */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity(a, b)
 
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * standard 4× compression for billion-scale ANN corpora (store/scan the
+    * int8 codes, re-read full precision only to rescore a shortlist):
+    * `q_scale` = max|xᵢ|/127 (floored at 1e-12 so zero vectors stay
+    * finite), `q`ᵢ = ⌊xᵢ/scale + 0.5⌋ ∈ [−127, 127]. Pure column
+    * expressions fused into the scan, one pass per row; round-half-up via
+    * `floor(+0.5)` (not `round`) so a SQL oracle reproduces every int
+    * exactly — both engines evaluate the identical double arithmetic.
+    * Per-coordinate dequantization error is ≤ scale/2 (spec-asserted on
+    * the real embeddings). */
+  def quantizeInt8(df: DataFrame, emb: Column): DataFrame = {
+    val absmax = aggregate(transform(emb, x => abs(x.cast("double"))),
+      lit(0.0), (acc, v) => greatest(acc, v))
+    df.withColumn("q_scale", greatest(absmax / 127.0, lit(1e-12)))
+      .withColumn("q",
+        transform(emb, x => floor(x.cast("double") / col("q_scale") + 0.5).cast("int")))
+  }
+
   /** Exact top-k cosine neighbors for each query vector: broadcast the query
     * set, scan the corpus once, rank per query with a deterministic
     * tiebreak. */
