@@ -124,6 +124,16 @@ object SimilarityQueries {
     "q_embedding_dedup" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.42, blocks = 8)),
 
+    // Quantized-scan kNN: int8-code shortlist (4× cheaper corpus scan) +
+    // exact float re-rank — the two-stage compressed-ANN design. Fully
+    // deterministic arithmetic, so unlike IVF/LSH this approximate path is
+    // hash-checked against a complete DuckDB oracle that replays the same
+    // quantize → integer-dot shortlist → exact re-rank pipeline.
+    "q_knn_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizedKnn(e, e.filter(col("vec_id") < 10), k = 5, shortlist = 20)
+    }),
+
     // Int8 embedding quantization (the 4× ANN-corpus compression): per
     // vector the scale and the full integer code statistics, all
     // reproduced bit-for-bit by the DuckDB oracle from the same double
@@ -203,6 +213,54 @@ object SimilarityQueries {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |       CAST(least(64, nb - frame_idx * 64) AS INT) AS n_bytes
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+
+    // the full two-stage pipeline replayed: same quantization arithmetic as
+    // q_quantize_embed, integer dot products (exact), approximate cosine =
+    // single IEEE divide/multiply/sqrt (bit-identical across engines),
+    // shortlist-20 by (qcos DESC, n_id), exact re-rank rounded at 1e-6
+    "q_knn_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS sc
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT)) AS qv
+        |  FROM s),
+        |n2 AS (
+        |  SELECT vec_id, embedding, qv,
+        |         CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q2
+        |  FROM q),
+        |pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |         a.embedding AS q_emb, b.embedding AS n_emb,
+        |         a.q2 AS a_q2, b.q2 AS b_q2,
+        |         CASE WHEN a.q2 = 0 OR b.q2 = 0 THEN -2.0
+        |              ELSE CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+        |                     i -> CAST(a.qv[CAST(i AS INT)] AS BIGINT) * b.qv[CAST(i AS INT)])) AS DOUBLE)
+        |                   / (sqrt(CAST(a.q2 AS DOUBLE)) * sqrt(CAST(b.q2 AS DOUBLE)))
+        |         END AS qcos
+        |  FROM n2 a, n2 b
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |short AS (
+        |  SELECT q_id, n_id, q_emb, n_emb, a_q2, b_q2,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS srank
+        |  FROM pairs),
+        |rer AS (
+        |  SELECT q_id, n_id,
+        |         CASE WHEN a_q2 = 0 OR b_q2 = 0 THEN -2.0
+        |              ELSE floor(list_cosine_similarity(
+        |                     list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+        |                     list_transform(n_emb, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000
+        |         END AS cos
+        |  FROM short WHERE srank <= 20),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM rer)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     // identical double arithmetic to the Spark side: scale = max|x|/127
     // (floored at 1e-12), q_i = floor(x/scale + 0.5) — every int agrees

@@ -214,6 +214,66 @@ object StreamQueries {
           col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
+    // streamJoin zip executed THROUGH the stateful streaming lowering:
+    // the reference's two-source Source⇉Join→Sink graph
+    // (FunctionalProcessing.hs:148-155 + Nodes.hs:52-167) lowered onto a
+    // flatMapGroupsWithState zip whose state buffers each side's unpaired
+    // tail (StreamingLowering.zipJoinLower). Fed the same 4-file
+    // time-ordered replay as q_streaming_choptime (maxFilesPerTrigger=1 →
+    // 4 micro-batches), so pairs form ACROSS batch boundaries — the
+    // checkpointed per-side queues are what's being gated. Event times are
+    // unique within each side (so the (ts, event_id) oracle order and the
+    // lowering's event-time fold order coincide); the trailing unpaired
+    // tail stays in state, matching the oracle's inner join on k. Reuses
+    // the batch q_zip_join oracle verbatim.
+    "q_streaming_zip" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Dataset}
+      import graft.core.Event
+      import graft.plans._
+      val raw = Tables.streamEventsChunked(s, dir)
+      def side(t: String): Dataset[Event[Any]] =
+        raw.filter(col("event_type") === t)
+          .select(col("ts"), col("event_id"), col("value"))
+          .as[(java.sql.Timestamp, Long, Double)](
+            Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
+          .map { case (ts, id, v) => Event(Some(ts), Some((id, v): Any)) }(
+            Encoders.kryo[Event[Any]])
+      val g = StreamGraph(
+        Vector(
+          StreamVertex(0, OpSource(1), Nil, "(Long,Double)", "(Long,Double)", 1),
+          StreamVertex(1, OpSource(1), Nil, "(Long,Double)", "(Long,Double)", 1),
+          StreamVertex(2, OpJoin, Nil, "(Long,Double)", "((Long,Double),(Long,Double))", 1),
+          StreamVertex(3, OpSink, Nil, "((Long,Double),(Long,Double))", "((Long,Double),(Long,Double))", 1)),
+        Vector((0, 2), (1, 2), (2, 3)))
+      val lowered = StreamingLowering.lower(
+        s, g, Map(0 -> side("click"), 1 -> side("purchase")))(3)
+      val typed = lowered.map { e =>
+        val ((cid, cv), (pid, pv)) =
+          e.value.get.asInstanceOf[((Long, Double), (Long, Double))]
+        (cid, pid, cv, pv)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.scalaDouble))
+      val tmp = graft.core.TempDirs.create("graft_stream_zip_").toAbsolutePath
+      // single-group state machine — pin the stream's shuffle partitions to
+      // 1 state store (captured into the checkpoint at query start; see
+      // q_streaming_choptime)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        typed.toDF("click_id", "purchase_id", "click_value", "purchase_value")
+          .writeStream
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
     // ALL of two tagged substreams (downstream event-time ops re-impose order).
     "q_merge" -> ((s, dir) => {
@@ -445,6 +505,21 @@ object StreamQueries {
         |SELECT event_id, ts, 'lo' AS src FROM events WHERE value < 10""".stripMargin,
 
     "q_zip_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS click_id, value AS click_value,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT event_id AS purchase_id, value AS purchase_value,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, click_value, purchase_value
+        |FROM l JOIN r USING (rn)""".stripMargin,
+
+    // same pairing as q_zip_join — the streaming execution must reproduce
+    // the batch zip exactly (ts are unique within each side, so (ts,
+    // event_id) order == the lowering's event-time fold order)
+    "q_streaming_zip" ->
       """WITH l AS (
         |  SELECT event_id AS click_id, value AS click_value,
         |         row_number() OVER (ORDER BY ts, event_id) AS rn

@@ -67,6 +67,55 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rank")
   }
 
+  /** Quantized-scan kNN — the int8 compressed-corpus path: shortlist by the
+    * approximate cosine over the [[quantizeInt8]] codes (an integer dot
+    * product — the scan that at corpus scale reads 4× fewer bytes and runs
+    * in SIMD-friendly int arithmetic), then re-rank only the shortlist with
+    * the exact float cosine. The standard two-stage ANN design (scan
+    * compressed codes, rescore a shortlist at full precision). Unlike
+    * IVF/LSH this approximate path is fully deterministic integer + single
+    * IEEE-op arithmetic, so it carries a complete SQL oracle: the
+    * quantization, the integer dots, the shortlist cut, and the re-rank are
+    * all reproduced bit-for-bit by DuckDB.
+    *
+    * Zero vectors quantize to all-zero codes (qnorm² = 0); their
+    * approximate cosine is pinned to −2 (below any real cosine) rather than
+    * NaN, keeping the shortlist ordering portable across engines. */
+  def quantizedKnn(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    def qnorm2(c: Column): Column =
+      aggregate(transform(c, x => x.cast("bigint") * x), lit(0L), (a, v) => a + v)
+    val qc = quantizeInt8(corpus, col("embedding"))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("q").as("n_q"), qnorm2(col("q")).as("n_q2"))
+    val qq = quantizeInt8(queries, col("embedding"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("q").as("q_q"), qnorm2(col("q")).as("q_q2"))
+    val qdot = aggregate(
+      zip_with(col("q_q"), col("n_q"), (x, y) => x.cast("bigint") * y),
+      lit(0L), (a, v) => a + v)
+    val qcos = when(col("q_q2") === 0 || col("n_q2") === 0, lit(-2.0))
+      .otherwise(qdot.cast("double") /
+        (sqrt(col("q_q2").cast("double")) * sqrt(col("n_q2").cast("double"))))
+    val pairs = qq.crossJoin(qc)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("qcos", qcos)
+    val short = Relational.topKPerGroup(
+        pairs, shortlist, Seq(col("q_id")), Seq(col("qcos").desc, col("n_id")))
+      .drop("rank")
+    // the same guard on the exact re-rank: cosine against a zero vector is
+    // 0/0 = NaN, and Spark sorts NaN ABOVE every real double under desc —
+    // unguarded, a zero vector would steal rank 1 (q2 = 0 ⇔ the float
+    // vector is exactly zero, since the scale floor keeps any non-zero
+    // coordinate a non-zero code)
+    val reranked = short.withColumn("cos",
+      when(col("q_q2") === 0 || col("n_q2") === 0, lit(-2.0))
+        .otherwise(roundp(cosine(col("q_emb"), col("n_emb")), 6)))
+    Relational.topKPerGroup(
+        reranked, k, Seq(col("q_id")), Seq(col("cos").desc, col("n_id")))
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplanes: `numPlanes` rows of ±1 weights
     * per dimension — delegates to the single shared splitmix mix in
     * [[graft.functions.SrpBuckets.planeSign]], so the HOF formulation and
