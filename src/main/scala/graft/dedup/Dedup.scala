@@ -339,4 +339,31 @@ object Dedup {
       .join(exactNonKeepers.union(nearNonKeepers).distinct(), Seq("doc_id"), "left_anti")
     CorpusDedupProducts(pairs, groups, cleaned)
   }
+
+  /** Benchmark decontamination — the test-set-leakage guard a training
+    * corpus runs before release (standard practice in the public GPT-3 /
+    * PaLM dataset reports; no reference counterpart): drop every training
+    * document that shares at least ONE word n-gram with any benchmark/eval
+    * document. N-grams travel as 64-bit hashes ([[wordNgramHashes]] — the
+    * shuffle moves (long, long) rows, and hash equality is n-gram equality
+    * modulo ~2⁻⁶⁵ collisions, so a string-based oracle reproduces the
+    * result exactly).
+    *
+    * Scale shape: eval suites are tiny next to a training corpus, so the
+    * distinct benchmark n-gram set is broadcast (explicitly hinted) — the
+    * whole pipeline is ONE training-corpus scan + a broadcast semi-join +
+    * an anti-join on the (small) contaminated-id set. No corpus-sized
+    * shuffle anywhere. Returns `train` rows minus contaminated documents,
+    * schema unchanged. */
+  def decontaminate(train: DataFrame, id: Column, text: Column,
+                    bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val trainGrams = widen(train)
+      .select(id.as("__decon_id"), explode(wordNgramHashes(text, n)).as("h"))
+    val benchGrams = broadcast(
+      bench.select(explode(wordNgramHashes(benchText, n)).as("h")).distinct())
+    val contaminated = trainGrams
+      .join(benchGrams, Seq("h"), "left_semi")
+      .select(col("__decon_id")).distinct()
+    train.join(contaminated, id === col("__decon_id"), "left_anti")
+  }
 }

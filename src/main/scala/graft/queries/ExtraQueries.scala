@@ -46,10 +46,29 @@ object ExtraQueries {
       Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
-        .select(col("w.start").as("session_start"), col("user_id"), col("n"), col("sum_value")))
+        .select(col("w.start").as("session_start"), col("user_id"), col("n"), col("sum_value"))),
+
+    // ANALYZE-style numeric profile of lineitem's measure columns: ONE
+    // aggregate over one scan regardless of column count, unpivoted to a
+    // row per column (Profile.numericProfile).
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profile.numericProfile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
   )
 
+  private def profileBranch(c: String): String =
+    s"""SELECT '$c' AS "column", count($c) AS n,
+       |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |       count(DISTINCT $c) AS n_distinct,
+       |       CAST(min($c) AS DOUBLE) AS min, CAST(max($c) AS DOUBLE) AS max,
+       |       floor(avg($c) * 10000 + 0.5) / 10000 AS mean
+       |FROM lineitem""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(profileBranch).mkString("\nUNION ALL\n"),
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |       floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty

@@ -194,6 +194,47 @@ object TextQueries {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), col("rank"),
           roundp(col("tfidf_raw"), 4).as("tfidf"))
+    }),
+
+    // Benchmark decontamination (test-set-leakage guard): doc_id % 23 == 0
+    // plays the held-out eval suite; every remaining document sharing ANY
+    // word 4-gram with it is dropped. The contamination join runs on
+    // 64-bit n-gram hashes with the benchmark side broadcast — one corpus
+    // scan, no corpus-sized shuffle (Dedup.decontaminate).
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 23 === 0)
+      val train = d.filter(col("doc_id") % 23 =!= 0)
+      Dedup.decontaminate(train, col("doc_id"), col("text"), bench, col("text"), n = 4)
+        .select("doc_id", "lang")
+    }),
+
+    // Training-window chunking: 64-token windows, stride 48 (16-token
+    // overlap). Chunk slicing is pure column arithmetic fused into the
+    // scan; the chunk content hash travels instead of the chunk text.
+    "q_chunk" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), window = 64, stride = 48)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.toks")).as("n_tokens"),
+          md5(array_join(col("c.toks"), " ")).as("chunk_md5"))),
+
+    // PII redaction: the corpus carries no PII (word-salad synthetic), so
+    // a deterministic fake email + phone is appended per document, then
+    // redacted back out — proving the redaction regexes (RE2-safe, no
+    // lookaround) against the oracle's independent regex engine. Pure
+    // per-row expressions fused into the scan.
+    "q_redact_pii" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      docs(s, dir).select(
+        col("doc_id"),
+        regexp_count(injected, lit(TextAnalysis.EmailPattern)).as("n_emails"),
+        regexp_count(injected, lit(TextAnalysis.PhonePattern)).as("n_phones"),
+        md5(TextAnalysis.redactPii(injected)).as("redacted_md5"),
+        length(TextAnalysis.redactPii(injected)).as("redacted_len"))
     })
   )
 
@@ -458,6 +499,64 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, term, rank,
          |       floor(tfidf_raw * 10000 + 0.5) / 10000 AS tfidf
-         |FROM ranked WHERE rank <= 3""".stripMargin
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // string 4-grams stand in for the Spark side's 64-bit hashed 4-grams —
+    // identical contamination sets modulo ~2^-65 hash collisions
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN []
+         |                 ELSE list_transform(range(1, len(t) - 2),
+         |                      i -> array_to_string(t[i:i+3], ' ')) END) AS g
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+         |  WHERE doc_id % 23 <> 0)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 23 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // chunk k covers tokens [k*48+1, k*48+64] (1-based inclusive slice);
+    // a doc with n tokens yields ceil(n/48) chunks, trailing chunk short
+    "q_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, t, n,
+         |             unnest(range(0, CAST(ceil(n / 48.0) AS INT))) AS k
+         |      FROM d)
+         |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+         |       CAST(least(64, n - k * 48) AS INT) AS n_tokens,
+         |       md5(array_to_string(
+         |         t[CAST(k * 48 + 1 AS INT):CAST(least(k * 48 + 64, n) AS INT)],
+         |         ' ')) AS chunk_md5
+         |FROM c""".stripMargin,
+
+    // the same injected fake PII, counted and redacted through DuckDB's
+    // independent (RE2) regex engine — the patterns are chosen to mean the
+    // same thing under Java regex and RE2
+    "q_redact_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or +1-555-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS it
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, it,
+        |         regexp_replace(
+        |           regexp_replace(it,
+        |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |           '\+?\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g') AS r
+        |  FROM inj)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(it,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(it,
+        |         '\+?\d{1,2}-\d{3}-\d{4}')) AS INT) AS n_phones,
+        |       md5(r) AS redacted_md5,
+        |       CAST(length(r) AS INT) AS redacted_len
+        |FROM red""".stripMargin
   )
 }

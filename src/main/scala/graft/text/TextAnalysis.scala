@@ -89,4 +89,38 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 257 + pmod(xxhash64(t), mod), mod))
   }
+
+  /** Fixed-window token chunking with stride — the training-window splitter
+    * (every LLM pretraining pipeline cuts documents into model-context-sized
+    * pieces; overlap = window − stride preserves cross-boundary context).
+    * Chunk k covers tokens [k·stride, k·stride+window); a document with
+    * t > 0 tokens yields ⌈t/stride⌉ chunks (trailing chunks run short, none
+    * empty; a token-less document yields none). Returns an array of
+    * (chunk_idx, toks) structs — pure column arithmetic fused into the
+    * scan, explode downstream as needed; no shuffle. */
+  def tokenChunks(text: Column, window: Int, stride: Int): Column = {
+    require(stride > 0 && window >= stride,
+      s"need window >= stride > 0 (got window=$window, stride=$stride): " +
+        "stride > window would silently drop tokens between chunks")
+    val t = tokens(text)
+    val nChunks = ceil(size(t).cast("double") / stride).cast("int")
+    // sequence(0, -1) would count DOWN; clamp the upper bound and filter
+    // instead, so empty documents yield an empty chunk array
+    val ks = filter(sequence(lit(0), greatest(nChunks - 1, lit(0))), k => k < nChunks)
+    transform(ks, k => struct(
+      k.cast("int").as("chunk_idx"),
+      slice(t, k * stride + 1, lit(window)).as("toks")))
+  }
+
+  /** PII redaction: emails and simple international/NANP-style phone
+    * numbers replaced with `[EMAIL]` / `[PHONE]` sentinels. The patterns
+    * use only character classes and bounded quantifiers — no lookaround or
+    * backreferences — so they behave identically under Java regex (Spark)
+    * and RE2 (the usual scale engines), and an oracle can replay them. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?\\d{1,2}-\\d{3}-\\d{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
 }
