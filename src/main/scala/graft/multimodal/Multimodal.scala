@@ -118,6 +118,47 @@ object Multimodal {
     private case class Header(color: Boolean, width: Int, height: Int,
                               maxval: Int, pixelOffset: Int)
 
+    /** REAL pixel transform on the decoded path: f×f average-pool
+      * downsample of a P5 grayscale PGM, re-encoded as a valid PGM.
+      * Output dims are ⌈w/f⌉×⌈h/f⌉; each output pixel is the integer
+      * floor-average of its block, partial edge blocks averaged over the
+      * pixels they actually contain — all-integer arithmetic, so an
+      * oracle can replay every output byte. P6 color inputs are rejected
+      * (pool channels separately before re-encode when a real pipeline
+      * needs it); the pluggable-decoder error path covers other magics. */
+    def resizePgmBytes(bytes: Array[Byte], f: Int): Array[Byte] = {
+      require(f > 0, s"pool factor must be positive (got $f)")
+      val hd = Header.parse(bytes)
+      require(!hd.color, "resizePgmBytes pools P5 grayscale only (P6 needs per-channel pooling)")
+      val ow = (hd.width + f - 1) / f
+      val oh = (hd.height + f - 1) / f
+      val header = s"P5\n$ow $oh\n${hd.maxval}\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + ow * oh)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var r = 0
+      while (r < oh) {
+        var c = 0
+        while (c < ow) {
+          var sum = 0
+          var cnt = 0
+          var dr = r * f
+          while (dr < math.min(r * f + f, hd.height)) {
+            var dc = c * f
+            while (dc < math.min(c * f + f, hd.width)) {
+              sum += bytes(hd.pixelOffset + dr * hd.width + dc) & 0xff
+              cnt += 1
+              dc += 1
+            }
+            dr += 1
+          }
+          out(header.length + r * ow + c) = (sum / cnt).toByte
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
     private object Header {
       /** netpbm header: magic, then 3 ints separated by whitespace, with
         * `#`-to-end-of-line comments allowed; a single whitespace byte
@@ -184,6 +225,23 @@ object Multimodal {
         it.map { case (id, bytes) => (id, d.features(bytes, dim)) }
       }
       .toDF("doc_id", "embedding")
+  }
+
+  /** Partition-batched image resize (the decode→transform→re-encode leg of
+    * a multimodal pipeline): every P5 PGM blob average-pooled `factor`×
+    * ([[NetpbmDecoder.resizePgmBytes]]) into a new, valid PGM blob —
+    * composable with [[extractMeta]]/[[extractFeatures]] downstream. Same
+    * `mapPartitions` batch shape as the decoders (per-partition setup
+    * amortized; at scale this is the CPU-bound stage that wants the corpus
+    * pre-split, not a shuffle). */
+  def resizeImages(spark: SparkSession, df: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, NetpbmDecoder.resizePgmBytes(bytes, factor))
+      })
+      .toDF("doc_id", "blob")
   }
 
   /** Frame sampling (the video path): slice the blob into fixed-size

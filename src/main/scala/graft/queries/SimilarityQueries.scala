@@ -107,6 +107,21 @@ object SimilarityQueries {
           col("height"), col("checksum"))
     }),
 
+    // REAL image transform end to end: text-as-PGM → 2×2 average-pool
+    // downsample (decode → pool → re-encode, all integer arithmetic) →
+    // decode the RESIZED image for its metadata. The oracle replays the
+    // pooling from the text alone — padded ASCII grid, floor-averaged
+    // blocks (partial edge blocks over their actual pixels) — so every
+    // output byte of the resize is independently verified.
+    "q_image_resize" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), textAsPgm(col("text")).as("blob"))
+      Multimodal.extractMeta(s,
+          Multimodal.resizeImages(s, src, factor = 2),
+          Multimodal.NetpbmDecoder)
+        .toDF().select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height"), col("checksum"))
+    }),
+
     // Multimodal frame sampling (the video path): 64-byte frames, every
     // 2nd kept — slicing is column arithmetic the oracle reproduces from
     // byte lengths alone.
@@ -200,6 +215,44 @@ object SimilarityQueries {
         |              i -> ord(substr(ascii, CAST(i AS INT), 1)))), 0)
         |            + (32 * h - length(ascii)) * 32 AS BIGINT) AS checksum
         |FROM d""".stripMargin,
+
+    // the 2x2 average-pool replayed from the text alone: the padded ASCII
+    // grid (32 wide, space=32 padding), each output pixel the integer
+    // floor-average of its block (last row-block of an odd-height image
+    // averages 2 pixels, not 4), summed into the resized image's checksum;
+    // dims/bytes from the resized header arithmetic (width 16, height
+    // ceil(h/2), header 'P5\n16 ' + oh + '\n255\n' = 11 + len(oh) bytes)
+    "q_image_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '?', 'g') AS ascii
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, ascii,
+        |         greatest(CAST(ceil(length(ascii) / 32.0) AS INT), 1) AS h
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, h, CAST(ceil(h / 2.0) AS INT) AS oh,
+        |         list_transform(range(1, 32 * h + 1),
+        |           i -> CASE WHEN i <= length(ascii)
+        |                     THEN ord(substr(ascii, CAST(i AS INT), 1))
+        |                     ELSE 32 END) AS px
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, oh,
+        |         list_sum(flatten(list_transform(range(0, oh), r ->
+        |           list_transform(range(0, 16), c ->
+        |             CASE WHEN 2 * r + 1 < h THEN
+        |               (px[CAST(2*r*32 + 2*c + 1 AS INT)] + px[CAST(2*r*32 + 2*c + 2 AS INT)]
+        |                + px[CAST((2*r+1)*32 + 2*c + 1 AS INT)] + px[CAST((2*r+1)*32 + 2*c + 2 AS INT)]) // 4
+        |             ELSE
+        |               (px[CAST(2*r*32 + 2*c + 1 AS INT)] + px[CAST(2*r*32 + 2*c + 2 AS INT)]) // 2
+        |             END)))) AS checksum
+        |  FROM g)
+        |SELECT doc_id,
+        |       11 + length(CAST(oh AS VARCHAR)) + 16 * oh AS n_bytes,
+        |       16 AS width, oh AS height,
+        |       CAST(checksum AS BIGINT) AS checksum
+        |FROM p""".stripMargin,
 
     // frame lengths derived arithmetically from the blob's byte length —
     // an independent derivation of the Spark-side slicing

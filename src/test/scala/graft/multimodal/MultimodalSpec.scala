@@ -86,4 +86,35 @@ class MultimodalSpec extends SparkSuite {
       assert(m.checksum == checksum, s"doc $i checksum")
     }
   }
+
+  test("resizePgmBytes: 2x2 floor-average pooling, partial edge blocks, valid re-encode") {
+    // 4x3 (odd height): last row-block pools 2 pixels, not 4
+    val img = ("P5\n4 3\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40,
+                  50, 60, 70, 80,
+                  90, 100, 110, 120))
+    val out = Multimodal.NetpbmDecoder.resizePgmBytes(img, 2)
+    assert(new String(out.take(10), "US-ASCII") == "P5\n2 2\n255")
+    val raster = out.drop("P5\n2 2\n255\n".length)
+    // blocks: (10,20,50,60)/4=35 (30,40,70,80)/4=55; partial (90,100)/2=95 (110,120)/2=115
+    assert(raster.toSeq == Seq[Byte](35, 55, 95, 115))
+    // the re-encode is a VALID PGM: the real decoder round-trips it
+    val meta = Multimodal.extractMeta(spark,
+        Seq((7L, out)).toDF("doc_id", "blob"), Multimodal.NetpbmDecoder)
+      .collect().head
+    assert(meta.width == 2 && meta.height == 2 && meta.checksum == 35 + 55 + 95 + 115)
+  }
+
+  test("resizePgmBytes: factor 1 is identity on the raster; P6 and bad factors rejected") {
+    val img = ("P5\n4 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    val id = Multimodal.NetpbmDecoder.resizePgmBytes(img, 1)
+    assert(id.drop("P5\n4 2\n255\n".length).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    intercept[IllegalArgumentException] {
+      Multimodal.NetpbmDecoder.resizePgmBytes(ppm, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.NetpbmDecoder.resizePgmBytes(img, 0)
+    }
+  }
 }
