@@ -122,6 +122,28 @@ object SimilarityQueries {
           col("height"), col("checksum"))
     }),
 
+    // The REAL feature extractor oracle-gated: brightness-histogram
+    // features from the text-as-PGM images (the decode→embed leg feeding
+    // the ANN pipelines). The L1-normalized float histogram is
+    // de-normalized back to exact integer bucket counts (count = ⌊f·n+½⌋
+    // — float32 normalization error ~1e-7·n ≪ ½, so recovery is exact),
+    // which the oracle recomputes from the text's character grid:
+    // bucket(code) = code·8/256 = code div 32, padding = space = 32.
+    "q_image_features" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val feats = Multimodal.extractFeatures(s,
+        d.select(col("doc_id"), textAsPgm(col("text")).as("blob")),
+        dim = 8, Multimodal.NetpbmDecoder)
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
+      val h = greatest(ceil(length(ascii).cast("double") / 32).cast("int"), lit(1))
+      val withN = d.select(col("doc_id"), (h * 32).cast("long").as("n_px"))
+      val buckets = (0 until 8).map(b =>
+        floor(element_at(col("embedding"), b + 1).cast("double") * col("n_px") + 0.5)
+          .cast("long").as(s"b$b"))
+      feats.join(withN, "doc_id")
+        .select(col("doc_id") +: col("n_px") +: buckets: _*)
+    }),
+
     // Multimodal frame sampling (the video path): 64-byte frames, every
     // 2nd kept — slicing is column arithmetic the oracle reproduces from
     // byte lengths alone.
@@ -253,6 +275,35 @@ object SimilarityQueries {
         |       16 AS width, oh AS height,
         |       CAST(checksum AS BIGINT) AS checksum
         |FROM p""".stripMargin,
+
+    // histogram bucket counts recomputed from the character grid: every
+    // raster byte is a printable-ASCII code (or the space padding), and
+    // the decoder's bucket rule lum*8/256 is integer-exact
+    "q_image_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '?', 'g') AS ascii
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, ascii,
+        |         greatest(CAST(ceil(length(ascii) / 32.0) AS INT), 1) AS h
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, h,
+        |         list_transform(range(1, 32 * h + 1),
+        |           i -> CASE WHEN i <= length(ascii)
+        |                     THEN ord(substr(ascii, CAST(i AS INT), 1))
+        |                     ELSE 32 END) AS px
+        |  FROM d)
+        |SELECT doc_id, CAST(32 * h AS BIGINT) AS n_px,
+        |       CAST(len(list_filter(px, p -> p // 32 = 0)) AS BIGINT) AS b0,
+        |       CAST(len(list_filter(px, p -> p // 32 = 1)) AS BIGINT) AS b1,
+        |       CAST(len(list_filter(px, p -> p // 32 = 2)) AS BIGINT) AS b2,
+        |       CAST(len(list_filter(px, p -> p // 32 = 3)) AS BIGINT) AS b3,
+        |       CAST(len(list_filter(px, p -> p // 32 = 4)) AS BIGINT) AS b4,
+        |       CAST(len(list_filter(px, p -> p // 32 = 5)) AS BIGINT) AS b5,
+        |       CAST(len(list_filter(px, p -> p // 32 = 6)) AS BIGINT) AS b6,
+        |       CAST(len(list_filter(px, p -> p // 32 = 7)) AS BIGINT) AS b7
+        |FROM g""".stripMargin,
 
     // frame lengths derived arithmetically from the blob's byte length —
     // an independent derivation of the Spark-side slicing
