@@ -214,6 +214,64 @@ object StreamQueries {
           col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
+    // sliding(n) executed THROUGH the stateful streaming lowering: the
+    // count-based sliding window's FIFO-queue state machine
+    // (StreamingLowering.slidingLower — a window emits when its n-th event
+    // arrives, the queue drops its head) fed the 4-file time-ordered
+    // replay, so open windows span micro-batch boundaries and the
+    // checkpointed queue carry is what's gated. Clicks only: their event
+    // times are unique, so the lowering's event-time fold order and the
+    // oracle's ts order coincide. The trailing n−1 partial windows never
+    // emit (an unbounded stream never ends) — the oracle drops the last
+    // n−1 starts for the same reason.
+    "q_streaming_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Dataset}
+      import graft.core.Event
+      import graft.plans._
+      val n = 5
+      val src: Dataset[Event[Any]] = Tables.streamEventsChunked(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("ts"), col("value"))
+        .as[(java.sql.Timestamp, Double)](
+          Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble))
+        .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+      val g = StreamGraph.path(Seq(
+        StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+        StreamVertex(1, OpWindow, List(Param(s"sliding $n",
+          (st: List[Event[Any]]) => graft.core.WindowMakers.sliding[Any](n)(st))),
+          "Double", "[Double]", 1),
+        StreamVertex(2, OpMap, List(Param("countAndSum",
+          (v: Any) => {
+            val vs = v.asInstanceOf[List[Any]]
+            var c = 0L; var sum = 0.0
+            vs.foreach { x => c += 1; sum += x.asInstanceOf[Double] }
+            (c, sum): Any
+          })), "[Double]", "(Long,Double)", 1),
+        StreamVertex(3, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
+      val lowered = StreamingLowering.lower(s, g, Map(0 -> src))(3)
+      val typed = lowered.map { e =>
+        val (c, sum) = e.value.get.asInstanceOf[(Long, Double)]
+        (e.time.get, c, sum)
+      }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
+      val tmp = graft.core.TempDirs.create("graft_stream_sl_").toAbsolutePath
+      // single-group state machine — pin to 1 state store (see choptime)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "1")
+        typed.toDF("window_start", "n", "sum_raw").writeStream
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+        .select(col("window_start"), col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
+    }),
+
     // streamJoin zip executed THROUGH the stateful streaming lowering:
     // the reference's two-source Source⇉Join→Sink graph
     // (FunctionalProcessing.hs:148-155 + Nodes.hs:52-167) lowered onto a
@@ -515,6 +573,24 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT click_id, purchase_id, click_value, purchase_value
         |FROM l JOIN r USING (rn)""".stripMargin,
+
+    // window k = clicks k..k+4 in ts order (unique within clicks), stamped
+    // from the window's FIRST event; the last n-1 starts never close.
+    // WHERE after the window CTE: filtering before the frame would cut the
+    // last full windows' tails out of their own sums
+    "q_streaming_sliding" ->
+      """WITH c AS (
+        |  SELECT ts, value, row_number() OVER (ORDER BY ts) AS rn,
+        |         count(*) OVER () AS total
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT ts, rn, total,
+        |         count(*) OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n,
+        |         sum(value) OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+        |  FROM c)
+        |SELECT ts AS window_start, CAST(n AS BIGINT) AS n,
+        |       floor(s * 100 + 0.5) / 100 AS sum_value
+        |FROM w WHERE rn + 4 <= total""".stripMargin,
 
     // same pairing as q_zip_join — the streaming execution must reproduce
     // the batch zip exactly (ts are unique within each side, so (ts,
