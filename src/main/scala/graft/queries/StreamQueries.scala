@@ -31,6 +31,85 @@ object StreamQueries {
   private val byUser = Seq(col("user_id"))
   private val inOrder = Seq(col("ts"), col("event_id"))
 
+  /** Shared harness for the driver-gated STATEFUL streaming queries: run a
+    * lowered single-state-machine stream to parquet and read it back.
+    * Pins the STREAM's shuffle partitions to 1 (the lowering is a
+    * single-group state machine — one ordered stream; at the default 32
+    * every micro-batch would create, snapshot, and commit 32 state stores,
+    * 31 forever empty). The pin is captured into the checkpoint at query
+    * start and restored immediately after, so the batch read-back gets the
+    * session default. Sink = foreachBatch append (each closed window /
+    * pair is emitted exactly once — state carries partials across
+    * micro-batches, so the appended result needs no merging). */
+  private def runLoweredToDf(s: SparkSession, stream: DataFrame, tmpPrefix: String): DataFrame = {
+    val tmp = graft.core.TempDirs.create(tmpPrefix).toAbsolutePath
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      stream.writeStream
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$tmp/result")
+        }
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/result")
+  }
+
+  /** The chunked events replay as a typed single stream of (ts, value)
+    * events, optionally filtered to one event_type (whose timestamps are
+    * unique — the fold order and a ts-ordered oracle then coincide). */
+  private def loweredValueSource(s: SparkSession, dir: String, onlyType: Option[String])
+      : org.apache.spark.sql.Dataset[graft.core.Event[Any]] = {
+    import org.apache.spark.sql.Encoders
+    import graft.core.Event
+    val base = Tables.streamEventsChunked(s, dir)
+    val filtered = onlyType.fold(base)(t => base.filter(col("event_type") === t))
+    filtered
+      .select(col("ts"), col("value"))
+      .as[(java.sql.Timestamp, Double)](
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble))
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+  }
+
+  /** Source→Window(form)→Map(count,sum)→Sink through the stateful lowering
+    * ([[graft.plans.StreamingLowering]]), emitted as (window_start, n,
+    * sum_value) with the stamp the window's FIRST event time. Drops empty
+    * windows (chopTime's period-spanning gaps emit faithful EMPTY windows;
+    * they carry no stamp and no rows). */
+  private def loweredWindowAgg(s: SparkSession, dir: String, onlyType: Option[String],
+                               windowParamSrc: String,
+                               maker: graft.core.WindowMakers.WindowMaker[Any],
+                               tmpPrefix: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.core.Event
+    import graft.plans._
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param(windowParamSrc,
+        (st: List[Event[Any]]) => maker(st))), "Double", "[Double]", 1),
+      StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+        (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+      StreamVertex(3, OpMap, List(Param("countAndSum",
+        (v: Any) => {
+          val vs = v.asInstanceOf[List[Any]]
+          var n = 0L; var sum = 0.0
+          vs.foreach { x => n += 1; sum += x.asInstanceOf[Double] }
+          (n, sum): Any
+        })), "[Double]", "(Long,Double)", 1),
+      StreamVertex(4, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
+    val lowered = StreamingLowering.lower(
+      s, g, Map(0 -> loweredValueSource(s, dir, onlyType)))(4)
+    val typed = lowered.map { e =>
+      val (n, sum) = e.value.get.asInstanceOf[(Long, Double)]
+      (e.time.get, n, sum)
+    }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
+    runLoweredToDf(s, typed.toDF("window_start", "n", "sum_raw"), tmpPrefix)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // streamFilter (FunctionalProcessing.hs:59-63): Catalyst Filter, pushed
@@ -148,70 +227,43 @@ object StreamQueries {
     // window of the finite replay stays pending — the oracle excludes the
     // last window for the same reason.
     "q_streaming_choptime" -> ((s, dir) => {
-      import org.apache.spark.sql.{Encoders, Dataset}
-      import graft.core.Event
-      import graft.plans._
       val ms = 6L * 3600 * 1000
       val msUs = ms * 1000L
-      val src: Dataset[Event[Any]] = Tables.streamEventsChunked(s, dir)
-        .select(col("ts"), col("value"))
-        .as[(java.sql.Timestamp, Double)](
-          Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble))
-        .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
-      val g = StreamGraph.path(Seq(
-        StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
-        StreamVertex(1, OpWindow, List(Param(s"chopTime $ms",
-          (st: List[Event[Any]]) => graft.core.WindowMakers.chopTime[Any](ms)(st))),
-          "Double", "[Double]", 1),
-        // period-spanning gaps emit faithful EMPTY windows; they carry no
-        // stamp and no rows, so drop them before aggregating
-        StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
-          (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
-        StreamVertex(3, OpMap, List(Param("countAndSum",
-          (v: Any) => {
-            val vs = v.asInstanceOf[List[Any]]
-            var n = 0L; var sum = 0.0
-            vs.foreach { x => n += 1; sum += x.asInstanceOf[Double] }
-            (n, sum): Any
-          })), "[Double]", "(Long,Double)", 1),
-        StreamVertex(4, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
-      val lowered = StreamingLowering.lower(s, g, Map(0 -> src))(4)
-      val tmp = graft.core.TempDirs.create("graft_stream_ct_").toAbsolutePath
-      val typed = lowered.map { e =>
-        val (n, sum) = e.value.get.asInstanceOf[(Long, Double)]
-        (e.time.get, n, sum)
-      }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
-      // the lowering is a SINGLE-group state machine (one ordered stream);
-      // at the default 32 shuffle partitions every micro-batch would still
-      // create, snapshot, and commit 32 state stores (31 of them forever
-      // empty) — pin the STREAM's shuffle partitions to 1 (captured into
-      // the checkpoint at query start), restore for the batch read-back
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "1")
-        typed.toDF("stamp", "n", "sum_raw").writeStream
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            b.write.mode("append").parquet(s"$tmp/result")
-          }
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      // each closed window is emitted exactly once (state carries partials
-      // across micro-batches), so the appended result needs no merging —
-      // only the window stamp (its first EVENT's time) normalized to the
+      val res = loweredWindowAgg(s, dir, onlyType = None, s"chopTime $ms",
+        graft.core.WindowMakers.chopTime[Any](ms), "graft_stream_ct_")
+      // the raw stamp is the window's first EVENT's time — normalize to the
       // window BOUNDARY: anchor + k*period, anchor = global first event =
       // the first window's stamp (a 1-row broadcast, like q_tfidf's count)
-      val res = s.read.parquet(s"$tmp/result")
-      val anchor = broadcast(res.agg(min(unix_micros(col("stamp"))).as("anchor_us")))
+      val anchor = broadcast(res.agg(min(unix_micros(col("window_start"))).as("anchor_us")))
       res.crossJoin(anchor)
-        .withColumn("us", unix_micros(col("stamp")))
+        .withColumn("us", unix_micros(col("window_start")))
         .select(
           timestamp_micros(col("anchor_us") +
             expr(s"((us - anchor_us) div $msUs)") * msUs).as("window_start"),
           col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
+    }),
+
+    // chop(n) through the stateful lowering: the count-tumbling state
+    // machine ((count, reversed-buffer) state, window emitted ON its n-th
+    // event) — clicks only, so fold order == the oracle's ts order. Unlike
+    // sliding, a window closes on arrival of its own last event, so ALL
+    // complete groups emit; only the final partial group stays pending.
+    "q_streaming_chop" -> ((s, dir) =>
+      loweredWindowAgg(s, dir, onlyType = Some("click"), "chop 5",
+          graft.core.WindowMakers.chop[Any](5), "graft_stream_ch_")
+        .select(col("window_start"), col("n"), roundp(col("sum_raw"), 2).as("sum_value"))),
+
+    // slidingTime(ms) through the stateful lowering: the time-sliding
+    // queue state machine — per event e a window [e.t, e.t+ms) that closes
+    // when the first event at/after e.t+ms arrives; state = events still
+    // inside some pending window (O(window), not O(history)). Windows
+    // whose end lies beyond the last replayed event never close — the
+    // oracle drops them the same way.
+    "q_streaming_slidingtime" -> ((s, dir) => {
+      val ms = 6L * 3600 * 1000
+      loweredWindowAgg(s, dir, onlyType = Some("click"), s"slidingTime $ms",
+          graft.core.WindowMakers.slidingTime[Any](ms), "graft_stream_st_")
+        .select(col("window_start"), col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
     // sliding(n) executed THROUGH the stateful streaming lowering: the
@@ -224,53 +276,10 @@ object StreamQueries {
     // oracle's ts order coincide. The trailing n−1 partial windows never
     // emit (an unbounded stream never ends) — the oracle drops the last
     // n−1 starts for the same reason.
-    "q_streaming_sliding" -> ((s, dir) => {
-      import org.apache.spark.sql.{Encoders, Dataset}
-      import graft.core.Event
-      import graft.plans._
-      val n = 5
-      val src: Dataset[Event[Any]] = Tables.streamEventsChunked(s, dir)
-        .filter(col("event_type") === "click")
-        .select(col("ts"), col("value"))
-        .as[(java.sql.Timestamp, Double)](
-          Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaDouble))
-        .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
-      val g = StreamGraph.path(Seq(
-        StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
-        StreamVertex(1, OpWindow, List(Param(s"sliding $n",
-          (st: List[Event[Any]]) => graft.core.WindowMakers.sliding[Any](n)(st))),
-          "Double", "[Double]", 1),
-        StreamVertex(2, OpMap, List(Param("countAndSum",
-          (v: Any) => {
-            val vs = v.asInstanceOf[List[Any]]
-            var c = 0L; var sum = 0.0
-            vs.foreach { x => c += 1; sum += x.asInstanceOf[Double] }
-            (c, sum): Any
-          })), "[Double]", "(Long,Double)", 1),
-        StreamVertex(3, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
-      val lowered = StreamingLowering.lower(s, g, Map(0 -> src))(3)
-      val typed = lowered.map { e =>
-        val (c, sum) = e.value.get.asInstanceOf[(Long, Double)]
-        (e.time.get, c, sum)
-      }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
-      val tmp = graft.core.TempDirs.create("graft_stream_sl_").toAbsolutePath
-      // single-group state machine — pin to 1 state store (see choptime)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "1")
-        typed.toDF("window_start", "n", "sum_raw").writeStream
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            b.write.mode("append").parquet(s"$tmp/result")
-          }
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/result")
-        .select(col("window_start"), col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
-    }),
+    "q_streaming_sliding" -> ((s, dir) =>
+      loweredWindowAgg(s, dir, onlyType = Some("click"), "sliding 5",
+          graft.core.WindowMakers.sliding[Any](5), "graft_stream_sl_")
+        .select(col("window_start"), col("n"), roundp(col("sum_raw"), 2).as("sum_value"))),
 
     // streamJoin zip executed THROUGH the stateful streaming lowering:
     // the reference's two-source Source⇉Join→Sink graph
@@ -311,25 +320,9 @@ object StreamQueries {
         (cid, pid, cv, pv)
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaDouble, Encoders.scalaDouble))
-      val tmp = graft.core.TempDirs.create("graft_stream_zip_").toAbsolutePath
-      // single-group state machine — pin the stream's shuffle partitions to
-      // 1 state store (captured into the checkpoint at query start; see
-      // q_streaming_choptime)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "1")
-        typed.toDF("click_id", "purchase_id", "click_value", "purchase_value")
-          .writeStream
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            b.write.mode("append").parquet(s"$tmp/result")
-          }
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/result")
+      runLoweredToDf(s,
+        typed.toDF("click_id", "purchase_id", "click_value", "purchase_value"),
+        "graft_stream_zip_")
     }),
 
     // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
@@ -573,6 +566,31 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT click_id, purchase_id, click_value, purchase_value
         |FROM l JOIN r USING (rn)""".stripMargin,
+
+    // consecutive 5-groups of clicks in ts order; a group emits on its own
+    // 5th event, so only the trailing partial group is excluded
+    "q_streaming_chop" ->
+      """WITH c AS (
+        |  SELECT ts, value, row_number() OVER (ORDER BY ts) AS rn
+        |  FROM events WHERE event_type = 'click')
+        |SELECT min(ts) AS window_start, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM c GROUP BY (rn - 1) // 5 HAVING count(*) = 5""".stripMargin,
+
+    // per click a the window [a.ts, a.ts+6h) over clicks; a window emits
+    // only once an event at/after its end has arrived, so windows whose
+    // end lies beyond the last replayed click stay pending
+    "q_streaming_slidingtime" ->
+      """WITH c AS (
+        |  SELECT ts, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT max(us) AS max_us FROM c)
+        |SELECT a.ts AS window_start, count(*) AS n,
+        |       floor(sum(b.value) * 100 + 0.5) / 100 AS sum_value
+        |FROM c a, c b, m
+        |WHERE b.us >= a.us AND b.us < a.us + 21600000000
+        |  AND a.us + 21600000000 <= max_us
+        |GROUP BY a.ts""".stripMargin,
 
     // window k = clicks k..k+4 in ts order (unique within clicks), stamped
     // from the window's FIRST event; the last n-1 starts never close.
