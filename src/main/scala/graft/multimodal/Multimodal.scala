@@ -227,6 +227,100 @@ object Multimodal {
       .toDF("doc_id", "embedding")
   }
 
+  case class AudioMeta(doc_id: Long, n_bytes: Int, sample_rate: Int, channels: Int,
+                       bits: Int, n_samples: Long, peak: Int, sum_sq: Long)
+
+  /** REAL decoder for RIFF/WAV PCM audio — like netpbm for images, the one
+    * audio container parseable with zero external libraries: validates the
+    * RIFF/WAVE magic, WALKS the chunk list (real-world WAVs interleave
+    * LIST/fact/cue chunks before `data`; a fixed-44-byte-offset parser
+    * would misread them), parses `fmt ` (PCM only), and computes sample
+    * statistics — peak amplitude and the energy sum Σs² (the exact integer
+    * the RMS derives from) — for 8-bit unsigned and 16-bit signed LE PCM.
+    * Compressed formats (non-PCM audioFormat) throw the directed error the
+    * pluggable surface carries. */
+  object WavDecoder {
+
+    /** Minimal canonical 8-bit mono PCM WAV wrapping `payload` as samples —
+      * the encode side (a 44-byte classic header + the sample bytes). */
+    def wavFromBytes(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)                       // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate)         // byteRate = rate·1·8/8
+        .putShort(1).putShort(8)                       // blockAlign, bits
+        .put("data".getBytes("US-ASCII")).putInt(payload.length)
+        .put(payload)
+      out.array()
+    }
+
+    def parse(docId: Long, bytes: Array[Byte]): AudioMeta = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      require(bytes.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        "not a RIFF/WAVE file")
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, rate, bits)
+      var data: Option[(Int, Int)] = None          // (offset, size)
+      while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = ascii(pos, 4)
+        val size = bb.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"truncated WAV chunk '$id' (declares $size bytes at offset $pos)")
+        id match {
+          case "fmt " =>
+            require(size >= 16, "fmt chunk too short")
+            fmt = Some((bb.getShort(pos + 8) & 0xffff, bb.getShort(pos + 10) & 0xffff,
+              bb.getInt(pos + 12), bb.getShort(pos + 22) & 0xffff))
+          case "data" => data = Some((pos + 8, size))
+          case _      => () // LIST/fact/cue/...: skip
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned; odd sizes pad
+      }
+      val (audioFormat, channels, rate, bits) =
+        fmt.getOrElse(throw new IllegalArgumentException("WAV has no fmt chunk"))
+      val (off, size) =
+        data.getOrElse(throw new IllegalArgumentException("WAV has no data chunk"))
+      require(audioFormat == 1, s"audioFormat $audioFormat unsupported (PCM=1 only; " +
+        "compressed WAV needs an external codec behind the pluggable decoder surface)")
+      require(bits == 8 || bits == 16, s"$bits-bit samples unsupported (8/16 only)")
+      var peak = 0
+      var sumSq = 0L
+      var n = 0L
+      if (bits == 8) {
+        var i = off
+        while (i < off + size) {
+          val s = bytes(i) & 0xff
+          if (s > peak) peak = s
+          sumSq += s.toLong * s
+          n += 1; i += 1
+        }
+      } else {
+        var i = off
+        while (i + 2 <= off + size) {
+          val s = bb.getShort(i).toInt
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          n += 1; i += 2
+        }
+      }
+      AudioMeta(docId, bytes.length, rate, channels, bits, n, peak, sumSq)
+    }
+  }
+
+  /** Partition-batched audio decode: binary WAV column → typed
+    * [[AudioMeta]] (same batch shape as the image decoders). */
+  def extractAudioMeta(spark: SparkSession, df: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => WavDecoder.parse(id, bytes) })
+  }
+
   /** Partition-batched image resize (the decode→transform→re-encode leg of
     * a multimodal pipeline): every P5 PGM blob average-pooled `factor`×
     * ([[NetpbmDecoder.resizePgmBytes]]) into a new, valid PGM blob —

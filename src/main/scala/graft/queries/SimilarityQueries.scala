@@ -122,6 +122,27 @@ object SimilarityQueries {
           col("height"), col("checksum"))
     }),
 
+    // REAL audio decode (the audio twin of q_multimodal_meta): each doc's
+    // printable-ASCII bytes wrapped as 8-bit mono PCM WAV, decoded by the
+    // real RIFF chunk-walking parser (Multimodal.WavDecoder) through the
+    // partition-batched surface. The oracle recomputes every stat from the
+    // character codes alone — container arithmetic for sizes, max code for
+    // peak amplitude, exact integer Σs² for the energy sum.
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
+      val wavs = docs(s, dir)
+        .select(col("doc_id"), encode(ascii, "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          (id, Multimodal.WavDecoder.wavFromBytes(b, 8000))
+        })
+        .toDF("doc_id", "blob")
+      Multimodal.extractAudioMeta(s, wavs).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), col("peak"), col("sum_sq"))
+    }),
+
     // The REAL feature extractor oracle-gated: brightness-histogram
     // features from the text-as-PGM images (the decode→embed leg feeding
     // the ANN pipelines). The L1-normalized float histogram is
@@ -275,6 +296,26 @@ object SimilarityQueries {
         |       16 AS width, oh AS height,
         |       CAST(checksum AS BIGINT) AS checksum
         |FROM p""".stripMargin,
+
+    // every decoded audio stat recomputed from the character codes: the
+    // 44-byte canonical header + one byte per sample, peak = max code,
+    // energy = exact integer sum of squared codes
+    "q_audio_meta" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '?', 'g') AS ascii
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, ascii,
+        |         list_transform(range(1, length(ascii) + 1),
+        |           i -> ord(substr(ascii, CAST(i AS INT), 1))) AS cs
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(44 + length(ascii) AS INT) AS n_bytes,
+        |       8000 AS sample_rate, 1 AS channels, 8 AS bits,
+        |       CAST(length(ascii) AS BIGINT) AS n_samples,
+        |       CAST(coalesce(list_max(cs), 0) AS INT) AS peak,
+        |       CAST(coalesce(list_sum(list_transform(cs, c -> c * c)), 0) AS BIGINT) AS sum_sq
+        |FROM g""".stripMargin,
 
     // histogram bucket counts recomputed from the character grid: every
     // raster byte is a printable-ASCII code (or the space padding), and

@@ -105,6 +105,39 @@ class MultimodalSpec extends SparkSuite {
     assert(meta.width == 2 && meta.height == 2 && meta.checksum == 35 + 55 + 95 + 115)
   }
 
+  test("WAV round-trip: encode bytes as 8-bit PCM, chunk-walking parse recovers stats") {
+    val payload = Array[Byte](0, 10, 20, -1) // samples 0, 10, 20, 255
+    val wav = Multimodal.WavDecoder.wavFromBytes(payload, 8000)
+    assert(wav.length == 44 + 4)
+    val m = Multimodal.extractAudioMeta(spark,
+        Seq((3L, wav)).toDF("doc_id", "blob")).collect().head
+    assert(m == Multimodal.AudioMeta(3L, 48, 8000, 1, 8, 4, 255,
+      0L + 100 + 400 + 255L * 255))
+  }
+
+  test("WAV parser walks interleaved chunks and reads 16-bit signed LE samples") {
+    // RIFF [LIST junk] [fmt 16-bit] [data]: -2 and +3 as LE shorts
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) + (8 + 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("junk".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4).putShort(-2).putShort(3)
+    val m = Multimodal.WavDecoder.parse(9L, bb.array())
+    assert(m.sample_rate == 44100 && m.channels == 2 && m.bits == 16)
+    assert(m.n_samples == 2 && m.peak == 3 && m.sum_sq == 4L + 9)
+  }
+
+  test("WAV parser rejects non-PCM, truncated chunks, and non-RIFF bytes") {
+    val ok = Multimodal.WavDecoder.wavFromBytes(Array[Byte](1, 2), 8000)
+    val nonPcm = ok.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
+    intercept[IllegalArgumentException] { Multimodal.WavDecoder.parse(0L, nonPcm) }
+    val truncated = ok.dropRight(1)
+    intercept[IllegalArgumentException] { Multimodal.WavDecoder.parse(0L, truncated) }
+    intercept[IllegalArgumentException] { Multimodal.WavDecoder.parse(0L, pgm) }
+  }
+
   test("resizePgmBytes: factor 1 is identity on the raster; P6 and bad factors rejected") {
     val img = ("P5\n4 2\n255\n".getBytes("US-ASCII") ++
       Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
