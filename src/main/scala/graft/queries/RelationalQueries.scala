@@ -50,6 +50,42 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Full outer join: per-customer order stats keeping BOTH orphan sides
+    // (customers with no orders, orders whose customer fell outside a
+    // filtered dimension) — the reconciliation shape. Shuffled hash join
+    // on the key; no broadcast (both sides must keep their null-extended
+    // rows).
+    "q_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 250000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_big_orders"))
+    }),
+
+    // The manual skew guard in the gated surface: lineitem ⋈ supplier
+    // executed through Relational.saltedJoin (big side salted into 8
+    // deterministic sub-keys, supplier replicated once per salt), then
+    // aggregated per nation. The oracle is the PLAIN join — salting must
+    // be result-invariant, and a hash mismatch here means the salt leaked
+    // into the semantics (the SPARK-23207 failure class the deterministic
+    // salt exists to prevent).
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Relational.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          roundp(sum(col("l_extendedprice")), 2).as("revenue"))
+    }),
+
     // Left-semi join (EXISTS): customers with at least one open order.
     "q_semi_join" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -160,6 +196,21 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+        |      WHERE o_totalprice > 250000 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_big_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+
+    // the plain join: the salted execution must be result-identical
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |       floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
