@@ -74,6 +74,25 @@ object SketchQueries {
           first(when(col("pi") === 0, col("ok")), ignoreNulls = true).as("p50_ok"),
           first(when(col("pi") === 1, col("ok")), ignoreNulls = true).as("p95_ok"),
           first(when(col("pi") === 2, col("ok")), ignoreNulls = true).as("p99_ok"))
+    }),
+
+    // Heavy hitters through a FULLY-oracled count-min sketch: exact top-10
+    // users by event count plus each one's CMS estimate. The portable
+    // integer hash family (CountMin's ((x mod P)·Aⱼ+Bⱼ mod P) mod w) lets
+    // the oracle rebuild the IDENTICAL d×w counter table and minimum —
+    // unlike HLL/GK, the sketch's own values are hash-checked, not just
+    // an error-bound boolean. no_undercount (est ≥ exact) is the CMS
+    // deterministic guarantee, derived independently on both sides.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      // orderBy+limit plans TakeOrderedAndProject — no global sort
+      val top10 = exact.orderBy(col("n").desc, col("user_id")).limit(10)
+      val est = graft.operators.CountMin.estimates(
+        ev, col("user_id"), width = 2048, depth = 4, top10.select("user_id"))
+      top10.join(est, col("user_id") === col("item"))
+        .select(col("user_id"), col("n"), col("cms_est"),
+          (col("cms_est") >= col("n")).as("no_undercount"))
     })
   )
 
@@ -88,6 +107,31 @@ object SketchQueries {
     "q_approx_quantile" ->
       """SELECT event_type, count(*) AS n,
         |       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // the identical sketch rebuilt: same hash family, same d*w counters,
+    // same minimum — value-for-value, not a bound check
+    "q_heavy_hitters" ->
+      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+        |h AS (
+        |  SELECT user_id, j,
+        |         ((user_id % 2147483647) *
+        |            (CASE j WHEN 0 THEN 1299721 WHEN 1 THEN 1299743
+        |                    WHEN 2 THEN 1299763 ELSE 1299791 END)
+        |          + (CASE j WHEN 0 THEN 15485863 WHEN 1 THEN 15485867
+        |                    WHEN 2 THEN 15485917 ELSE 15485927 END))
+        |         % 2147483647 % 2048 AS bucket
+        |  FROM events, js),
+        |counters AS (SELECT j, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |top10 AS (SELECT user_id, n FROM exact ORDER BY n DESC, user_id LIMIT 10),
+        |est AS (
+        |  SELECT tb.user_id, min(c.c) AS cms_est
+        |  FROM (SELECT DISTINCT user_id, j, bucket FROM h
+        |        WHERE user_id IN (SELECT user_id FROM top10)) tb
+        |  JOIN counters c USING (j, bucket)
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.n, e.cms_est, e.cms_est >= t.n AS no_undercount
+        |FROM top10 t JOIN est e USING (user_id)""".stripMargin
   )
 }
