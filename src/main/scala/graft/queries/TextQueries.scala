@@ -196,6 +196,26 @@ object TextQueries {
           roundp(col("tfidf_raw"), 4).as("tfidf"))
     }),
 
+    // Per-group top-k through the map-side-combinable aggregator
+    // (functions.TopKByScoreAgg): partial state is <= k pairs per group
+    // per task, so the shuffle moves k-sized combiners, not every row —
+    // the scale path for per-group ranking (the window formulation in
+    // topKPerGroup shuffles the full input). Oracle = the row_number
+    // form: both must pick the identical top-3 by (quality DESC, doc_id).
+    "q_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val scored = docs(s, dir).select(col("lang"),
+          TextAnalysis.qualityScore(col("text")).as("q"), col("doc_id"))
+        .as[(String, Double, Long)]
+      scored.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKByScoreAgg(3).column)
+        .toDF("lang", "topk")
+        .select(col("lang"), posexplode(col("topk")).as(Seq("i", "p")))
+        .select(col("lang"), (col("i") + 1).cast("int").as("rank"),
+          col("p._2").as("doc_id"), roundp(col("p._1"), 4).as("quality"))
+    }),
+
     // Benchmark decontamination (test-set-leakage guard): doc_id % 23 == 0
     // plays the held-out eval suite; every remaining document sharing ANY
     // word 4-gram with it is dropped. The contamination join runs on
@@ -500,6 +520,34 @@ object TextQueries {
          |SELECT doc_id, term, rank,
          |       floor(tfidf_raw * 10000 + 0.5) / 10000 AS tfidf
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the row_number formulation of the same top-3: identical quality
+    // arithmetic to q_quality, ranked per lang with the standard tiebreak
+    "q_topk_agg" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, $Toks AS toks,
+         |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, toks, digits, length(text) AS tlen,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE floor(CAST(len(list_filter(toks,
+         |                     t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |                   / len(toks) * 10000 + 0.5) / 10000 END AS stop_ratio
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |         floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |               + least(stop_ratio * 5.0, 1.0) * 0.3
+         |               + (1.0 - least(CAST(digits AS DOUBLE) / greatest(tlen, 1), 1.0)) * 0.2)
+         |               * 10000 + 0.5) / 10000 AS quality
+         |  FROM r),
+         |ranked AS (
+         |  SELECT lang, doc_id, quality,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |                                 ORDER BY quality DESC, doc_id) AS INT) AS rank
+         |  FROM q)
+         |SELECT lang, rank, doc_id, quality FROM ranked WHERE rank <= 3""".stripMargin,
 
     // string 4-grams stand in for the Spark side's 64-bit hashed 4-grams —
     // identical contamination sets modulo ~2^-65 hash collisions
