@@ -53,7 +53,22 @@ object ExtraQueries {
     // row per column (Profile.numericProfile).
     "q_profile" -> ((s, dir) =>
       graft.operators.Profile.numericProfile(Tables.lineitem(s, dir),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // Semi-structured payloads: the events table's JSON `props` column
+    // parsed with a typed schema (from_json stays inside codegen — no
+    // UDF) and aggregated. The shape every telemetry pipeline has: typed
+    // columns for the hot fields, JSON for the long tail.
+    "q_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")))
   )
 
   private def profileBranch(c: String): String =
@@ -68,6 +83,14 @@ object ExtraQueries {
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(profileBranch).mkString("\nUNION ALL\n"),
+
+    "q_json_props" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -182,6 +182,17 @@ object SimilarityQueries {
     "q_embedding_dedup" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.42, blocks = 8)),
 
+    // Per-label centroid vectors (the codebook-free embedding aggregate a
+    // label-balanced corpus wants): one posexplode over the scan, one
+    // (label, dim) hash aggregate — per-dimension partial means combine
+    // map-side, so the shuffle moves labels x dims cells, not vectors.
+    "q_embedding_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(roundp(avg(col("x").cast("double")), 5).as("mean"),
+          count(lit(1)).as("n"))),
+
     // Quantized-scan kNN: int8-code shortlist (4× cheaper corpus scan) +
     // exact float re-rank — the two-stage compressed-ANN design. Fully
     // deterministic arithmetic, so unlike IVF/LSH this approximate path is
@@ -358,6 +369,16 @@ object SimilarityQueries {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |       CAST(least(64, nb - frame_idx * 64) AS INT) AS n_bytes
         |FROM f WHERE frame_idx % 2 = 0""".stripMargin,
+
+    "q_embedding_centroids" ->
+      """SELECT label, CAST(d AS INT) AS dim,
+        |       floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 100000 + 0.5)
+        |         / 100000 AS mean,
+        |       count(*) AS n
+        |FROM (SELECT label, embedding,
+        |             unnest(range(0, len(embedding))) AS d
+        |      FROM embeddings)
+        |GROUP BY label, d""".stripMargin,
 
     // the full two-stage pipeline replayed: same quantization arithmetic as
     // q_quantize_embed, integer dot products (exact), approximate cosine =
