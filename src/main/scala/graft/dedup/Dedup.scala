@@ -142,6 +142,54 @@ object Dedup {
       .select(col("doc_id"), array((0 until numPerms).map(k => col(s"h$k")): _*).as("signature"))
   }
 
+  /** [[minhashSignatures]] over the PORTABLE universal-hash family
+    * ([[graft.functions.PortableHash]]): shingles stay strings, hashed by
+    * the polynomial-mod-P map, permuted by Lehmer affine maps — every step
+    * exact integer arithmetic a SQL oracle replays bit-for-bit. The
+    * xxhash64 form remains the production default (better mixing, native
+    * kernel); this variant exists so the WHOLE minhash→banding→candidates
+    * pipeline can be value-checked by an independent engine, leaving only
+    * the hash family choice itself outside the gate. */
+  def minhashSignaturesPortable(df: DataFrame, id: Column, text: Column,
+                                n: Int, numPerms: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val shingled = widen(df)
+      .select(id.as("doc_id"), explode(wordNgrams(text, n)).as("s"))
+      .withColumn("h", PortableHash.polyHash(col("s")))
+    val mins = (0 until numPerms).map(j =>
+      min(PortableHash.perm(col("h"), j, numPerms)).as(s"h$j"))
+    shingled.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(j => col(s"h$j")): _*).as("signature"))
+  }
+
+  /** LSH banding joined on the RAW band tuples (no band hash at all):
+    * candidates share a band iff the band's signature slots are equal —
+    * the hash-free formulation an oracle can replay exactly, and the same
+    * (band_idx, slots) equi-join shuffle shape as [[minhashLshCandidates]]
+    * (Spark hashes the struct key internally for partitioning; that hash
+    * never reaches the results). */
+  def minhashBandCandidatesExact(signatures: DataFrame, numPerms: Int,
+                                 rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numPerms >= rowsPerBand && numPerms % rowsPerBand == 0,
+      s"banding must tile the signature exactly: numPerms=$numPerms rowsPerBand=$rowsPerBand")
+    val numBands = numPerms / rowsPerBand
+    val sigs = track(signatures)
+    def bandSlots(b: Int): Column = struct((0 until rowsPerBand).map(r =>
+      element_at(col("signature"), b * rowsPerBand + r + 1).as(s"s$r")): _*)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until numBands).map(bandSlots): _*))
+        .as(Seq("band_idx", "band")))
+    val l = banded.select(col("band_idx"), col("band"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band_idx"), col("band"), col("doc_id").as("id_b"))
+    l.join(r, Seq("band_idx", "band"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** LSH banding over MinHash signatures: split the signature into bands of
     * `rowsPerBand`, hash each band, and emit candidate pairs that share at
     * least one band bucket. Two docs with Jaccard s collide in a band with

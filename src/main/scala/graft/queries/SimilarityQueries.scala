@@ -84,6 +84,19 @@ object SimilarityQueries {
       Dedup.minhashLshCandidates(sigs, numPerms = 32, rowsPerBand = 4)
     }),
 
+    // The SAME MinHash→banding→candidates pipeline over the PORTABLE hash
+    // family (polynomial-mod-P string hash + Lehmer affine permutations):
+    // every signature slot, band tuple, and candidate pair is exact
+    // integer arithmetic, so unlike q_minhash_lsh the oracle rebuilds the
+    // ENTIRE pipeline value-for-value. xxhash64 stays the production
+    // default; this gate proves the algorithm, leaving only the hash
+    // family choice outside it.
+    "q_minhash_portable" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignaturesPortable(docs(s, dir), col("doc_id"), col("text"),
+        n = 3, numPerms = 32)
+      Dedup.minhashBandCandidatesExact(sigs, numPerms = 32, rowsPerBand = 4)
+    }),
+
     // 64-bit SimHash fingerprints (xxhash64-based; rows-only).
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))),
@@ -219,7 +232,52 @@ object SimilarityQueries {
     })
   )
 
+  // the portable minhash pipeline rebuilt in SQL: 3-gram string shingles,
+  // poly(s) = sum ord(s_i)*31^i mod P over the first 48 chars, 32 Lehmer
+  // affine permutations, per-doc minima, 8 bands of 4 joined on the raw
+  // tuples — identical integer arithmetic to the Spark side
+  private val minhashPortableOracle: String = {
+    import graft.functions.PortableHash
+    val pows = PortableHash.powers.mkString(", ")
+    val (as, bs) = PortableHash.permConstants(32).unzip
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+       |  FROM documents),
+       |shingled AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           unnest(CASE WHEN len(t) < 3 THEN []
+       |                  ELSE list_transform(range(1, len(t) - 1),
+       |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+       |    FROM toks)),
+       |hashed AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(1, least(length(shingle), 48) + 1),
+       |                i -> CAST(ord(substr(shingle, CAST(i AS INT), 1)) AS BIGINT) *
+       |                     ([$pows])[CAST(i AS INT)]))
+       |              % 2147483647 AS BIGINT) AS h
+       |  FROM shingled),
+       |perms AS (
+       |  SELECT doc_id, j,
+       |         min(CAST((h * ([${as.mkString(", ")}])[CAST(j + 1 AS INT)]
+       |                   + ([${bs.mkString(", ")}])[CAST(j + 1 AS INT)])
+       |                  % 2147483647 AS BIGINT)) AS m
+       |  FROM hashed, (SELECT unnest(range(0, 32)) AS j) js
+       |  GROUP BY doc_id, j),
+       |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM perms GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |         sig[CAST(4 * b + 1 AS INT)] AS s0, sig[CAST(4 * b + 2 AS INT)] AS s1,
+       |         sig[CAST(4 * b + 3 AS INT)] AS s2, sig[CAST(4 * b + 4 AS INT)] AS s3
+       |  FROM sigs, (SELECT unnest(range(0, 8)) AS b) bs)
+       |SELECT a.doc_id AS id_a, c.doc_id AS id_b, count(*) AS n_shared_bands
+       |FROM bands a JOIN bands c USING (b, s0, s1, s2, s3)
+       |WHERE a.doc_id < c.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_minhash_portable" -> minhashPortableOracle,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |pairs AS (

@@ -57,6 +57,28 @@ class DedupSpec extends SparkSuite {
     assert(exact.exists(_._3 == 8L)) // identical signature → all 8 bands shared
   }
 
+  test("portable minhash: column polyHash matches the Scala twin; dups collide in every band") {
+    import graft.functions.PortableHash
+    // the column fold and the Scala twin agree on real shingles
+    val shingles = docs.select(explode(Dedup.wordNgrams(col("text"), 3)).as("s"))
+      .select(col("s"), PortableHash.polyHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(shingles.nonEmpty)
+    shingles.foreach { case (s, h) =>
+      assert(h == PortableHash.polyHashScala(s), s"polyHash mismatch on '$s'")
+      assert(h >= 0 && h < PortableHash.P)
+    }
+    // exact dups (docs 1 and 4) have identical signatures -> share all 8 bands
+    val sigs = Dedup.minhashSignaturesPortable(docs, col("doc_id"), col("text"),
+      n = 3, numPerms = 32)
+    val byDoc = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(byDoc(1L) == byDoc(4L))
+    assert(byDoc(1L) != byDoc(3L))
+    val cands = Dedup.minhashBandCandidatesExact(sigs, numPerms = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cands((1L, 4L)) == 8L, "exact dup must share all 8 bands")
+  }
+
   test("simhash: exact dups equal; near-dups closer in hamming than unrelated") {
     val fps = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
