@@ -190,6 +190,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** SimHash over the portable family: per token occurrence, `bits`
+    * independent universal bits (the j-th affine permutation's parity);
+    * each bit votes ±1, the fingerprint sets bits whose tally is positive
+    * (ties → 0). Same shape as the production [[simhash]] (one aggregate
+    * over exploded tokens — map-side combined votes), but every vote is
+    * exact integer arithmetic an oracle replays, value-for-value. */
+  def simhashPortable(df: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    import graft.functions.PortableHash
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62] (got $bits)")
+    val toks = widen(df)
+      .select(id.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+      .withColumn("h", PortableHash.polyHash(col("t")))
+    val votes = (0 until bits).map(b =>
+      sum(when(pmod(PortableHash.perm(col("h"), b, bits), lit(2)) === 1, 1L).otherwise(-1L))
+        .as(s"v$b"))
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+  }
+
   /** LSH banding over MinHash signatures: split the signature into bands of
     * `rowsPerBand`, hash each band, and emit candidate pairs that share at
     * least one band bucket. Two docs with Jaccard s collide in a band with

@@ -97,6 +97,13 @@ object SimilarityQueries {
       Dedup.minhashBandCandidatesExact(sigs, numPerms = 32, rowsPerBand = 4)
     }),
 
+    // SimHash's bit-voting oracle-gated through the portable family: 32
+    // universal bits per token occurrence, ±1 votes, positive tallies set
+    // fingerprint bits — the oracle re-derives every vote and bit. The
+    // xxhash64 q_simhash stays the production fingerprint.
+    "q_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPortable(docs(s, dir), col("doc_id"), col("text"), bits = 32)),
+
     // 64-bit SimHash fingerprints (xxhash64-based; rows-only).
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))),
@@ -276,8 +283,41 @@ object SimilarityQueries {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // SimHash bit-voting rebuilt in SQL over the same portable family
+  private val simhashPortableOracle: String = {
+    import graft.functions.PortableHash
+    val pows = PortableHash.powers.mkString(", ")
+    val (as, bs) = PortableHash.permConstants(32).unzip
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS t
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |         CASE WHEN length(t) = 0 THEN 0
+       |              ELSE CAST(list_sum(list_transform(range(1, least(length(t), 48) + 1),
+       |                     i -> CAST(ord(substr(t, CAST(i AS INT), 1)) AS BIGINT) *
+       |                          ([$pows])[CAST(i AS INT)]))
+       |                   % 2147483647 AS BIGINT) END AS h
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (h * ([${as.mkString(", ")}])[CAST(b + 1 AS INT)]
+       |                        + ([${bs.mkString(", ")}])[CAST(b + 1 AS INT)])
+       |                       % 2147483647 % 2 = 1
+       |                  THEN 1 ELSE -1 END) AS v
+       |  FROM hashed, (SELECT unnest(range(0, 32)) AS b) bsrc
+       |  GROUP BY doc_id, b)
+       |SELECT doc_id,
+       |       CAST(sum(CASE WHEN v > 0
+       |                     THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+       |                     ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_minhash_portable" -> minhashPortableOracle,
+    "q_simhash_portable" -> simhashPortableOracle,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |pairs AS (

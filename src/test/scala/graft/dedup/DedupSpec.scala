@@ -79,6 +79,19 @@ class DedupSpec extends SparkSuite {
     assert(cands((1L, 4L)) == 8L, "exact dup must share all 8 bands")
   }
 
+  test("portable simhash: dups equal, near-dups closer than unrelated, bounds respected") {
+    val fp = Dedup.simhashPortable(docs, col("doc_id"), col("text"), bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L)) // exact dup
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)),
+      "near-dup must be closer in hamming than an unrelated doc")
+    fp.values.foreach(v => assert(v >= 0 && v < (1L << 32)))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPortable(docs, col("doc_id"), col("text"), bits = 63)
+    }
+  }
+
   test("simhash: exact dups equal; near-dups closer in hamming than unrelated") {
     val fps = Dedup.simhash(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
