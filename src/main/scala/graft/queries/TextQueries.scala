@@ -196,6 +196,15 @@ object TextQueries {
           roundp(col("tfidf_raw"), 4).as("tfidf"))
     }),
 
+    // The order-sensitive fingerprint oracle-gated through the portable
+    // family: rolling Rabin-Karp fold over the first 64 tokens in closed
+    // form (q_rolling_fp's xxhash64 fold stays the unbounded production
+    // path). Token order matters: permuted docs get different fps, which
+    // the oracle re-derives exactly.
+    "q_rolling_portable" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingPrefixFingerprint(col("text"), maxTokens = 64).as("fp"))),
+
     // Per-group top-k through the map-side-combinable aggregator
     // (functions.TopKByScoreAgg): partial state is <= k pairs per group
     // per task, so the shuffle moves k-sized combiners, not every row —
@@ -520,6 +529,31 @@ object TextQueries {
          |SELECT doc_id, term, rank,
          |       floor(tfidf_raw * 10000 + 0.5) / 10000 AS tfidf
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // closed-form Rabin-Karp over the token prefix, every per-token poly
+    // hash and 257-power replayed in exact integer arithmetic
+    "q_rolling_portable" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      val M = 1000000007L
+      val pow257 = Iterator.iterate(1L)(p => p * 257 % M).take(64).toSeq.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         (list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))[1:64] AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS k FROM toks)
+         |SELECT doc_id,
+         |       CAST(coalesce(list_sum(list_transform(range(1, k + 1), i ->
+         |              (CASE WHEN length(t[CAST(i AS INT)]) = 0 THEN 0
+         |                    ELSE CAST(list_sum(list_transform(
+         |                           range(1, least(length(t[CAST(i AS INT)]), 48) + 1),
+         |                           c -> CAST(ord(substr(t[CAST(i AS INT)], CAST(c AS INT), 1)) AS BIGINT)
+         |                                * ([$pow31])[CAST(c AS INT)]))
+         |                         % 2147483647 AS BIGINT) END
+         |               * ([$pow257])[CAST(k - i + 1 AS INT)]) % $M)), 0)
+         |            % $M AS BIGINT) AS fp
+         |FROM d""".stripMargin
+    },
 
     // the row_number formulation of the same top-3: identical quality
     // arithmetic to q_quality, ranked per lang with the standard tiebreak

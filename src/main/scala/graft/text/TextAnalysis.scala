@@ -90,6 +90,34 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 257 + pmod(xxhash64(t), mod), mod))
   }
 
+  /** Order-sensitive prefix fingerprint over the PORTABLE hash family
+    * ([[graft.functions.PortableHash]]): the rolling fold over the first
+    * `maxTokens` tokens in closed form, fp = Σ poly(tᵢ)·257^(k−1−i) mod M
+    * (k = min(n, maxTokens), M = 1e9+7) — algebraically the same recurrence
+    * as [[rollingHashFingerprint]] (acc·257 + h), but with per-token hashes
+    * and powers an SQL oracle replays exactly. The closed form needs a
+    * literal powers table, hence the prefix cap; the production
+    * xxhash64 fold stays unbounded. Overflow audit: poly < 2³¹, power < M
+    * < 2³⁰ → each product < 2⁶¹, reduced mod M BEFORE summing (mod is a
+    * ring hom, so term-wise reduction equals sum-then-mod), and the sum of
+    * ≤ 64 reduced terms stays < 2³⁶. */
+  def rollingPrefixFingerprint(text: Column, maxTokens: Int = 64): Column = {
+    require(maxTokens >= 1 && maxTokens <= 64,
+      s"maxTokens must be in [1, 64] (got $maxTokens): the term sum is " +
+        "overflow-audited for 64 terms")
+    val M = 1000000007L
+    val pow257: Seq[Long] =
+      Iterator.iterate(1L)(p => p * 257 % M).take(maxTokens).toSeq
+    val pows = array(pow257.map(lit): _*)
+    val toks = slice(tokens(text), 1, maxTokens)
+    val k = size(toks)
+    // Σ poly(t_i) * 257^(k-i) for 1-based i — element_at(pows, k-i+1)
+    pmod(aggregate(sequence(lit(1), greatest(k, lit(1))), lit(0L),
+      (acc, i) => acc + when(i <= k,
+        pmod(graft.functions.PortableHash.polyHash(element_at(toks, i)) *
+          element_at(pows, k - i + 1), lit(M))).otherwise(lit(0L))), lit(M))
+  }
+
   /** Fixed-window token chunking with stride — the training-window splitter
     * (every LLM pretraining pipeline cuts documents into model-context-sized
     * pieces; overlap = window − stride preserves cross-boundary context).
