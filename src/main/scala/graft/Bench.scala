@@ -69,7 +69,14 @@ object Bench {
     val total = ok.map(_._2).sum
     val loadAfter = loadAvg()
     val cpusAvail = Runtime.getRuntime.availableProcessors()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"errors":$errJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"errors":$errJson}"""
+    println(line)
+    // also land the line on disk: log-capture pipelines truncate long stdout
+    // lines (BENCH_r06 lost half its per-query numbers that way); the file
+    // artifact keeps every round's numbers complete regardless
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

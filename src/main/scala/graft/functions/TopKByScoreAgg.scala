@@ -24,9 +24,17 @@ class TopKByScoreAgg(k: Int)
   require(k > 0, s"k must be positive (got $k)")
 
   /** true when a ranks strictly better than b: higher score, or equal
-    * score and smaller id. */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    * score and smaller id. Scores compare in the total order Spark's sort
+    * uses (NaN above every double, -0.0 == 0.0): a raw `>` would let a NaN
+    * at the buffer head poison the aggregate (better(x, NaN) false for all
+    * x), silently diverging from the window formulation it must match. */
+  private def cmpScore(x: Double, y: Double): Int =
+    java.lang.Double.compare(if (x == 0.0d) 0.0d else x, if (y == 0.0d) 0.0d else y)
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = cmpScore(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def zero: List[(Double, Long)] = Nil
 

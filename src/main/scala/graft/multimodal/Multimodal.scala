@@ -244,9 +244,13 @@ object Multimodal {
     /** Minimal canonical 8-bit mono PCM WAV wrapping `payload` as samples —
       * the encode side (a 44-byte classic header + the sample bytes). */
     def wavFromBytes(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(44 + payload.length)
+      // RIFF chunks are word-aligned: an odd-length data payload carries a
+      // zero pad byte EXCLUDED from the declared chunk size (and the RIFF
+      // size counts the pad, since it is part of the chunk stream).
+      val pad = payload.length & 1
+      val out = java.nio.ByteBuffer.allocate(44 + payload.length + pad)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length + pad)
         .put("WAVE".getBytes("US-ASCII"))
         .put("fmt ".getBytes("US-ASCII")).putInt(16)
         .putShort(1).putShort(1)                       // PCM, mono
@@ -254,6 +258,7 @@ object Multimodal {
         .putShort(1).putShort(8)                       // blockAlign, bits
         .put("data".getBytes("US-ASCII")).putInt(payload.length)
         .put(payload)
+      if (pad == 1) out.put(0.toByte)
       out.array()
     }
 
@@ -268,7 +273,9 @@ object Multimodal {
       while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
         val id = ascii(pos, 4)
         val size = bb.getInt(pos + 4)
-        require(size >= 0 && pos + 8 + size <= bytes.length,
+        // bound check in Long: pos + 8 + size in Int overflows negative for an
+        // adversarial size near Int.MaxValue and would pass `<= length`
+        require(size >= 0 && pos.toLong + 8L + size <= bytes.length,
           s"truncated WAV chunk '$id' (declares $size bytes at offset $pos)")
         id match {
           case "fmt " =>

@@ -54,9 +54,12 @@ object CountMin {
       .select(itemKey.as("item"),
         posexplode(array((0 until depth).map(j => bucket(col(items.columns.head), j, width)): _*))
           .as(Seq("j", "bucket")))
+    // Left join: a (j,bucket) cell absent from the counter table means its
+    // count is 0 — the CMS point-query contract is min over ALL depth rows,
+    // so an unseen key must estimate 0, not vanish or min over a subset.
     itemBuckets
-      .join(broadcast(ctrs), Seq("j", "bucket"))
+      .join(broadcast(ctrs), Seq("j", "bucket"), "left")
       .groupBy(col("item"))
-      .agg(min(col("c")).as("cms_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 }

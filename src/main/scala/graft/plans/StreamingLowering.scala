@@ -279,12 +279,22 @@ object StreamingLowering {
       (out.result(), buf)
     }
 
+  /** Cap on the zip-join's unpaired tail. The reference's `zip` buffers the
+    * faster side without bound while the slower side lags (lazy-list
+    * semantics); faithful — but under PERMANENT source imbalance that state
+    * grows forever and dies as an executor OOM long after the cause. Past
+    * this many buffered unpaired events the lowering instead fails loudly,
+    * naming the side that fell behind. */
+  private[plans] val MaxZipBufferedEvents: Int = 1000000
+
   /** `streamJoin` pairwise zip (FunctionalProcessing.hs:148-155): both
     * sides' data events buffered per-side in state, k-th paired with k-th,
     * output stamped from the LEFT event. State grows with the rate
     * MISMATCH between sides (exactly the reference's lazy-list buffering),
-    * not with stream length when rates match. */
-  private def zipJoinLower(left: Dataset[Event[Any]], right: Dataset[Event[Any]]): Dataset[Event[Any]] = {
+    * not with stream length when rates match; a mismatch beyond `maxBuffer`
+    * events raises a directed error instead of growing without bound. */
+  private[plans] def zipJoinLower(left: Dataset[Event[Any]], right: Dataset[Event[Any]],
+                                  maxBuffer: Int = MaxZipBufferedEvents): Dataset[Event[Any]] = {
     val tagged = left.map(e => Event(e.time, e.value.map(v => (0, v): Any)))
       .union(right.map(e => Event(e.time, e.value.map(v => (1, v): Any))))
     statefulLower(tagged) { (events, st) =>
@@ -301,6 +311,17 @@ object StreamingLowering {
         Event(lt, Some((lv, rv): Any))
       }.toIndexedSeq
       lq = lq.drop(k); rq = rq.drop(k)
+      val buffered = math.max(lq.length, rq.length)
+      if (buffered > maxBuffer) {
+        val (fast, slow) = if (lq.length > rq.length) ("left", "right") else ("right", "left")
+        throw new IllegalStateException(
+          s"zip-join state exceeded maxBuffer=$maxBuffer: $buffered unpaired events " +
+            s"buffered from the $fast side because the $slow side has fallen behind. " +
+            "zip pairs k-th with k-th, so a permanently slower/finished side grows " +
+            "state without bound (the reference's lazy zip blocks the same way). " +
+            "Fix the lagging source, or pair by key/time instead " +
+            "(graft.streaming.StreamJoins) if the sides are not rate-matched.")
+      }
       (out, (lq, rq))
     }
   }

@@ -419,7 +419,8 @@ object SimilarityQueries {
         |           i -> ord(substr(ascii, CAST(i AS INT), 1))) AS cs
         |  FROM t)
         |SELECT doc_id,
-        |       CAST(44 + length(ascii) AS INT) AS n_bytes,
+        |       -- RIFF word alignment: odd data chunks carry a pad byte
+        |       CAST(44 + length(ascii) + length(ascii) % 2 AS INT) AS n_bytes,
         |       8000 AS sample_rate, 1 AS channels, 8 AS bits,
         |       CAST(length(ascii) AS BIGINT) AS n_samples,
         |       CAST(coalesce(list_max(cs), 0) AS INT) AS peak,

@@ -75,6 +75,22 @@ object StreamQueries {
       .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
   }
 
+  /** The chunked events replay as a typed single stream of (event_id, value)
+    * payloads for one event_type — the id travels in the payload so the
+    * oracle can join the lowered output back to rows. */
+  private def loweredIdValueSource(s: SparkSession, dir: String, onlyType: String)
+      : org.apache.spark.sql.Dataset[graft.core.Event[Any]] = {
+    import org.apache.spark.sql.Encoders
+    import graft.core.Event
+    Tables.streamEventsChunked(s, dir)
+      .filter(col("event_type") === onlyType)
+      .select(col("ts"), col("event_id"), col("value"))
+      .as[(java.sql.Timestamp, Long, Double)](
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
+      .map { case (ts, id, v) => Event(Some(ts), Some((id, v): Any)) }(
+        Encoders.kryo[Event[Any]])
+  }
+
   /** Source→Window(form)→Map(count,sum)→Sink through the stateful lowering
     * ([[graft.plans.StreamingLowering]]), emitted as (window_start, n,
     * sum_value) with the stamp the window's FIRST event time. Drops empty
@@ -233,9 +249,12 @@ object StreamQueries {
         graft.core.WindowMakers.chopTime[Any](ms), "graft_stream_ct_")
       // the raw stamp is the window's first EVENT's time — normalize to the
       // window BOUNDARY: anchor + k*period, anchor = global first event =
-      // the first window's stamp (a 1-row broadcast, like q_tfidf's count)
-      val anchor = broadcast(res.agg(min(unix_micros(col("window_start"))).as("anchor_us")))
-      res.crossJoin(anchor)
+      // the first window's stamp. A global window min (one partition over
+      // the window-count-sized READ-BACK, not the stream) — no crossJoin
+      // node, no whitelist entry
+      res
+        .withColumn("anchor_us",
+          min(unix_micros(col("window_start"))).over(Window.partitionBy()))
         .withColumn("us", unix_micros(col("window_start")))
         .select(
           timestamp_micros(col("anchor_us") +
@@ -323,6 +342,68 @@ object StreamQueries {
       runLoweredToDf(s,
         typed.toDF("click_id", "purchase_id", "click_value", "purchase_value"),
         "graft_stream_zip_")
+    }),
+
+    // streamFilterAcc executed THROUGH the stateful streaming lowering:
+    // the reference's Source→Map→FilterAcc→Sink graph (FunctionalProcessing
+    // .hs:181-186 filterAcc + Nodes.hs:52-167) lowered onto
+    // flatMapGroupsWithState — the accumulator (previous event's bucket)
+    // carries across the 4-file replay's micro-batch/checkpoint boundaries,
+    // which is what's being gated. Clicks only (unique ts ⇒ fold order ==
+    // oracle order); Map coarsens value to floor(value/25) buckets so the
+    // changes-dedup actually drops consecutive repeats.
+    "q_streaming_changes" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.plans._
+      val g = StreamGraph.path(Seq(
+        StreamVertex(0, OpSource(1), Nil, "(Long,Double)", "(Long,Double)", 1),
+        StreamVertex(1, OpMap, List(Param("bucket25",
+          (x: Any) => {
+            val (id, v) = x.asInstanceOf[(Long, Double)]
+            (id, math.floor(v / 25.0).toLong): Any
+          })), "(Long,Double)", "(Long,Long)", 1),
+        StreamVertex(2, OpFilterAcc(0.5), List(
+          Param("keepBucket", (acc: Any, x: Any) => x.asInstanceOf[(Long, Long)]._2: Any),
+          Param("initNone", null),
+          Param("changed", (x: Any, acc: Any) =>
+            acc == null || acc != x.asInstanceOf[(Long, Long)]._2)),
+          "(Long,Long)", "(Long,Long)", 1),
+        StreamVertex(3, OpSink, Nil, "(Long,Long)", "(Long,Long)", 1)))
+      val lowered = StreamingLowering.lower(
+        s, g, Map(0 -> loweredIdValueSource(s, dir, "click")))(3)
+      val typed = lowered.map { e =>
+        val (id, b) = e.value.get.asInstanceOf[(Long, Long)]
+        (id, b)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      runLoweredToDf(s, typed.toDF("event_id", "bucket"), "graft_stream_chg_")
+    }),
+
+    // streamScan executed THROUGH the stateful streaming lowering
+    // (FunctionalProcessing.hs:188-191 streamScan + Nodes.hs:52-167): the
+    // running-sum accumulator carries across micro-batch/checkpoint
+    // boundaries of the 4-file replay. Clicks only; each event emits the
+    // accumulator (id, running sum so far), rounded portably on read-back.
+    "q_streaming_scan" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.plans._
+      val g = StreamGraph.path(Seq(
+        StreamVertex(0, OpSource(1), Nil, "(Long,Double)", "(Long,Double)", 1),
+        StreamVertex(1, OpScan, List(
+          Param("runningSum", (acc: Any, x: Any) => {
+            val (_, s0) = acc.asInstanceOf[(Long, Double)]
+            val (id, v) = x.asInstanceOf[(Long, Double)]
+            (id, s0 + v): Any
+          }),
+          Param("zero", (0L, 0.0): Any)), "(Long,Double)", "(Long,Double)", 1),
+        StreamVertex(2, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
+      val lowered = StreamingLowering.lower(
+        s, g, Map(0 -> loweredIdValueSource(s, dir, "click")))(2)
+      val typed = lowered.map { e =>
+        val (id, sum) = e.value.get.asInstanceOf[(Long, Double)]
+        (id, sum)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      runLoweredToDf(s, typed.toDF("event_id", "sum_raw"), "graft_stream_scan_")
+        .select(col("event_id"), roundp(col("sum_raw"), 2).as("running_sum"))
     }),
 
     // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
@@ -624,6 +705,25 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT click_id, purchase_id, click_value, purchase_value
         |FROM l JOIN r USING (rn)""".stripMargin,
+
+    // the lowered FilterAcc must reproduce a global lag-based changes-dedup
+    // over the click stream (ts unique within clicks == the fold order)
+    "q_streaming_changes" ->
+      """WITH c AS (
+        |  SELECT event_id, CAST(floor(value / 25) AS BIGINT) AS b, ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT event_id, b AS bucket FROM (
+        |  SELECT event_id, b, lag(b) OVER (ORDER BY ts) AS prev FROM c)
+        |WHERE prev IS NULL OR prev <> b""".stripMargin,
+
+    // the lowered Scan must reproduce a global running sum in ts order,
+    // every prefix checked (one row per click)
+    "q_streaming_scan" ->
+      """SELECT event_id,
+        |       floor(sum(value) OVER (ORDER BY ts
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+        |         AS running_sum
+        |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "q_join_e" ->
       """SELECT a.hour, a.user_id, a.click_id, b.purchase_id

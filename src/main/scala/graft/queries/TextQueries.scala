@@ -257,6 +257,8 @@ object TextQueries {
     "q_redact_pii" -> ((s, dir) => {
       val injected = concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" call 555-867-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
       docs(s, dir).select(
         col("doc_id"),
@@ -623,6 +625,8 @@ object TextQueries {
         |  SELECT doc_id,
         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
         |              || '@example.com or +1-555-'
+        |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              || ' call 555-867-'
         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS it
         |  FROM documents),
         |red AS (
@@ -630,13 +634,13 @@ object TextQueries {
         |         regexp_replace(
         |           regexp_replace(it,
         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |           '\+?\d{1,2}-\d{3}-\d{4}', '[PHONE]', 'g') AS r
+        |           '\+?\d{1,3}([- ]\d{2,4}){2,3}', '[PHONE]', 'g') AS r
         |  FROM inj)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(it,
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(it,
-        |         '\+?\d{1,2}-\d{3}-\d{4}')) AS INT) AS n_phones,
+        |         '\+?\d{1,3}([- ]\d{2,4}){2,3}')) AS INT) AS n_phones,
         |       md5(r) AS redacted_md5,
         |       CAST(length(r) AS INT) AS redacted_len
         |FROM red""".stripMargin

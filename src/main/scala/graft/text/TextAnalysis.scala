@@ -146,7 +146,13 @@ object TextAnalysis {
     * backreferences — so they behave identically under Java regex (Spark)
     * and RE2 (the usual scale engines), and an oracle can replay them. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern = "\\+?\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** A leading 1-3 digit group then 2-3 separated 2-4 digit groups: covers
+    * the international short form (+1-555-0042), the 10-digit NANP 3-3-4
+    * form (555-123-4567), and 4-group international (+44-20-7946-0958) —
+    * a pattern matching only a 7-digit suffix would redact `5[PHONE]`,
+    * leaking leading digits. Bounded repetition only; RE2-safe. */
+  val PhonePattern = "\\+?\\d{1,3}([- ]\\d{2,4}){2,3}"
 
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),

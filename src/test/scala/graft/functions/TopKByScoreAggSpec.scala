@@ -38,6 +38,23 @@ class TopKByScoreAggSpec extends SparkSuite {
     assert(agg.finish(merged) == Seq((5.0, 7L), (4.0, 3L)))
   }
 
+  test("NaN scores rank above all doubles (Spark desc-sort order) and cannot poison the buffer") {
+    val agg = new TopKByScoreAgg(2)
+    // NaN arrives first and lands at the head (worst slot after one more
+    // item); under raw > comparisons every later item would be dropped
+    val b = Seq((Double.NaN, 9L), (1.0, 1L), (5.0, 2L), (7.0, 3L))
+      .foldLeft(agg.zero)(agg.reduce)
+    // Spark sorts NaN above every double under desc, so NaN stays top-1
+    // and the best real score fills slot 2 — NOT (NaN, 1.0). (Primitive
+    // NaN != NaN, so compare the fields, not the tuples.)
+    val out = agg.finish(b)
+    assert(out.length == 2 && out.head._1.isNaN && out.head._2 == 9L
+      && out(1) == (7.0, 3L), s"got: $out")
+    // -0.0 ties with 0.0 (Spark normalizes), so the smaller id wins
+    val z = Seq((0.0, 5L), (-0.0, 2L), (-1.0, 1L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(z).map(_._2) == Seq(2L, 5L))
+  }
+
   test("groups smaller than k return everything, best first") {
     val agg = new TopKByScoreAgg(10)
     val b = Seq((1.0, 1L), (2.0, 2L)).foldLeft(agg.zero)(agg.reduce)

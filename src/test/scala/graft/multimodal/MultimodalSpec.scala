@@ -115,6 +115,25 @@ class MultimodalSpec extends SparkSuite {
       0L + 100 + 400 + 255L * 255))
   }
 
+  test("WAV encode pads odd data chunks to word alignment; declared size excludes the pad") {
+    val wav = Multimodal.WavDecoder.wavFromBytes(Array[Byte](10, 20, 30), 8000)
+    assert(wav.length == 44 + 3 + 1, "odd payload must carry one pad byte")
+    assert(wav.last == 0, "pad byte must be zero")
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(40) == 3, "declared data size must EXCLUDE the pad")
+    assert(bb.getInt(4) == 36 + 3 + 1, "RIFF size counts the padded chunk stream")
+    val m = Multimodal.WavDecoder.parse(1L, wav)
+    assert(m.n_samples == 3 && m.peak == 30, "pad byte must not read as a sample")
+  }
+
+  test("WAV parser rejects an adversarial chunk size that overflows Int arithmetic") {
+    val wav = Multimodal.WavDecoder.wavFromBytes(Array[Byte](1, 2), 8000)
+    val bb = java.nio.ByteBuffer.wrap(wav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue - 4) // data size: pos+8+size overflows negative in Int
+    val e = intercept[IllegalArgumentException] { Multimodal.WavDecoder.parse(0L, wav) }
+    assert(e.getMessage.contains("truncated"), s"want a loud truncation error, got: $e")
+  }
+
   test("WAV parser walks interleaved chunks and reads 16-bit signed LE samples") {
     // RIFF [LIST junk] [fmt 16-bit] [data]: -2 and +3 as LE shorts
     val bb = java.nio.ByteBuffer.allocate(12 + (8 + 4) + (8 + 16) + (8 + 4))

@@ -28,6 +28,23 @@ class CountMinSpec extends SparkSuite {
     tiny.foreach(r => assert(r.getLong(0) >= r.getLong(1), "CMS undercounted"))
   }
 
+  test("unseen keys estimate 0: empty buckets contribute 0, not a dropped row") {
+    // keys far outside the data; with width 4096 over 22 distinct data keys
+    // the chance all their buckets collide with data cells is nil, so the
+    // point-query contract requires est = 0 — and the item must APPEAR
+    val unseen = Seq(900001L, 900002L).toDF("k")
+    val est = CountMin.estimates(keys, $"k", width = 4096, depth = 4, unseen)
+      .orderBy($"item").collect()
+    assert(est.length == 2, "unseen items must not vanish from the output")
+    est.foreach(r => assert(r.getLong(1) == 0L,
+      s"unseen key ${r.getLong(0)} estimated ${r.getLong(1)}, want 0"))
+    // mixed seen+unseen: seen keys keep exact counts, unseen get 0
+    val mixed = Seq(1L, 900001L).toDF("k")
+    val m = CountMin.estimates(keys, $"k", width = 4096, depth = 4, mixed)
+      .orderBy($"item").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 50L), (900001L, 0L)))
+  }
+
   test("counter table is bounded by depth*width cells and totals depth*N") {
     val ctrs = CountMin.counters(keys, $"k", width = 8, depth = 3).collect()
     assert(ctrs.length <= 3 * 8)

@@ -132,6 +132,38 @@ class StreamingLoweringSpec extends SparkSuite {
     assert(got.length == 60) // shorter side bounds the zip
   }
 
+  test("zip-join guard fails loudly, naming the lagging side, under source imbalance") {
+    // 50 left events vs 5 right: 45 unpaired left events buffer in state;
+    // with maxBuffer = 10 the lowering must raise the directed error
+    // instead of growing state without bound
+    val (srcA, _) = replayedSource(50)
+    val (srcB, _) = replayedSource(5)
+    val lowered = StreamingLowering.zipJoinLower(srcA, srcB, maxBuffer = 10)
+    val q = lowered
+      .map(e => e.time.map(_.getTime).getOrElse(-1L))
+      .toDF("lt")
+      .writeStream.format("memory").queryName("slower_zip_guard").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    def chain(t: Throwable): List[Throwable] =
+      Option(t).map(x => x :: chain(x.getCause)).getOrElse(Nil)
+    val msg = chain(err).map(_.getMessage).mkString("\n")
+    assert(msg.contains("zip-join state exceeded maxBuffer=10"), s"got: $msg")
+    assert(msg.contains("right side has fallen behind"), s"error must name the lagging side: $msg")
+    // balanced sides under the same bound stay below it and complete fine
+    val (srcC, _) = replayedSource(12)
+    val (srcD, _) = replayedSource(12)
+    val ok = StreamingLowering.zipJoinLower(srcC, srcD, maxBuffer = 10)
+      .map(e => e.time.map(_.getTime).getOrElse(-1L))
+      .toDF("lt")
+      .writeStream.format("memory").queryName("slower_zip_ok").outputMode("append").start()
+    ok.processAllAvailable()
+    ok.stop()
+    assert(spark.table("slower_zip_ok").count() == 12)
+  }
+
   test("chopTime gap guard bounds empty-window bursts from corrupt far-future stamps") {
     // 10ms windows; a third event 10^12 ms in the future would faithfully
     // demand ~10^11 empty windows in ONE micro-batch — the guard emits

@@ -19,11 +19,12 @@ class PlanAuditSpec extends SparkSuite {
   private val crossJoinByDesign = Set(
     "q_tfidf",          // 1-row corpus-count broadcast onto tf rows
     "q_knn_cosine",     // brute-force ANN baseline: broadcast query set x corpus scan
-    "q_knn_quantized",  // same scan shape as q_knn_cosine, over int8 codes (4x cheaper)
-    "q_streaming_choptime" // 1-row anchor broadcast onto the (window-count-sized) read-back
+    "q_knn_quantized"   // same scan shape as q_knn_cosine, over int8 codes (4x cheaper)
     // q_embedding_dedup left this list in round 5: now the triangle-blocked
     // exact equi-join (Similarity.cosineNearDupPairsBlocked) — same results,
     // no cartesian node
+    // q_streaming_choptime left in round 7: the anchor normalization is now
+    // a global window min over the read-back, no crossJoin node
   )
 
   test("no driver query plans a cartesian or nested-loop join unawares") {

@@ -88,6 +88,20 @@ class CurationOpsSpec extends SparkSuite {
     assert(rows(3) == "edge [EMAIL] end")
   }
 
+  test("redactPii covers the 10-digit NANP 3-3-4 form without leaking leading digits") {
+    val rows = Seq(
+      "dial 555-123-4567 now",        // bare NANP — the shape the old pattern leaked as 5[PHONE]
+      "intl +44-20-7946-0958 ok",     // country code + 4 groups
+      "or 1-800-555-0199 works")      // leading 1, 3-3-4 tail
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(rows(0) == "dial [PHONE] now", s"got: ${rows(0)}")
+    assert(!rows(0).exists(_.isDigit), "no digits may survive redaction")
+    assert(rows(1) == "intl [PHONE] ok", s"got: ${rows(1)}")
+    assert(rows(2) == "or [PHONE] works", s"got: ${rows(2)}")
+  }
+
   // --- numericProfile ---
 
   private lazy val nums = Seq[(java.lang.Double, java.lang.Double)](
