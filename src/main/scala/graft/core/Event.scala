@@ -23,4 +23,12 @@ object Event {
   def data[A](t: Long, v: A): Event[A] = Event(Some(new Timestamp(t)), Some(v))
   def dataOnly[A](v: A): Event[A] = Event(None, Some(v))
   def tick[A](t: Long): Event[A] = Event(Some(new Timestamp(t)), None)
+
+  /** Epoch MICROSECONDS of a timestamp. Ordering events by
+    * `Timestamp.getTime` (milliseconds) silently merges microsecond-distinct
+    * events into ties — the testdata (and Spark's TimestampType) is
+    * microsecond-granular, so every event-order-sensitive fold must sort by
+    * this, not getTime. */
+  def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 }

@@ -22,13 +22,15 @@ object WindowMakers {
   }
 
   /** Per timed event e, the window of all events in [e.time, e.time+ms)
-    * (time-based sliding, slide = every event).
+    * (time-based sliding, slide = every event). Window arithmetic in
+    * MICROSECONDS — `getTime`'s ms granularity would misplace events within
+    * 1 ms of a boundary on µs-granular streams.
     * Reference `FunctionalProcessing.hs:99-108`. */
   def slidingTime[A](ms: Long): WindowMaker[A] = s => {
     val timed = s.filter(_.isTimed)
     timed.tails.takeWhile(_.nonEmpty).map { tail =>
-      val end = tail.head.time.get.getTime + ms
-      tail.takeWhile(_.time.get.getTime < end)
+      val end = Event.micros(tail.head.time.get) + ms * 1000L
+      tail.takeWhile(e => Event.micros(e.time.get) < end)
     }.toList
   }
 
@@ -44,6 +46,7 @@ object WindowMakers {
     * into `Event(None, Some(Nil))`). Reference
     * `FunctionalProcessing.hs:118-129`. */
   def chopTime[A](ms: Long): WindowMaker[A] = s => {
+    // µs arithmetic, as in slidingTime
     val timed = s.filter(_.isTimed)
     timed match {
       case Nil => Nil
@@ -52,11 +55,11 @@ object WindowMakers {
           rest match {
             case Nil => Nil
             case _ =>
-              val end = start + ms
-              val (w, r) = rest.span(_.time.get.getTime < end)
+              val end = start + ms * 1000L
+              val (w, r) = rest.span(e => Event.micros(e.time.get) < end)
               w :: loop(end, r)
           }
-        loop(first.time.get.getTime, timed)
+        loop(Event.micros(first.time.get), timed)
     }
   }
 

@@ -93,7 +93,7 @@ object Interpreter {
         case (Nil, ys) => out ++= ys; done = true
         case (e1 :: xs, e2 :: ys) =>
           (e1.time, e2.time) match {
-            case (Some(t1), Some(t2)) if t1.getTime >= t2.getTime =>
+            case (Some(t1), Some(t2)) if Event.micros(t1) >= Event.micros(t2) =>
               // e2 :: merge2(ys, s1)
               out += e2; b = a; a = ys
             case _ =>

@@ -22,14 +22,16 @@ object Lowering {
 
   implicit private val enc: Encoder[Event[Any]] = Encoders.kryo[Event[Any]]
 
-  /** Merge sort key: event time, with a content-hash tiebreak for TIMED
-    * events so equal-timestamp events from different sources order
-    * deterministically (RDD.sortBy gives equal keys arbitrary post-shuffle
-    * order otherwise). Untimed events all map to (MinValue, 0) — their
-    * relative order is the union's, matching the reference's
-    * arbitrary-interleave contract for untimed merges. */
-  private def keyOf(e: Event[Any]): (Long, Int) = e.time.map(_.getTime) match {
-    case Some(t) => (t, e.value.map(StableHash(_)).getOrElse(0))
+  /** Merge sort key: event time in MICROSECONDS (getTime's milliseconds
+    * would merge µs-distinct events into spurious ties — the testdata is
+    * µs-granular), with a content-hash tiebreak for TIMED events so
+    * equal-timestamp events from different sources order deterministically
+    * (RDD.sortBy gives equal keys arbitrary post-shuffle order otherwise).
+    * Untimed events all map to (MinValue, 0) — their relative order is the
+    * union's, matching the reference's arbitrary-interleave contract for
+    * untimed merges. */
+  private def keyOf(e: Event[Any]): (Long, Int) = e.time match {
+    case Some(t) => (Event.micros(t), e.value.map(StableHash(_)).getOrElse(0))
     case None => (Long.MinValue, 0)
   }
 
@@ -72,6 +74,20 @@ object Lowering {
               }
             }
           }
+        case OpScan if v.params.length >= 3 =>
+          // MONOID scan: a third `merge` param declares the fold associative
+          // with `init` as identity (merge(a, fold-from-init(xs)) ==
+          // fold-from-a(xs)), which unlocks the distributed prefix-scan —
+          // the 100 TB shape for a GLOBAL running aggregate. Range-partition
+          // by the stream order, fold each partition independently from
+          // init, combine the (numPartitions-sized) partials on the driver
+          // into per-partition offsets, then re-fold each partition from its
+          // offset. Two passes over a localCheckpoint'ed sort, one tiny
+          // driver combine — no single ordered partition anywhere.
+          distributedScan(spark, in0,
+            v.params(0).fn.asInstanceOf[(Any, Any) => Any],
+            v.params(1).fn,
+            v.params(2).fn.asInstanceOf[(Any, Any) => Any])
         case OpScan =>
           val f = v.params(0).fn.asInstanceOf[(Any, Any) => Any]
           val init = v.params(1).fn
@@ -108,6 +124,43 @@ object Lowering {
       out += v.id -> ds
     }
     out
+  }
+
+  /** Distributed prefix-scan for monoid folds (see the OpScan 3-param case).
+    * Eager: the sort is materialized (localCheckpoint) because both the
+    * partial-computing pass and the output pass must see the SAME
+    * partitioning, and the driver combine is a `collect()` of one
+    * accumulator per partition (numPartitions values, not data). */
+  private def distributedScan(spark: SparkSession, in0: Dataset[Event[Any]],
+                              f: (Any, Any) => Any, init: Any,
+                              merge: (Any, Any) => Any): Dataset[Event[Any]] = {
+    import org.apache.spark.sql.functions.col
+    implicit val encKeyed: Encoder[(Long, Int, Event[Any])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, enc)
+    val parts = math.max(in0.rdd.getNumPartitions, 1)
+    val sorted = in0
+      .map { e => val k = keyOf(e); (k._1, k._2, e) }
+      .repartitionByRange(parts, col("_1"), col("_2"))
+      .sortWithinPartitions(col("_1"), col("_2"))
+      .localCheckpoint()
+    val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = init
+      it.foreach { case (_, _, e) => e.value.foreach(x => acc = f(acc, x)) }
+      Iterator.single((i, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    // exclusive prefix: partition i starts from init ⊕ partials[0..i)
+    val offsets = partials.scanLeft(init)(merge).dropRight(1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { case (_, _, e) =>
+        e.value match {
+          case Some(x) => acc = f(acc, x); Event(e.time, Some(acc))
+          case None    => Event[Any](e.time, None)
+        }
+      }
+    }
+    spark.createDataset(outRdd)
   }
 
   /** Lower and collect each sink's stream (ordering as produced). */

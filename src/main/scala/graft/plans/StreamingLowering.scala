@@ -213,23 +213,27 @@ object StreamingLowering {
       // Long.MinValue = "no window open yet": a -1 sentinel would re-trigger
       // initialization on every PRE-EPOCH (negative) timestamp, resetting
       // the origin forever and never closing a window. Buffer kept reversed
-      // for O(1) append (see chopLower).
+      // for O(1) append (see chopLower). All arithmetic in MICROSECONDS
+      // (state stores a µs origin — part of the StateVersion contract):
+      // getTime's ms granularity would misplace events within 1 ms of a
+      // window boundary on µs-granular streams.
+      val msUs = ms * 1000L
       var (start, rev) = decodeChopTimeState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isTimed).foreach { e =>
-        val t = e.time.get.getTime
+        val t = Event.micros(e.time.get)
         if (start == Long.MinValue) start = t
-        if (t >= start + ms && (t - start) / ms > MaxEmptyWindowsPerGap) {
+        if (t >= start + msUs && (t - start) / msUs > MaxEmptyWindowsPerGap) {
           out += windowEvent(rev.reverse)
           rev = Nil
           var emitted = 1L
           while (emitted < MaxEmptyWindowsPerGap) { out += windowEvent(Nil); emitted += 1 }
-          start += ((t - start) / ms) * ms
+          start += ((t - start) / msUs) * msUs
         }
-        while (t >= start + ms) {
+        while (t >= start + msUs) {
           out += windowEvent(rev.reverse)
           rev = Nil
-          start += ms
+          start += msUs
         }
         rev = e :: rev
       }
@@ -264,13 +268,15 @@ object StreamingLowering {
     * append and the per-closed-window head-drop are O(1). */
   private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
+      // µs arithmetic (see chopTimeLower)
+      val msUs = ms * 1000L
       var buf = decodeSlidingTimeState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isTimed).foreach { e =>
-        val t = e.time.get.getTime
-        while (buf.nonEmpty && buf.head.time.get.getTime + ms <= t) {
-          val end = buf.head.time.get.getTime + ms
-          out += windowEvent(buf.iterator.takeWhile(_.time.get.getTime < end).toList)
+        val t = Event.micros(e.time.get)
+        while (buf.nonEmpty && Event.micros(buf.head.time.get) + msUs <= t) {
+          val end = Event.micros(buf.head.time.get) + msUs
+          out += windowEvent(buf.iterator.takeWhile(x => Event.micros(x.time.get) < end).toList)
           val (_, rest) = buf.dequeue
           buf = rest
         }
@@ -351,8 +357,9 @@ object StreamingLowering {
     * List → (Int, List)/Queue) fails the unwrap match and gets a DIRECTED
     * error naming the fix, instead of a bare ClassCastException deep in an
     * operator. Bump the version string whenever any operator's state shape
-    * changes. */
-  private[plans] val StateVersion = "graft-state-v2"
+    * changes. (v3: chopTime's stored window origin switched from ms to µs —
+    * same Long shape, incompatible meaning.) */
+  private[plans] val StateVersion = "graft-state-v3"
 
   private def statefulLower(ds: Dataset[Event[Any]])(
       step: (IndexedSeq[Event[Any]], Any) => (IndexedSeq[Event[Any]], Any)): Dataset[Event[Any]] =
@@ -362,8 +369,11 @@ object StreamingLowering {
         (_: Int, it: Iterator[(Int, Event[Any])], state: GroupState[Any]) =>
           val sorted = it.map(_._2).toIndexedSeq
             .sortBy { e =>
-              e.time.map(_.getTime) match {
-                case Some(t) => (t, e.value.map(stableHash).getOrElse(0))
+              // MICROSECONDS: getTime's ms granularity would merge
+              // µs-distinct events into hash-tiebroken ties, folding them
+              // out of true event-time order
+              e.time match {
+                case Some(t) => (Event.micros(t), e.value.map(stableHash).getOrElse(0))
                 case None    => (Long.MinValue, 0) // stable sort keeps arrival order
               }
             }

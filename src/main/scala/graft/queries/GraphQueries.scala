@@ -16,12 +16,16 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_lowered" -> ((s, dir) => {
       import s.implicits._
-      // totally-ordered source stream (the reference's stream invariant)
+      // DISTRIBUTED source (no orderBy, no coalesce(1)): the scan declares
+      // its fold a monoid (sum, 0, +), so Lowering runs the distributed
+      // prefix-scan — range-partitioned by stream order, per-partition
+      // folds, a numPartitions-sized driver combine — instead of the
+      // single-ordered-partition interpreter-parity path (that path stays
+      // spec-covered in LoweringSpec). Event times are unique in `events`,
+      // so the fold order is well-defined without a tiebreak.
       val src = Tables.events(s, dir)
-        .orderBy("ts", "event_id")
         .select(col("ts"), col("value"))
         .as[(java.sql.Timestamp, Double)]
-        .coalesce(1)
         .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
       val g = StreamGraph.path(Seq(
         StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
@@ -34,7 +38,10 @@ object GraphQueries {
         StreamVertex(3, OpScan, List(
           Param("sum", (acc: Any, v: Any) =>
             (acc.asInstanceOf[Double] + v.asInstanceOf[Double]): Any),
-          Param("0.0", 0.0: Any)), "Double", "Double", 1),
+          Param("0.0", 0.0: Any),
+          Param("(+)", (a: Any, b: Any) =>
+            (a.asInstanceOf[Double] + b.asInstanceOf[Double]): Any)),
+          "Double", "Double", 1),
         StreamVertex(4, OpSink, Nil, "Double", "Double", 1)))
       Lowering.lower(s, g, Map(0 -> src))(4)
         .map { e =>

@@ -134,7 +134,7 @@ object StreamingOps {
           else {
             var acc = state.getOption.getOrElse(init)
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
             val out = sorted.map { e =>
               e.value match {
                 case Some(v) => acc = f(acc, v); (k, Event(e.time, Some(acc)))
@@ -164,7 +164,7 @@ object StreamingOps {
           else {
             var acc = state.getOption.getOrElse(init)
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
             val out = sorted.flatMap { e =>
               e.value match {
                 case Some(v) =>
@@ -209,12 +209,12 @@ object StreamingOps {
             val durUs = durationMs * 1000L
             var first = state.getOption.getOrElse(Long.MinValue)
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(_.getTime).getOrElse(Long.MinValue))
+              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
             val out = sorted.flatMap { e =>
               e.time.map { t =>
                 // µs, not Timestamp.getTime's ms — the testdata (and the
                 // batch form's unix_micros) are µs-precision
-                val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+                val us = Event.micros(t)
                 if (first == Long.MinValue) first = us
                 val start = first + Math.floorDiv(us - first, durUs) * durUs
                 val ws = new java.sql.Timestamp(Math.floorDiv(start, 1000L))

@@ -55,6 +55,37 @@ class LoweringSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("monoid scan (3-param) distributes yet matches the interpreter exactly") {
+    // same pipeline, but the scan declares (sum, 0, +) a monoid — Lowering
+    // takes the distributed prefix-scan path (range partition + partial
+    // folds + driver combine) instead of coalesce(1); results must be
+    // IDENTICAL to the sequential interpreter (Int arithmetic: exact)
+    val monoid = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Int", "Int", 1),
+      StreamVertex(1, OpMap, List(mapP("(*2)")(_ * 2)), "Int", "Int", 1),
+      StreamVertex(2, OpFilter(0.5), List(pred("(>2)")(_ > 2)), "Int", "Int", 1),
+      StreamVertex(3, OpScan, List(
+        Param("sum", (acc: Any, v: Any) => (acc.asInstanceOf[Int] + v.asInstanceOf[Int]): Any),
+        Param("0", 0: Any),
+        Param("(+)", (a: Any, b: Any) => (a.asInstanceOf[Int] + b.asInstanceOf[Int]): Any)),
+        "Int", "Int", 1),
+      StreamVertex(4, OpSink, Nil, "Int", "Int", 1)))
+    val bigInput: Map[Int, List[Event[Any]]] =
+      Map(0 -> (1 to 500).map(i => Event.data(i * 10L, i: Any)).toList)
+    val expected = Interpreter.runToSinks(monoid, bigInput)
+      .values.head.map(e => (e.time, e.value)).sortBy(_._1.map(_.getTime))
+    val sunk = Lowering.runToSinks(spark, monoid, bigInput)
+      .values.head.map(e => (e.time, e.value)).sortBy(_._1.map(_.getTime))
+    assert(sunk == expected)
+    // and the lowered plan must not have collapsed to one partition
+    val lowered = Lowering.lower(spark,
+      monoid,
+      Map(0 -> spark.createDataset(spark.sparkContext.parallelize(
+        bigInput(0), 8))(org.apache.spark.sql.Encoders.kryo[Event[Any]])))(4)
+    assert(lowered.rdd.getNumPartitions > 1,
+      "monoid scan must stay distributed (no coalesce(1))")
+  }
+
   test("rewritten variants execute identically on Spark") {
     val variants = Rules.rewriteGraph(Rules.defaultRules, pipeline, depth = 2)
     val expected = Interpreter.runToSinks(pipeline, input).values.toList

@@ -44,4 +44,19 @@ class PlanAuditSpec extends SparkSuite {
     val stale = crossJoinByDesign -- crossPlanned
     assert(stale.isEmpty, s"whitelist entries no longer cross-join: ${stale.mkString(", ")}")
   }
+
+  test("no driver query funnels data through a single-partition Coalesce") {
+    // "Coalesce 1" in an executed plan = the whole input pulled through one
+    // task — the other classic works-at-test-scale/dies-at-100TB shape
+    // (q_graph_lowered carried one until round 7's distributed prefix-scan)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      spark.catalog.clearCache()
+      if (plan.contains("Coalesce 1")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition Coalesce in: ${offenders.mkString(", ")}")
+  }
 }
