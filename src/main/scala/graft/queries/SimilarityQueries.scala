@@ -77,6 +77,33 @@ object SimilarityQueries {
       graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 2)
     }),
 
+    // The IVF PROBE PATH fully oracled: k-means training swapped for a
+    // deterministic seed-point quantizer (the embeddings of vec_id 0..7 —
+    // the classic random-point init, 8 driver-collected rows), leaving
+    // every probe-side step — squared-L2 cell assignment, nprobe=2
+    // probing, exact-cosine rerank, deterministic tiebreaks — exact
+    // arithmetic the oracle replays value-for-value. q_knn_ivf keeps the
+    // trained codebook (rows-only + IvfSpec recall checks).
+    "q_knn_ivf_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids,
+        k = 5, nprobe = 2)
+    }),
+
+    // The SRP-LSH bucketed-ANN pipeline over the PORTABLE plane family
+    // (one closed-form Lehmer multiplication per ±1 weight): every bucket
+    // bit, candidate pair, and rank SQL-replayable — the PortableHash move
+    // applied to hyperplanes. 4 tables × 4 planes; q_knn_lsh keeps the
+    // better-mixing splitmix planes (rows-only + recall cross-check).
+    "q_knn_srp_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshKnnPortable(e, e.filter(col("vec_id") < 10), dims = 64,
+        planesPerTable = 4, tables = 4, k = 5)
+    }),
+
     // MinHash + LSH banding near-dup candidates (xxhash64-based; rows-only).
     "q_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(docs(s, dir), col("doc_id"), col("text"),
@@ -326,6 +353,75 @@ object SimilarityQueries {
         |           list_transform(q_emb, x -> CAST(x AS DOUBLE)),
         |           list_transform(e.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
         |  FROM q, embeddings e WHERE e.vec_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the whole IVF probe path replayed: seed-point centroids (vec_id < 8),
+    // squared-L2 assignment with first-min tiebreak (ORDER BY d2, cell ==
+    // array_position's first minimum), nprobe=2, exact-cosine rerank
+    "q_knn_ivf_portable" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cell,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i])
+        |                * (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i]))) AS d2
+        |  FROM embeddings e, c),
+        |assign AS (
+        |  SELECT vec_id AS n_id, embedding AS n_emb, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d WHERE vec_id < 10) WHERE rnk <= 2),
+        |pairs AS (
+        |  SELECT q_id, n_id,
+        |         floor(list_cosine_similarity(
+        |           list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+        |           list_transform(n_emb, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM probe JOIN assign USING (cell) WHERE n_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // every SRP bucket bit re-derived from the closed-form Lehmer weights,
+    // OR-construction candidates, exact-cosine rerank
+    "q_knn_srp_portable" ->
+      """WITH b AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+        |  FROM (
+        |    SELECT e.vec_id, t.t, p.p,
+        |           list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) *
+        |                  (CASE WHEN ((1 + ((t.t * 4 + p.p) * 64) + (i - 1)) * 48271)
+        |                             % 2147483647 % 2 = 0
+        |                        THEN 1.0 ELSE -1.0 END))) AS proj
+        |    FROM embeddings e, range(0, 4) t(t), range(0, 4) p(p))
+        |  GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+        |  FROM b q JOIN b n ON q.t = n.t AND q.bucket = n.bucket
+        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+        |pairs AS (
+        |  SELECT c.q_id, c.n_id,
+        |         floor(list_cosine_similarity(
+        |           list_transform(eq.embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(en.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM cand c
+        |  JOIN embeddings eq ON eq.vec_id = c.q_id
+        |  JOIN embeddings en ON en.vec_id = c.n_id),
         |ranked AS (
         |  SELECT q_id, n_id, cos,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank

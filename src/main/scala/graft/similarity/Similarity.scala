@@ -248,11 +248,24 @@ object Similarity {
     * fraction ≈ tables/2^planesPerTable of the corpus for unrelated
     * vectors — instead of a full scan. Recall < 1 by construction. */
   def lshKnn(corpus: DataFrame, queries: DataFrame, dims: Int, numPlanes: Int, k: Int,
-             tables: Int = 8): DataFrame = {
+             tables: Int = 8): DataFrame =
+    lshKnnImpl(corpus, queries, k,
+      e => srpTableBuckets(e, dims, numPlanes, tables))
+
+  /** [[lshKnn]] over the PORTABLE plane family ([[planeSignPortable]]) —
+    * every bucket bit, candidate pair, and rank SQL-replayable. The
+    * splitmix planes stay the production default (better mixing). */
+  def lshKnnPortable(corpus: DataFrame, queries: DataFrame, dims: Int,
+                     planesPerTable: Int, tables: Int, k: Int): DataFrame =
+    lshKnnImpl(corpus, queries, k,
+      e => srpTableBucketsPortable(e, dims, planesPerTable, tables))
+
+  private def lshKnnImpl(corpus: DataFrame, queries: DataFrame, k: Int,
+                         buckets: Column => Column): DataFrame = {
     val cb = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      posexplode(srpTableBuckets(col("embedding"), dims, numPlanes, tables)).as(Seq("t", "bucket")))
+      posexplode(buckets(col("embedding"))).as(Seq("t", "bucket")))
     val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      posexplode(srpTableBuckets(col("embedding"), dims, numPlanes, tables)).as(Seq("t", "bucket")))
+      posexplode(buckets(col("embedding"))).as(Seq("t", "bucket")))
     val pairs = qb.join(cb, Seq("t", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id") // a pair may collide in several tables
@@ -261,4 +274,28 @@ object Similarity {
         pairs, k, Seq(col("q_id")), Seq(col("cos").desc, col("n_id")))
       .select("q_id", "n_id", "cos", "rank")
   }
+
+  /** Engine-portable SRP plane sign — the [[graft.functions.PortableHash]]
+    * move applied to hyperplanes: w(plane, dim) = ±1 from ONE closed-form
+    * Lehmer multiplication, `((1 + plane·dims + dim)·48271 mod (2³¹−1))
+    * mod 2`, no iterated generator state, so a SQL oracle reproduces every
+    * weight with the same integer arithmetic. Weaker bit-mixing than the
+    * production splitmix planes ([[graft.functions.SrpBuckets]]); exists to
+    * make the WHOLE bucketed-ANN pipeline oracle-checkable. */
+  def planeSignPortable(plane: Int, dim: Int, dims: Int): Double =
+    if ((1L + plane.toLong * dims + dim) * 48271L % 2147483647L % 2L == 0L) 1.0 else -1.0
+
+  /** [[srpTableBuckets]] over the portable plane family. */
+  def srpTableBucketsPortable(emb: Column, dims: Int, planesPerTable: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until planesPerTable).map { p =>
+        val plane = t * planesPerTable + p
+        val weights = array((0 until dims).map(d =>
+          lit(planeSignPortable(plane, d, dims))): _*)
+        val proj = aggregate(
+          zip_with(emb, weights, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
 }
