@@ -406,6 +406,47 @@ object StreamQueries {
         .select(col("event_id"), roundp(col("sum_raw"), 2).as("running_sum"))
     }),
 
+    // Every STATELESS lowering arm in one gate — Source ×2 → Merge →
+    // Map → Expand → Filter → Sink through StreamingLowering.lower
+    // (completing the story: with the stateful gates above, EVERY
+    // StreamingLowering operator arm now executes through the chunked
+    // streaming replay under a DuckDB oracle). Merge is the unordered
+    // streaming union (SURVEY §2.1's merge relaxation); Map splits each
+    // value into (dollars, cents) parts, Expand flattens them, Filter
+    // keeps positive parts. No state store involved — stateless arms
+    // parallelize freely.
+    "q_streaming_stateless" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.plans._
+      val g = {
+        val s0 = StreamVertex(0, OpSource(1), Nil, "(Long,Double)", "(Long,Double)", 1)
+        val s1 = StreamVertex(1, OpSource(1), Nil, "(Long,Double)", "(Long,Double)", 1)
+        val m = StreamVertex(2, OpMerge, Nil, "(Long,Double)", "(Long,Double)", 1)
+        val mp = StreamVertex(3, OpMap, List(Param("dollarsCents",
+          (x: Any) => {
+            val (id, v) = x.asInstanceOf[(Long, Double)]
+            List((id, 1L, math.floor(v).toLong),
+                 (id, 2L, math.floor(v * 100).toLong % 100)): Any
+          })), "(Long,Double)", "[(Long,Long,Long)]", 1)
+        val ex = StreamVertex(4, OpExpand, Nil, "[(Long,Long,Long)]", "(Long,Long,Long)", 1)
+        val f = StreamVertex(5, OpFilter(0.9), List(Param("positivePart",
+          (x: Any) => x.asInstanceOf[(Long, Long, Long)]._3 > 0L)),
+          "(Long,Long,Long)", "(Long,Long,Long)", 1)
+        val k = StreamVertex(6, OpSink, Nil, "(Long,Long,Long)", "(Long,Long,Long)", 1)
+        StreamGraph.path(Seq(s0, m, mp, ex, f, k))
+          .overlay(StreamGraph.path(Seq(s1, m)))
+      }
+      val lowered = StreamingLowering.lower(s, g,
+        Map(0 -> loweredIdValueSource(s, dir, "click"),
+            1 -> loweredIdValueSource(s, dir, "purchase")))(6)
+      val typed = lowered.map { e =>
+        val (id, part, v) = e.value.get.asInstanceOf[(Long, Long, Long)]
+        (id, part, v)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      runLoweredToDf(s, typed.toDF("event_id", "part_idx", "part_val"),
+        "graft_stream_sl2_")
+    }),
+
     // streamMerge (FunctionalProcessing.hs:135-144): order-preserving UNION
     // ALL of two tagged substreams (downstream event-time ops re-impose order).
     "q_merge" -> ((s, dir) => {
@@ -705,6 +746,20 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT click_id, purchase_id, click_value, purchase_value
         |FROM l JOIN r USING (rn)""".stripMargin,
+
+    // the merged streams' parts, rebuilt relationally: dollars/cents split
+    // per event, positive parts only (floor arithmetic on the same doubles)
+    "q_streaming_stateless" ->
+      """WITH src AS (
+        |  SELECT event_id, value FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |parts AS (
+        |  SELECT event_id, CAST(1 AS BIGINT) AS part_idx,
+        |         CAST(floor(value) AS BIGINT) AS part_val FROM src
+        |  UNION ALL
+        |  SELECT event_id, CAST(2 AS BIGINT),
+        |         CAST(floor(value * 100) AS BIGINT) % 100 FROM src)
+        |SELECT event_id, part_idx, part_val FROM parts WHERE part_val > 0""".stripMargin,
 
     // the lowered FilterAcc must reproduce a global lag-based changes-dedup
     // over the click stream (ts unique within clicks == the fold order)
