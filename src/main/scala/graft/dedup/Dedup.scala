@@ -436,4 +436,50 @@ object Dedup {
       .select(col("__decon_id")).distinct()
     train.join(contaminated, id === col("__decon_id"), "left_anti")
   }
+
+  /** Sparse TF-IDF cosine near-duplicate pairs — the token-posting-list
+    * all-pairs similarity (the lexical complement of the dense embedding
+    * paths in [[graft.similarity.Similarity]]): weight each (doc, token)
+    * by tf·ln(N/df) over RARE tokens only (df ≤ maxDf — the standard
+    * prune: a token shared by k docs fans out to k² pair partials, so the
+    * cap bounds per-token work at maxDf² AND drops the stopword mass that
+    * contributes no discriminative signal), L2-normalize per doc, and join
+    * postings token-by-token: sim(a,b) = Σ_shared ŵ_a·ŵ_b.
+    *
+    * Scale shape: tf/df are map-side-combined aggregates; the pair partial
+    * sums combine map-side before the (id_a, id_b) exchange; nothing is
+    * ever broadcast except the vocabulary-sized df table. The similarity
+    * threshold is applied to the ROUNDED sim (portable floor-rounding), so
+    * an oracle computing the same double arithmetic keeps the same rows. */
+  def sparseTfidfPairs(df: DataFrame, id: Column, text: Column,
+                       maxDfDivisor: Int, minSim: Double, roundTo: Int = 4): DataFrame = {
+    require(maxDfDivisor >= 1, s"maxDfDivisor must be >= 1 (got $maxDfDivisor)")
+    val d = widen(df)
+    // N is ONE eager count (parquet metadata scan) folded in as a literal —
+    // no 1-row crossJoin node, no whitelist entry (same move as the IVF
+    // seed-centroid collect). The df cap SCALES with the corpus
+    // (max(N/divisor, 20), integer division — a fixed cap silently prunes
+    // everything once the corpus outgrows it), while still bounding the
+    // per-token pair fanout at cap².
+    val nDocs = d.count()
+    val maxDf = math.max(nDocs / maxDfDivisor, 20L)
+    val tf = d.select(id.as("__sp_id"), explode(TextAnalysis.tokens(text)).as("term"))
+      .groupBy(col("__sp_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val w = tf.join(broadcast(dfreq), "term")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .select(col("__sp_id"), col("term"), col("w"))
+    val norm = w.groupBy(col("__sp_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val wn = w.join(norm, "__sp_id")
+      .select(col("__sp_id"), col("term"), (col("w") / col("nrm")).as("wn"))
+    val a = wn.select(col("term"), col("__sp_id").as("id_a"), col("wn").as("wa"))
+    val b = wn.select(col("term"), col("__sp_id").as("id_b"), col("wn").as("wb"))
+    a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(roundp(sum(col("wa") * col("wb")), roundTo).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 }

@@ -196,6 +196,39 @@ object TextQueries {
           roundp(col("tfidf_raw"), 4).as("tfidf"))
     }),
 
+    // Corpus unigram-LM quality score — the perplexity-style filter every
+    // pretraining pipeline runs (docs of improbable tokens score low):
+    // P(t) = cnt(t)/N over the whole corpus, score(doc) = mean ln P(t).
+    // Scale shape: the vocabulary is a map-side-combined aggregate; ln N
+    // comes from a global window over the VOCABULARY-sized side (bounded
+    // by distinct words, not corpus rows); docs join the broadcast vocab.
+    "q_unigram_quality" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("logp",
+          log(col("cnt").cast("double")) -
+            log(sum(col("cnt")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()).cast("double")))
+        .select(col("term"), col("logp"))
+      terms.join(broadcast(vocab), "term")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), roundp(avg(col("logp")), 4).as("avg_logp"))
+    }),
+
+    // Sparse TF-IDF cosine near-dup pairs over rare-token postings — the
+    // lexical all-pairs similarity (posting-list join, df-pruned), the
+    // classic complement to the dense-embedding near-dup paths. Gated on
+    // the doc_id < 1000 slice: this corpus's near-dup FAMILIES grow with
+    // sf (family tokens' df ≈ family size), so the unsliced pair count —
+    // and the cap²-bounded fanout the operator deliberately allows — grows
+    // quadratically with family size; the slice keeps the driver gate
+    // family-complete and cheap at every sf while the library call scales
+    // by its N/divisor cap.
+    "q_sparse_pairs" -> ((s, dir) =>
+      Dedup.sparseTfidfPairs(docs(s, dir).filter(col("doc_id") < 1000),
+        col("doc_id"), col("text"), maxDfDivisor = 10, minSim = 0.3)),
+
     // The order-sensitive fingerprint oracle-gated through the portable
     // family: rolling Rabin-Karp fold over the first 64 tokens in closed
     // form (q_rolling_fp's xxhash64 fold stays the unbounded production
@@ -531,6 +564,51 @@ object TextQueries {
          |SELECT doc_id, term, rank,
          |       floor(tfidf_raw * 10000 + 0.5) / 10000 AS tfidf
          |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // unigram log-probs re-derived from the same corpus counts; docs with
+    // zero tokens appear on neither side (no terms rows)
+    "q_unigram_quality" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |vocab AS (
+         |  SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS n FROM vocab),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         ln(CAST(v.cnt AS DOUBLE)) - ln(CAST(tot.n AS DOUBLE)) AS logp
+         |  FROM terms t JOIN vocab v USING (term) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // the sparse posting-list cosine replayed end to end: tf, df-pruned
+    // idf weights, per-doc L2 norms, pair partials — threshold applied to
+    // the ROUNDED sim on both sides
+    "q_sparse_pairs" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+         |terms AS (
+         |  SELECT doc_id, unnest($Toks) AS term FROM d),
+         |nd AS (SELECT count(*) AS n_docs FROM d),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |  HAVING count(*) <= greatest((SELECT n_docs FROM nd) // 10, 20)),
+         |w AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+         |nrm AS (
+         |  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         |wn AS (
+         |  SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+         |  FROM w JOIN nrm USING (doc_id)),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         floor(sum(a.wn * b.wn) * 10000 + 0.5) / 10000 AS sim
+         |  FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3""".stripMargin,
 
     // closed-form Rabin-Karp over the token prefix, every per-token poly
     // hash and 257-power replayed in exact integer arithmetic

@@ -39,6 +39,32 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("sparseTfidfPairs: exact dups at sim 1.0, near-dups high, disjoint docs absent") {
+    // maxDfDivisor 1 → cap = max(5/1, 20) = 20: nothing pruned in this
+    // tiny fixture, so the pairing is pure tf-idf cosine
+    val pairs = Dedup.sparseTfidfPairs(docs, col("doc_id"), col("text"),
+        maxDfDivisor = 1, minSim = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0, "identical docs must hit cosine 1.0 exactly")
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "docs sharing no token must produce no pair")
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("sparseTfidfPairs df cap prunes ubiquitous tokens") {
+    // 30 docs all sharing token "common"; docs 0 and 1 also share "rare".
+    // With the cap at max(30/10, 20) = 20 < 30, "common" is pruned and only
+    // the rare-token pair survives.
+    val many = (0L until 30L).map(i =>
+      (i, if (i < 2) s"common rare u$i" else s"common u$i")).toDF("doc_id", "text")
+    val pairs = Dedup.sparseTfidfPairs(many, col("doc_id"), col("text"),
+        maxDfDivisor = 10, minSim = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)),
+      s"only the rare-token pair should survive the df cap, got $pairs")
+  }
+
   test("minhash signatures: identical docs identical; similar docs mostly agree") {
     val sigs = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), n = 3, numPerms = 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
