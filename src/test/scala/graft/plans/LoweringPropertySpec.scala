@@ -100,6 +100,37 @@ class LoweringPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: distributed monoid scan agrees with the interpreter under random partitionings") {
+    // ticks interleaved, arrival order shuffled, several partition counts:
+    // the batch Lowering's prefix-scan must re-derive the sequential fold
+    // exactly (Int arithmetic — no float association to hide behind)
+    val sumP = Param("sum", (acc: Any, v: Any) => (acc.asInstanceOf[Int] + v.asInstanceOf[Int]): Any)
+    val zeroP = Param("0", 0: Any)
+    val mergeP = Param("(+)", (a: Any, b: Any) => (a.asInstanceOf[Int] + b.asInstanceOf[Int]): Any)
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Int", "Int", 1),
+      StreamVertex(1, OpMap, List(Param("(+1)",
+        (v: Any) => (v.asInstanceOf[Int] + 1): Any)), "Int", "Int", 1),
+      StreamVertex(2, OpScan, List(sumP, zeroP, mergeP), "Int", "Int", 1),
+      StreamVertex(3, OpSink, Nil, "Int", "Int", 1)))
+    for (trial <- 1 to 3) {
+      val input = randomStream(80 + rnd.nextInt(80))
+      val expected = interp(g, input)
+        .map(e => (e.time.map(_.getTime).getOrElse(-1L), e.value))
+        .sortBy(_._1)
+      for (parts <- Seq(1, 3, 8)) {
+        val shuffled = rnd.shuffle(input)
+        val ds: Dataset[Event[Any]] =
+          spark.createDataset(spark.sparkContext.parallelize(shuffled, parts))
+        val got = Lowering.lower(spark, g, Map(0 -> ds))(3)
+          .collect().toList
+          .map(e => (e.time.map(_.getTime).getOrElse(-1L), e.value))
+          .sortBy(_._1)
+        assert(got == expected, s"trial $trial parts $parts")
+      }
+    }
+  }
+
   test("property: batch-executed zip-join matches the interpreter zip exactly") {
     for (_ <- 1 to 5) {
       val a = randomStream(20 + rnd.nextInt(20))
