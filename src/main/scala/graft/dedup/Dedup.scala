@@ -212,6 +212,42 @@ object Dedup {
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
   }
 
+  /** SimHash near-duplicate PAIRS (Manku, Jain & Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW 2007): band each fingerprint
+    * into `maxHamming + 1` bit-blocks — two fingerprints within Hamming
+    * distance `maxHamming` must agree EXACTLY on at least one block
+    * (pigeonhole), so a per-block equi-join surfaces every such pair with
+    * recall 1.0, and an exact XOR-popcount verify drops false positives.
+    *
+    * Input: (doc_id, simhash) rows from [[simhash]]/[[simhashPortable]].
+    * Scale shape: block-bucket equi-joins (shuffle on (block, value), no
+    * n² scan). Bucket sizes are n/2^blockWidth per block — with 64-bit
+    * production fingerprints the 16-bit blocks keep buckets tiny; the
+    * 32-bit portable form's 8-bit blocks are coarser (more verify work),
+    * the price of oracle-replayable fingerprints. */
+  def simhashNearDupPairs(fps: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    require(maxHamming >= 1 && bits % blocks == 0,
+      s"need maxHamming >= 1 and (maxHamming + 1) | bits so blocks tile the " +
+        s"fingerprint exactly (got bits=$bits, maxHamming=$maxHamming)")
+    val w = bits / blocks
+    val mask = (1L << w) - 1
+    val withBlocks = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until blocks).map(i =>
+        shiftright(col("simhash"), i * w).bitwiseAND(lit(mask))): _*))
+        .as(Seq("b", "bv")))
+    val a = withBlocks.select(col("b"), col("bv"),
+      col("doc_id").as("id_a"), col("simhash").as("ha"))
+    val c = withBlocks.select(col("b"), col("bv"),
+      col("doc_id").as("id_b"), col("simhash").as("hb"))
+    a.join(c, Seq("b", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may agree on several blocks
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** LSH banding over MinHash signatures: split the signature into bands of
     * `rowsPerBand`, hash each band, and emit candidate pairs that share at
     * least one band bucket. Two docs with Jaccard s collide in a band with

@@ -135,6 +135,19 @@ object SimilarityQueries {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))),
 
+    // SimHash DEDUP completed end to end: portable fingerprints → Manku
+    // block-banding (2 × 16-bit blocks; Hamming ≤ 1 ⇒ some block equal, by
+    // pigeonhole) → per-block equi-join → exact XOR-popcount verify. The
+    // oracle replays fingerprints, blocks, candidates, and popcounts.
+    // Hamming ≤ 1 because the portable fingerprint is 32-bit: at ≤ 3 a
+    // word-salad corpus of tight dup families admits ~10% of the pair
+    // space (the production 64-bit [[Dedup.simhash]] supports ≤ 3 with
+    // 16-bit blocks at the same bucket granularity).
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        Dedup.simhashPortable(docs(s, dir), col("doc_id"), col("text"), bits = 32),
+        bits = 32, maxHamming = 1)),
+
     // Order-sensitive rolling-hash fingerprint (xxhash64-based; rows-only).
     "q_rolling_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -342,9 +355,26 @@ object SimilarityQueries {
        |FROM votes GROUP BY doc_id""".stripMargin
   }
 
+  // block-banded pairing over the portable fingerprints: the fp CTE is the
+  // whole simhash oracle, then 16-bit blocks, per-block join, XOR popcount
+  private val simhashPairsOracle: String =
+    s"""WITH fp AS ($simhashPortableOracle),
+       |blocks AS (
+       |  SELECT doc_id, simhash, b,
+       |         (simhash >> CAST(b * 16 AS INT)) & 65535 AS bv
+       |  FROM fp, (SELECT unnest(range(0, 2)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS ha,
+       |                  c.doc_id AS id_b, c.simhash AS hb
+       |  FROM blocks a JOIN blocks c
+       |    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_minhash_portable" -> minhashPortableOracle,
     "q_simhash_portable" -> simhashPortableOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
         |pairs AS (

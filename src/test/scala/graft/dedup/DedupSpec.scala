@@ -39,6 +39,28 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhashNearDupPairs: exact recall within maxHamming, none beyond, exact distances") {
+    import spark.implicits._
+    // hand-built fingerprints: 1-2 at hamming 1, 1-3 at hamming 2 (beyond
+    // the bound), 4 far away; block-banding must find exactly {1,2} plus
+    // the identical pair {5,6}
+    val fps = Seq(
+      (1L, 0x000000FFL), (2L, 0x000000FEL), (3L, 0x000000FCL),
+      (4L, 0x7FFF0000L), (5L, 0x12345678L), (6L, 0x12345678L))
+      .toDF("doc_id", "simhash")
+    val got = Dedup.simhashNearDupPairs(fps, bits = 32, maxHamming = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got == Map((1L, 2L) -> 1, (5L, 6L) -> 0, (2L, 3L) -> 1), s"got $got")
+    // widening the bound to 3 (4 x 8-bit blocks) must pull in (1,3) at
+    // distance 2 — pigeonhole recall is exact, not probabilistic
+    val wide = Dedup.simhashNearDupPairs(fps, bits = 32, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(wide((1L, 3L)) == 2 && wide((1L, 2L)) == 1)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(fps, bits = 32, maxHamming = 4) // 5 does not tile 32
+    }
+  }
+
   test("sparseTfidfPairs: exact dups at sim 1.0, near-dups high, disjoint docs absent") {
     // maxDfDivisor 1 → cap = max(5/1, 20) = 20: nothing pruned in this
     // tiny fixture, so the pairing is pure tf-idf cosine
