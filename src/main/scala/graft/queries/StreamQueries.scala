@@ -229,6 +229,50 @@ object StreamQueries {
       s.read.parquet(s"$tmp/result")
     }),
 
+    // STREAMING stateful dedup — Structured Streaming's dropDuplicates
+    // state machine fed the 4-file chunked replay: a key first seen in
+    // micro-batch 1 must NOT re-emit in batch 3, so the carried seen-keys
+    // state is what's gated. Keys only (which ROW survives per key is
+    // plan-order-dependent; the key set is deterministic). The streaming
+    // face of the exact-dedup pillar (batch: q_dedup_exact).
+    "q_streaming_dedup" -> ((s, dir) => {
+      val dedup = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val tmp = graft.core.TempDirs.create("graft_stream_dd_").toAbsolutePath
+      val q = dedup.writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$tmp/result")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
+    // STREAMING session windows — Spark's native session_window aggregate
+    // (merging-window state) through the replay; complete mode flushes
+    // every session of the finite stream, so the batch q_session_window
+    // oracle applies verbatim.
+    "q_streaming_session" -> ((s, dir) => {
+      val agg = Tables.streamEvents(s, dir)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").as("session_start"), col("user_id"),
+          col("n"), col("sum_value"))
+      val tmp = graft.core.TempDirs.create("graft_stream_ss_").toAbsolutePath
+      val q = agg.writeStream.outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("overwrite").parquet(s"$tmp/result")
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // chopTime executed THROUGH the stateful streaming lowering
     // (StreamingLowering.lower → flatMapGroupsWithState): the reference's
     // Source→Window(chopTime)→Filter→Map graph (FunctionalProcessing.hs:
@@ -746,6 +790,30 @@ object StreamQueries {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT click_id, purchase_id, click_value, purchase_value
         |FROM l JOIN r USING (rn)""".stripMargin,
+
+    // the carried dropDuplicates state must yield exactly the distinct key
+    // set, no re-emissions across micro-batches
+    "q_streaming_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // identical semantics to the batch q_session_window gaps-and-islands
+    // oracle — the streaming merging-session state is what differs
+    "q_streaming_session" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     // the merged streams' parts, rebuilt relationally: dollars/cents split
     // per event, positive parts only (floor arithmetic on the same doubles)
