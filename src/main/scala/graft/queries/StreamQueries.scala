@@ -240,13 +240,21 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
       val tmp = graft.core.TempDirs.create("graft_stream_dd_").toAbsolutePath
-      val q = dedup.writeStream.outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(s"$tmp/result")
-        }
-        .start()
+      // state stores scale with shuffle partitions and every micro-batch
+      // commits all of them: at the gate's key count a handful suffice
+      // (the pin is captured into the checkpoint at start, the batch
+      // read-back gets the session default — same move as runLoweredToDf)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        dedup.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       s.read.parquet(s"$tmp/result")
     }),
@@ -262,13 +270,18 @@ object StreamQueries {
         .select(col("w.start").as("session_start"), col("user_id"),
           col("n"), col("sum_value"))
       val tmp = graft.core.TempDirs.create("graft_stream_ss_").toAbsolutePath
-      val q = agg.writeStream.outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("overwrite").parquet(s"$tmp/result")
-        }
-        .start()
+      // same state-store partition pin as q_streaming_dedup
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        agg.writeStream.outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("overwrite").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       s.read.parquet(s"$tmp/result")
     }),
