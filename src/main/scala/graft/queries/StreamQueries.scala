@@ -259,6 +259,43 @@ object StreamQueries {
       s.read.parquet(s"$tmp/result")
     }),
 
+    // STREAM-STREAM interval join — Structured Streaming's hardest
+    // primitive (both sides buffered in watermark-bounded state, pairs
+    // emitted as matches arrive, state evicted once the watermark passes
+    // the join window): clicks x purchases per user within ±1h, fed the
+    // chunked replay so matches form ACROSS micro-batches. Watermark 2h >
+    // the 1h join window, so no pair of the finite replay is evicted
+    // before its match arrives and the inner join emits exactly the
+    // relational result.
+    "q_streaming_interval_join" -> ((s, dir) => {
+      val clicks = Tables.streamEventsChunked(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("event_id").as("click_id"), col("user_id"))
+      val purchases = Tables.streamEventsChunked(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"))
+      val joined = graft.streaming.StreamJoins.intervalJoin(
+          clicks, purchases, "c_ts", "p_ts",
+          watermark = "2 hours", windowMs = 3600000L,
+          keys = col("user_id") === col("p_user"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      val tmp = graft.core.TempDirs.create("graft_stream_ij_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // STREAMING session windows — Spark's native session_window aggregate
     // (merging-window state) through the replay; complete mode flushes
     // every session of the finite stream, so the batch q_session_window
@@ -808,6 +845,16 @@ object StreamQueries {
     // set, no re-emissions across micro-batches
     "q_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the buffered-state inner join must emit exactly the relational
+    // interval join, no pair lost across micro-batch/watermark boundaries
+    "q_streaming_interval_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts - INTERVAL 1 HOUR
+        | AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
 
     // identical semantics to the batch q_session_window gaps-and-islands
     // oracle — the streaming merging-session state is what differs
