@@ -41,11 +41,12 @@ object StreamQueries {
     * session default. Sink = foreachBatch append (each closed window /
     * pair is emitted exactly once — state carries partials across
     * micro-batches, so the appended result needs no merging). */
-  private def runLoweredToDf(s: SparkSession, stream: DataFrame, tmpPrefix: String): DataFrame = {
+  private def runLoweredToDf(s: SparkSession, stream: DataFrame, tmpPrefix: String,
+                             statePartitions: Int = 1): DataFrame = {
     val tmp = graft.core.TempDirs.create(tmpPrefix).toAbsolutePath
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
       stream.writeStream
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -227,6 +228,68 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(s"$tmp/result")
+    }),
+
+    // The KEYED stateful streaming forms — the production 100 TB path
+    // (state shards across executors by key, unlike the single-group
+    // lowering gates): per-user running sum through StreamingOps.scanByKey
+    // over the chunked replay, per-key accumulators carrying across
+    // micro-batch/checkpoint boundaries. Reuses the batch q_scan oracle.
+    "q_streaming_scan_bykey" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[(Long, Double)])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, Double)]])
+      implicit val encB: org.apache.spark.sql.Encoder[(Long, Double)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.scalaDouble))
+        .map { case (u, ts, id, v) => (u, Event(Some(ts), Some((id, v)))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, Double)]]))
+      val scanned = graft.streaming.StreamingOps.scanByKey[Long, (Long, Double), (Long, Double)](
+        keyed,
+        (acc, x) => (x._1, acc._2 + x._2),
+        (0L, 0.0))
+      val typed = scanned.flatMap { case (u, e) =>
+        e.value.map { case (id, sum) => (id, u, sum) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      runLoweredToDf(s, typed.toDF("event_id", "user_id", "sum_raw"),
+        "graft_stream_sbk_", statePartitions = 4)
+        .select(col("event_id"), col("user_id"), roundp(col("sum_raw"), 2).as("running_sum"))
+    }),
+
+    // Per-user changes-dedup through StreamingOps.filterAccByKey (the
+    // keyed FilterAcc state machine): keep an event iff its event_type
+    // differs from the user's previous one — state is ONE string per user.
+    // Reuses the batch q_changes oracle.
+    "q_streaming_changes_bykey" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[(Long, String)])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, String)]])
+      implicit val encB: org.apache.spark.sql.Encoder[String] = Encoders.STRING
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, Long, String)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.STRING))
+        .map { case (u, ts, id, t) => (u, Event(Some(ts), Some((id, t)))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, String)]]))
+      val kept = graft.streaming.StreamingOps.filterAccByKey[Long, (Long, String), String](
+        keyed,
+        (_, x) => x._2,
+        null.asInstanceOf[String],
+        (x, acc) => acc == null || acc != x._2)
+      val typed = kept.flatMap { case (u, e) =>
+        e.value.map { case (id, t) => (id, u, t) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+      runLoweredToDf(s, typed.toDF("event_id", "user_id", "event_type"),
+        "graft_stream_cbk_", statePartitions = 4)
     }),
 
     // STREAMING stateful dedup — Structured Streaming's dropDuplicates
@@ -845,6 +908,24 @@ object StreamQueries {
     // set, no re-emissions across micro-batches
     "q_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // the keyed streaming scan must reproduce the batch per-user running
+    // sum exactly (same oracle as q_scan)
+    "q_streaming_scan_bykey" ->
+      """SELECT event_id, user_id,
+        |       floor(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+        |         AS running_sum
+        |FROM events""".stripMargin,
+
+    // the keyed streaming filterAcc must reproduce the batch per-user
+    // changes-dedup exactly (same oracle as q_changes)
+    "q_streaming_changes_bykey" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
 
     // the buffered-state inner join must emit exactly the relational
     // interval join, no pair lost across micro-batch/watermark boundaries
