@@ -331,10 +331,14 @@ object StreamQueries {
     // before its match arrives and the inner join emits exactly the
     // relational result.
     "q_streaming_interval_join" -> ((s, dir) => {
-      val clicks = Tables.streamEventsChunked(s, dir)
+      // ONE readStream, both sides filtered from it (a stream self-join):
+      // two independent source instances would each replay the 4 files,
+      // doubling the micro-batch floor for identical results
+      val base = Tables.streamEventsChunked(s, dir)
+      val clicks = base
         .filter(col("event_type") === "click")
         .select(col("ts").as("c_ts"), col("event_id").as("click_id"), col("user_id"))
-      val purchases = Tables.streamEventsChunked(s, dir)
+      val purchases = base
         .filter(col("event_type") === "purchase")
         .select(col("ts").as("p_ts"), col("event_id").as("purchase_id"),
           col("user_id").as("p_user"))
