@@ -119,39 +119,44 @@ object Multimodal {
                               maxval: Int, pixelOffset: Int)
 
     /** REAL pixel transform on the decoded path: f×f average-pool
-      * downsample of a P5 grayscale PGM, re-encoded as a valid PGM.
-      * Output dims are ⌈w/f⌉×⌈h/f⌉; each output pixel is the integer
-      * floor-average of its block, partial edge blocks averaged over the
+      * downsample of a P5 grayscale PGM or P6 RGB PPM, re-encoded in the
+      * same format. Output dims are ⌈w/f⌉×⌈h/f⌉; each output sample is
+      * the integer floor-average of its block's samples IN THAT CHANNEL
+      * (P6 pools the three channels independently — averaging across
+      * channels would desaturate), partial edge blocks averaged over the
       * pixels they actually contain — all-integer arithmetic, so an
-      * oracle can replay every output byte. P6 color inputs are rejected
-      * (pool channels separately before re-encode when a real pipeline
-      * needs it); the pluggable-decoder error path covers other magics. */
+      * oracle (or spec) can replay every output byte. */
     def resizePgmBytes(bytes: Array[Byte], f: Int): Array[Byte] = {
       require(f > 0, s"pool factor must be positive (got $f)")
       val hd = Header.parse(bytes)
-      require(!hd.color, "resizePgmBytes pools P5 grayscale only (P6 needs per-channel pooling)")
+      val channels = if (hd.color) 3 else 1
       val ow = (hd.width + f - 1) / f
       val oh = (hd.height + f - 1) / f
-      val header = s"P5\n$ow $oh\n${hd.maxval}\n".getBytes("US-ASCII")
-      val out = new Array[Byte](header.length + ow * oh)
+      val magic = if (hd.color) "P6" else "P5"
+      val header = s"$magic\n$ow $oh\n${hd.maxval}\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + ow * oh * channels)
       System.arraycopy(header, 0, out, 0, header.length)
       var r = 0
       while (r < oh) {
         var c = 0
         while (c < ow) {
-          var sum = 0
-          var cnt = 0
-          var dr = r * f
-          while (dr < math.min(r * f + f, hd.height)) {
-            var dc = c * f
-            while (dc < math.min(c * f + f, hd.width)) {
-              sum += bytes(hd.pixelOffset + dr * hd.width + dc) & 0xff
-              cnt += 1
-              dc += 1
+          var ch = 0
+          while (ch < channels) {
+            var sum = 0
+            var cnt = 0
+            var dr = r * f
+            while (dr < math.min(r * f + f, hd.height)) {
+              var dc = c * f
+              while (dc < math.min(c * f + f, hd.width)) {
+                sum += bytes(hd.pixelOffset + (dr * hd.width + dc) * channels + ch) & 0xff
+                cnt += 1
+                dc += 1
+              }
+              dr += 1
             }
-            dr += 1
+            out(header.length + (r * ow + c) * channels + ch) = (sum / cnt).toByte
+            ch += 1
           }
-          out(header.length + r * ow + c) = (sum / cnt).toByte
           c += 1
         }
         r += 1

@@ -105,6 +105,22 @@ class MultimodalSpec extends SparkSuite {
     assert(meta.width == 2 && meta.height == 2 && meta.checksum == 35 + 55 + 95 + 115)
   }
 
+  test("resize pools P6 color per channel, byte-exact (cross-channel averaging would desaturate)") {
+    // 2x2 RGB image: R channel 10/20/30/40, G 100 everywhere, B 0/0/200/200
+    val img = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](
+      10, 100, 0, 20, 100, 0,
+      30, 100, -56, 40, 100, -56)) // -56 = 200 unsigned
+    val out = Multimodal.NetpbmDecoder.resizePgmBytes(img, 2)
+    val hdr = "P6\n1 1\n255\n".getBytes("US-ASCII")
+    assert(out.take(hdr.length).sameElements(hdr), "P6 in, P6 out")
+    val px = out.drop(hdr.length).map(_ & 0xff)
+    assert(px.toSeq == Seq((10 + 20 + 30 + 40) / 4, 100, (0 + 0 + 200 + 200) / 4),
+      s"per-channel floor averages, got ${px.toSeq}")
+    // and the resized bytes re-parse as a valid color image
+    val meta = Multimodal.NetpbmDecoder().decode(1L, out)
+    assert(meta.width == 1 && meta.height == 1 && meta.checksum == 25 + 100 + 100)
+  }
+
   test("WAV round-trip: encode bytes as 8-bit PCM, chunk-walking parse recovers stats") {
     val payload = Array[Byte](0, 10, 20, -1) // samples 0, 10, 20, 255
     val wav = Multimodal.WavDecoder.wavFromBytes(payload, 8000)
@@ -157,14 +173,15 @@ class MultimodalSpec extends SparkSuite {
     intercept[IllegalArgumentException] { Multimodal.WavDecoder.parse(0L, pgm) }
   }
 
-  test("resizePgmBytes: factor 1 is identity on the raster; P6 and bad factors rejected") {
+  test("resizePgmBytes: factor 1 is identity on the raster; bad factors rejected") {
     val img = ("P5\n4 2\n255\n".getBytes("US-ASCII") ++
       Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
     val id = Multimodal.NetpbmDecoder.resizePgmBytes(img, 1)
     assert(id.drop("P5\n4 2\n255\n".length).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
-    intercept[IllegalArgumentException] {
-      Multimodal.NetpbmDecoder.resizePgmBytes(ppm, 2)
-    }
+    // P6 pools per channel (round 7): the 2x1 black|white PPM at factor 2
+    // averages to one mid-gray pixel in every channel
+    val color = Multimodal.NetpbmDecoder.resizePgmBytes(ppm, 2)
+    assert(color.drop("P6\n1 1\n255\n".length).map(_ & 0xff).toSeq == Seq(127, 127, 127))
     intercept[IllegalArgumentException] {
       Multimodal.NetpbmDecoder.resizePgmBytes(img, 0)
     }
