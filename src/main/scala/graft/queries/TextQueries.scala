@@ -200,18 +200,19 @@ object TextQueries {
     // pretraining pipeline runs (docs of improbable tokens score low):
     // P(t) = cnt(t)/N over the whole corpus, score(doc) = mean ln P(t).
     // Scale shape: the vocabulary is a map-side-combined aggregate; ln N
-    // comes from a global window over the VOCABULARY-sized side (bounded
-    // by distinct words, not corpus rows); docs join the broadcast vocab.
+    // comes from a 1-row broadcast crossJoined onto the VOCABULARY side
+    // only (the q_tfidf pattern, whitelisted) — a global window here would
+    // collapse the whole vocabulary to one partition, a real bottleneck at
+    // web-scale token counts; docs then join the broadcast vocab.
     "q_unigram_quality" -> ((s, dir) => {
       val terms = docs(s, dir)
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-        .withColumn("logp",
-          log(col("cnt").cast("double")) -
-            log(sum(col("cnt")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy()).cast("double")))
-        .select(col("term"), col("logp"))
-      terms.join(broadcast(vocab), "term")
+      val total = vocab.agg(sum(col("cnt")).as("n_tokens_total"))
+      val withLogp = vocab.crossJoin(broadcast(total))
+        .select(col("term"),
+          (log(col("cnt").cast("double")) - log(col("n_tokens_total").cast("double"))).as("logp"))
+      terms.join(broadcast(withLogp), "term")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), roundp(avg(col("logp")), 4).as("avg_logp"))
     }),
