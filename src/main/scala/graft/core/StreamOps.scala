@@ -86,6 +86,59 @@ object StreamOps {
         }
       }
 
+    /** DISTRIBUTED running fold for MONOID accumulators — the 100 TB form
+      * of a GLOBAL [[streamScan]] (which is inherently single-partition
+      * for arbitrary folds): when `merge` is associative with `init` as
+      * identity and `merge(a, foldFromInit(xs)) == foldFromA(xs)` (true
+      * for any `f(acc, x) = merge(acc, g(x))` monoid fold — sums, maxima,
+      * counts, bitsets), the prefix-scan distributes: range-partition by
+      * event time (content-hash tiebreak), fold each partition from
+      * `init`, combine the numPartitions-sized partials on the driver
+      * into per-partition offsets, re-fold from the offsets. Two passes
+      * over a localCheckpoint'ed sort + one tiny driver combine; EAGER at
+      * call time (the partial combine is an action). Ticks pass through.
+      * Results are identical to `streamScan(f, init)` on the time-ordered
+      * stream. */
+    def streamScanMonoid[B](f: (B, A) => B, init: B, merge: (B, B) => B)(
+        implicit enc: Encoder[Event[B]]): Dataset[Event[B]] = {
+      import org.apache.spark.sql.{Encoders, functions => F}
+      val spark = ds.sparkSession
+      implicit val encKeyed: Encoder[(Long, Int, Event[A])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, ds.encoder)
+      val parts = math.max(ds.rdd.getNumPartitions, 1)
+      val sorted = ds
+        .map { e =>
+          val k = e.time match {
+            case Some(t) => (Event.micros(t),
+              e.value.map(graft.plans.StableHash(_)).getOrElse(0))
+            case None => (Long.MinValue, 0)
+          }
+          (k._1, k._2, e)
+        }
+        .repartitionByRange(parts, F.col("_1"), F.col("_2"))
+        .sortWithinPartitions(F.col("_1"), F.col("_2"))
+        .localCheckpoint()
+      val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = init
+        it.foreach { case (_, _, e) => e.value.foreach(x => acc = f(acc, x)) }
+        Iterator.single((i, acc))
+      }.collect().sortBy(_._1).toVector.map(_._2)
+      val offsets = partials.scanLeft(init)(merge).dropRight(1)
+      val bc = spark.sparkContext.broadcast(offsets)
+      implicit val ctE: scala.reflect.ClassTag[Event[B]] =
+        scala.reflect.ClassTag(classOf[Event[_]]).asInstanceOf[scala.reflect.ClassTag[Event[B]]]
+      val outRdd = sorted.rdd.mapPartitionsWithIndex[Event[B]] { (i, it) =>
+        var acc = bc.value(i)
+        it.map { case (_, _, e) =>
+          e.value match {
+            case Some(x) => acc = f(acc, x); Event(e.time, Some(acc))
+            case None    => Event[B](e.time, None)
+          }
+        }
+      }
+      spark.createDataset(outRdd)
+    }
+
     /** Slice the stream into sub-streams with a [[WindowMakers.WindowMaker]];
       * each window becomes one event stamped with its first element's
       * timestamp (empty window → `Event(None, Some(Nil))`), carrying the

@@ -126,41 +126,16 @@ object Lowering {
     out
   }
 
-  /** Distributed prefix-scan for monoid folds (see the OpScan 3-param case).
-    * Eager: the sort is materialized (localCheckpoint) because both the
-    * partial-computing pass and the output pass must see the SAME
-    * partitioning, and the driver combine is a `collect()` of one
-    * accumulator per partition (numPartitions values, not data). */
+  /** Distributed prefix-scan for monoid folds (see the OpScan 3-param
+    * case) — delegates to the typed surface's
+    * [[graft.core.StreamOps.RichStream.streamScanMonoid]], which owns the
+    * algorithm (range-partitioned sort, per-partition folds, driver
+    * combine of numPartitions accumulators, offset re-fold; eager). */
   private def distributedScan(spark: SparkSession, in0: Dataset[Event[Any]],
                               f: (Any, Any) => Any, init: Any,
                               merge: (Any, Any) => Any): Dataset[Event[Any]] = {
-    import org.apache.spark.sql.functions.col
-    implicit val encKeyed: Encoder[(Long, Int, Event[Any])] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, enc)
-    val parts = math.max(in0.rdd.getNumPartitions, 1)
-    val sorted = in0
-      .map { e => val k = keyOf(e); (k._1, k._2, e) }
-      .repartitionByRange(parts, col("_1"), col("_2"))
-      .sortWithinPartitions(col("_1"), col("_2"))
-      .localCheckpoint()
-    val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = init
-      it.foreach { case (_, _, e) => e.value.foreach(x => acc = f(acc, x)) }
-      Iterator.single((i, acc))
-    }.collect().sortBy(_._1).map(_._2)
-    // exclusive prefix: partition i starts from init ⊕ partials[0..i)
-    val offsets = partials.scanLeft(init)(merge).dropRight(1)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
-      it.map { case (_, _, e) =>
-        e.value match {
-          case Some(x) => acc = f(acc, x); Event(e.time, Some(acc))
-          case None    => Event[Any](e.time, None)
-        }
-      }
-    }
-    spark.createDataset(outRdd)
+    import graft.core.StreamOps._
+    in0.streamScanMonoid[Any](f, init, merge)
   }
 
   /** Lower and collect each sink's stream (ordering as produced). */

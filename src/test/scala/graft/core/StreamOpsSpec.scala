@@ -55,6 +55,22 @@ class StreamOpsSpec extends SparkSuite {
     assert(out.length == evs.length)
   }
 
+  test("streamScanMonoid distributes yet matches streamScan exactly, ticks included") {
+    val evs = (0 until 200).map(i =>
+      if (i % 17 == 0) Event.tick[Int](i * 10L) else Event.data(i * 10L, i % 23))
+    val sequential = evs.toDS.streamScan[Int](_ + _, 0)
+      .collect().map(e => (e.time.map(_.getTime), e.value)).toSeq.sortBy(_._1)
+    // shuffled arrival across 6 partitions: the monoid path must re-derive
+    // the identical time-ordered fold
+    val shuffled = scala.util.Random.shuffle(evs.toList)
+    val ds = spark.createDataset(spark.sparkContext.parallelize(shuffled, 6))
+    val distributed = ds.streamScanMonoid[Int](_ + _, 0, _ + _)
+      .collect().map(e => (e.time.map(_.getTime), e.value)).toSeq.sortBy(_._1)
+    assert(distributed == sequential)
+    assert(ds.streamScanMonoid[Int](_ + _, 0, _ + _).rdd.getNumPartitions > 1,
+      "the monoid scan must not collapse to one partition")
+  }
+
   test("streamWindow chop: windows stamped with first element's time") {
     val evs = (0 until 5).map(i => Event.data(i * 10L, i))
     val out = evs.toDS.streamWindow(WindowMakers.chop(2)).collect().toSeq
