@@ -292,6 +292,36 @@ object StreamQueries {
         "graft_stream_cbk_", statePartitions = 4)
     }),
 
+    // Per-user count-tumbling windows through StreamingOps.chopByKey (the
+    // keyed chop(5) state machine — open windows carry across micro-batch
+    // boundaries per key). Emits (user_id, window_start, n, sum_value) for
+    // full windows; the oracle drops each user's trailing partial group
+    // the same way. Per-user ts are unique, so fold order == oracle order.
+    "q_streaming_chop_bykey" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[List[Double]])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[List[Double]]])
+      implicit val encState: org.apache.spark.sql.Encoder[(Int, List[Event[Double]])] =
+        Encoders.kryo[(Int, List[Event[Double]])]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble))
+        .map { case (u, ts, v) => (u, Event(Some(ts), Some(v))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[Double]]))
+      val chopped = graft.streaming.StreamingOps.chopByKey[Long, Double](keyed, n = 5)
+      val typed = chopped.flatMap { case (u, e) =>
+        e.value.map { w => (u, e.time.get, w.length.toLong, w.sum) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.scalaDouble))
+      runLoweredToDf(s, typed.toDF("user_id", "window_start", "n", "sum_raw"),
+        "graft_stream_chbk_", statePartitions = 4)
+        .select(col("user_id"), col("window_start"), col("n"),
+          roundp(col("sum_raw"), 2).as("sum_value"))
+    }),
+
     // STREAMING stateful dedup — Structured Streaming's dropDuplicates
     // state machine fed the 4-file chunked replay: a key first seen in
     // micro-batch 1 must NOT re-emit in batch 3, so the carried seen-keys
@@ -912,6 +942,17 @@ object StreamQueries {
     // set, no re-emissions across micro-batches
     "q_streaming_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // per-user consecutive 5-groups in ts order; a group emits on its own
+    // 5th event, so only each user's trailing partial group is excluded
+    "q_streaming_chop_bykey" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events)
+        |SELECT user_id, min(ts) AS window_start, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM c GROUP BY user_id, (rn - 1) // 5 HAVING count(*) = 5""".stripMargin,
 
     // the keyed streaming scan must reproduce the batch per-user running
     // sum exactly (same oracle as q_scan)

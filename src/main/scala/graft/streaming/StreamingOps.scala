@@ -228,6 +228,47 @@ object StreamingOps {
           }
       }
 
+  /** Streaming `chop n` per key (count-tumbling windows, reference
+    * `FunctionalProcessing.hs:113-116` per-key): every n data events of a
+    * key become one window stamped with its first event's time; the open
+    * window (≤ n−1 events, kept reversed for O(1) append) carries across
+    * micro-batches in state. The trailing partial window never emits (an
+    * unbounded stream never ends) — same contract as the single-group
+    * lowering. Completes the keyed stateful family (scanByKey,
+    * filterAccByKey, chopTimeAlignedByKey). State lifetime contract as in
+    * [[scanByKey]] (`idleTimeoutMs`). */
+  def chopByKey[K, A](ds: Dataset[(K, Event[A])], n: Int,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Event[List[A]])],
+      encState: Encoder[(Int, List[Event[A]])]): Dataset[(K, Event[List[A]])] = {
+    require(n >= 1, s"window size must be >= 1 (got $n)")
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, List[Event[A]]), (K, Event[List[A]])](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[A])], state: GroupState[(Int, List[Event[A]])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (count, rev) = state.getOption.getOrElse((0, Nil: List[Event[A]]))
+            val sorted = it.map(_._2).toIndexedSeq
+              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+            val out = IndexedSeq.newBuilder[(K, Event[List[A]])]
+            sorted.filter(_.isData).foreach { e =>
+              rev = e :: rev
+              count += 1
+              if (count == n) {
+                val w = rev.reverse
+                out += ((k, Event(w.head.time, Some(w.map(_.value.get)))))
+                rev = Nil
+                count = 0
+              }
+            }
+            state.update((count, rev))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   private def timeoutConf(idleTimeoutMs: Option[Long]): GroupStateTimeout =
     if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
