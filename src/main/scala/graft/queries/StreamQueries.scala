@@ -322,6 +322,36 @@ object StreamQueries {
           roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
+    // Per-user count-sliding windows through StreamingOps.slidingByKey
+    // (per-key sliding(5): per event, the window of the next 5; FIFO
+    // queue in state across micro-batches; each user's trailing 4 partial
+    // windows never emit — the oracle drops them identically).
+    "q_streaming_sliding_bykey" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[List[Double]])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[List[Double]]])
+      implicit val encState
+          : org.apache.spark.sql.Encoder[(Int, scala.collection.immutable.Queue[Event[Double]])] =
+        Encoders.kryo[(Int, scala.collection.immutable.Queue[Event[Double]])]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble))
+        .map { case (u, ts, v) => (u, Event(Some(ts), Some(v))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[Double]]))
+      val slid = graft.streaming.StreamingOps.slidingByKey[Long, Double](keyed, n = 5)
+      val typed = slid.flatMap { case (u, e) =>
+        e.value.map { w => (u, e.time.get, w.length.toLong, w.sum) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.scalaDouble))
+      runLoweredToDf(s, typed.toDF("user_id", "window_start", "n", "sum_raw"),
+        "graft_stream_slbk_", statePartitions = 4)
+        .select(col("user_id"), col("window_start"), col("n"),
+          roundp(col("sum_raw"), 2).as("sum_value"))
+    }),
+
     // STREAMING stateful dedup — Structured Streaming's dropDuplicates
     // state machine fed the 4-file chunked replay: a key first seen in
     // micro-batch 1 must NOT re-emit in batch 3, so the carried seen-keys
@@ -953,6 +983,25 @@ object StreamQueries {
         |SELECT user_id, min(ts) AS window_start, count(*) AS n,
         |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM c GROUP BY user_id, (rn - 1) // 5 HAVING count(*) = 5""".stripMargin,
+
+    // per-user window k = events k..k+4 in ts order, stamped from the
+    // window's first event; each user's last 4 starts never close
+    "q_streaming_sliding_bykey" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS total
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, ts, rn, total,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY rn
+        |                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n,
+        |         sum(value) OVER (PARTITION BY user_id ORDER BY rn
+        |                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS s
+        |  FROM c)
+        |SELECT user_id, ts AS window_start, CAST(n AS BIGINT) AS n,
+        |       floor(s * 100 + 0.5) / 100 AS sum_value
+        |FROM w WHERE rn + 4 <= total""".stripMargin,
 
     // the keyed streaming scan must reproduce the batch per-user running
     // sum exactly (same oracle as q_scan)

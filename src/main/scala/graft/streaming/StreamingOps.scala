@@ -269,6 +269,48 @@ object StreamingOps {
       }
   }
 
+  /** Streaming `sliding n` per key (count-based sliding windows, reference
+    * `FunctionalProcessing.hs:93-97` per-key): per data event of a key,
+    * the window of the next n events; a window emits when its n-th event
+    * arrives and the FIFO queue drops its head. State per key = the last
+    * ≤ n−1 data events. The trailing n−1 partial windows never emit. */
+  def slidingByKey[K, A](ds: Dataset[(K, Event[A])], n: Int,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Event[List[A]])],
+      encState: Encoder[(Int, scala.collection.immutable.Queue[Event[A]])])
+      : Dataset[(K, Event[List[A]])] = {
+    require(n >= 1, s"window size must be >= 1 (got $n)")
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, scala.collection.immutable.Queue[Event[A]]),
+                              (K, Event[List[A]])](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[A])],
+         state: GroupState[(Int, scala.collection.immutable.Queue[Event[A]])]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (count, buf) = state.getOption
+              .getOrElse((0, scala.collection.immutable.Queue.empty[Event[A]]))
+            val sorted = it.map(_._2).toIndexedSeq
+              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+            val out = IndexedSeq.newBuilder[(K, Event[List[A]])]
+            sorted.filter(_.isData).foreach { e =>
+              buf = buf.enqueue(e)
+              count += 1
+              if (count == n) {
+                val w = buf.toList
+                out += ((k, Event(w.head.time, Some(w.map(_.value.get)))))
+                val (_, rest) = buf.dequeue
+                buf = rest
+                count -= 1
+              }
+            }
+            state.update((count, buf))
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   private def timeoutConf(idleTimeoutMs: Option[Long]): GroupStateTimeout =
     if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
