@@ -71,6 +71,14 @@ class StreamOpsSpec extends SparkSuite {
       "the monoid scan must not collapse to one partition")
   }
 
+  test("streamScanMonoid: empty stream yields empty output, all-tick stream passes ticks") {
+    val empty = spark.createDataset(spark.sparkContext.parallelize(Seq.empty[Event[Int]], 2))
+    assert(empty.streamScanMonoid[Int](_ + _, 0, _ + _).collect().isEmpty)
+    val ticks = Seq(Event.tick[Int](10L), Event.tick[Int](20L)).toDS
+    val out = ticks.streamScanMonoid[Int](_ + _, 0, _ + _).collect().toSeq
+    assert(out.length == 2 && out.forall(_.value.isEmpty), "ticks pass through value-less")
+  }
+
   test("streamWindow chop: windows stamped with first element's time") {
     val evs = (0 until 5).map(i => Event.data(i * 10L, i))
     val out = evs.toDS.streamWindow(WindowMakers.chop(2)).collect().toSeq

@@ -234,6 +234,35 @@ class StreamingOpsSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("chopByKey/slidingByKey n=1: every data event its own window; require on n=0") {
+    import org.apache.spark.sql.Encoders
+    implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[List[Double]])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[List[Double]]])
+    implicit val encChop: org.apache.spark.sql.Encoder[(Int, List[Event[Double]])] =
+      Encoders.kryo[(Int, List[Event[Double]])]
+    implicit val encSlide
+        : org.apache.spark.sql.Encoder[(Int, scala.collection.immutable.Queue[Event[Double]])] =
+      Encoders.kryo[(Int, scala.collection.immutable.Queue[Event[Double]])]
+    val keyed = spark.readStream
+      .schema(eventsBatch.schema).parquet(replayDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .map { case (u, ts, v) => (u, Event(Some(ts), Some(v))) }
+    val nRows = eventsBatch.count()
+    for ((name, windows) <- Seq(
+        "chop1_test" -> StreamingOps.chopByKey[Long, Double](keyed, 1),
+        "slide1_test" -> StreamingOps.slidingByKey[Long, Double](keyed, 1))) {
+      val q = windows.toDF().writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table(name).count() == nRows,
+        s"$name: n=1 must emit one singleton window per data event")
+    }
+    intercept[IllegalArgumentException] { StreamingOps.chopByKey[Long, Double](keyed, 0) }
+    intercept[IllegalArgumentException] { StreamingOps.slidingByKey[Long, Double](keyed, 0) }
+  }
+
   test("streaming filterAccByKey deduplicates consecutive values per key") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
