@@ -31,4 +31,18 @@ object Event {
     * this, not getTime. */
   def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** THE stream-order sort key, shared by every order-sensitive fold
+    * (batch lowering, streaming lowering, keyed streaming ops, typed
+    * monoid scan): event time in µs, equal-time events tiebroken by a
+    * run-stable content hash ([[StableHash]] — shuffle arrival order is
+    * nondeterministic, so a bare time key would make equal-time folds
+    * flap), untimed events all at (MinValue, 0) so a stable sort keeps
+    * their arrival order. One definition — a precision or tiebreak change
+    * here reaches every fold at once (the round-7 ms→µs bug existed
+    * because this key lived in three hand-maintained copies). */
+  def orderKey(e: Event[_]): (Long, Int) = e.time match {
+    case Some(t) => (micros(t), e.value.map(StableHash(_)).getOrElse(0))
+    case None    => (Long.MinValue, 0)
+  }
 }

@@ -1,11 +1,11 @@
-package graft.plans
+package graft.core
 
 /** Content hash that is deterministic ACROSS JVM runs for the payload
   * shapes the lowerings carry: primitives, strings, tuples/case classes,
   * collections, and arrays — including arrays NESTED inside tuples or
   * lists (where plain `##` would fall back to the array's identity hash
   * and differ run to run, making equal-timestamp sort tiebreaks
-  * nondeterministic). Used by [[Lowering]] and [[StreamingLowering]] as
+  * nondeterministic). Used via [[Event.orderKey]] by the lowerings and keyed streaming ops as
   * the equal-time tiebreak key.
   */
 object StableHash {

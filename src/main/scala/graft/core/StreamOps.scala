@@ -96,9 +96,13 @@ object StreamOps {
       * `init`, combine the numPartitions-sized partials on the driver
       * into per-partition offsets, re-fold from the offsets. Two passes
       * over a localCheckpoint'ed sort + one tiny driver combine; EAGER at
-      * call time (the partial combine is an action). Ticks pass through.
-      * Results are identical to `streamScan(f, init)` on the time-ordered
-      * stream. */
+      * call time (the partial combine is an action). Caching contract:
+      * the checkpoint blocks back the RETURNED dataset (unpersisting them
+      * would truncate its lineage unrecoverably), so they live until the
+      * result is garbage-collected — same contract as Dedup's
+      * localCheckpoint'ed pipelines; don't call this just to inspect a
+      * plan. Ticks pass through. Results are identical to
+      * `streamScan(f, init)` on the time-ordered stream. */
     def streamScanMonoid[B](f: (B, A) => B, init: B, merge: (B, B) => B)(
         implicit enc: Encoder[Event[B]]): Dataset[Event[B]] = {
       import org.apache.spark.sql.{Encoders, functions => F}
@@ -107,14 +111,7 @@ object StreamOps {
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, ds.encoder)
       val parts = math.max(ds.rdd.getNumPartitions, 1)
       val sorted = ds
-        .map { e =>
-          val k = e.time match {
-            case Some(t) => (Event.micros(t),
-              e.value.map(graft.plans.StableHash(_)).getOrElse(0))
-            case None => (Long.MinValue, 0)
-          }
-          (k._1, k._2, e)
-        }
+        .map { e => val k = Event.orderKey(e); (k._1, k._2, e) }
         .repartitionByRange(parts, F.col("_1"), F.col("_2"))
         .sortWithinPartitions(F.col("_1"), F.col("_2"))
         .localCheckpoint()

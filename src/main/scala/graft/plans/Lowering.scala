@@ -22,18 +22,10 @@ object Lowering {
 
   implicit private val enc: Encoder[Event[Any]] = Encoders.kryo[Event[Any]]
 
-  /** Merge sort key: event time in MICROSECONDS (getTime's milliseconds
-    * would merge µs-distinct events into spurious ties — the testdata is
-    * µs-granular), with a content-hash tiebreak for TIMED events so
-    * equal-timestamp events from different sources order deterministically
-    * (RDD.sortBy gives equal keys arbitrary post-shuffle order otherwise).
-    * Untimed events all map to (MinValue, 0) — their relative order is the
-    * union's, matching the reference's arbitrary-interleave contract for
-    * untimed merges. */
-  private def keyOf(e: Event[Any]): (Long, Int) = e.time match {
-    case Some(t) => (Event.micros(t), e.value.map(StableHash(_)).getOrElse(0))
-    case None => (Long.MinValue, 0)
-  }
+  /** Merge sort key — the shared [[Event.orderKey]] (µs time + stable
+    * content-hash tiebreak; untimed events keep the union's order,
+    * matching the reference's arbitrary-interleave contract). */
+  private def keyOf(e: Event[Any]): (Long, Int) = Event.orderKey(e)
 
   /** Evaluate every vertex; returns each vertex's output Dataset. */
   def lower(spark: SparkSession, g: StreamGraph,

@@ -332,13 +332,6 @@ object StreamingLowering {
     }
   }
 
-  /** Content hash used as a sort tiebreak — [[StableHash]]: recurses into
-    * Products, Iterables, and arrays (including arrays NESTED in tuple
-    * payloads, where `##` would be identity-based and differ across runs).
-    * Deterministic across JVM runs for every payload shape the lowering
-    * carries. */
-  private def stableHash(v: Any): Int = StableHash(v)
-
   /** Single-group stateful pass: micro-batch events sorted by event time,
     * folded through `step`, state carried across batches.
     *
@@ -367,16 +360,7 @@ object StreamingLowering {
       .groupByKey(_._1)(Encoders.scalaInt)
       .flatMapGroupsWithState[Any, Event[Any]](OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, it: Iterator[(Int, Event[Any])], state: GroupState[Any]) =>
-          val sorted = it.map(_._2).toIndexedSeq
-            .sortBy { e =>
-              // MICROSECONDS: getTime's ms granularity would merge
-              // µs-distinct events into hash-tiebroken ties, folding them
-              // out of true event-time order
-              e.time match {
-                case Some(t) => (Event.micros(t), e.value.map(stableHash).getOrElse(0))
-                case None    => (Long.MinValue, 0) // stable sort keeps arrival order
-              }
-            }
+          val sorted = it.map(_._2).toIndexedSeq.sortBy(Event.orderKey)
           val acc0 = state.getOption.orNull match {
             case null                       => null
             case (StateVersion, payload)    => payload

@@ -212,7 +212,10 @@ object TextQueries {
       val withLogp = vocab.crossJoin(broadcast(total))
         .select(col("term"),
           (log(col("cnt").cast("double")) - log(col("n_tokens_total").cast("double"))).as("logp"))
-      terms.join(broadcast(withLogp), "term")
+      // no broadcast hint on the vocab: at web scale the vocabulary can
+      // exceed broadcast limits — let Catalyst/AQE pick broadcast when it
+      // fits and a shuffle join when it doesn't
+      terms.join(withLogp, "term")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), roundp(avg(col("logp")), 4).as("avg_logp"))
     }),
@@ -297,7 +300,7 @@ object TextQueries {
       docs(s, dir).select(
         col("doc_id"),
         regexp_count(injected, lit(TextAnalysis.EmailPattern)).as("n_emails"),
-        regexp_count(injected, lit(TextAnalysis.PhonePattern)).as("n_phones"),
+        regexp_count(injected, lit(TextAnalysis.PhoneBoundedPattern)).as("n_phones"),
         md5(TextAnalysis.redactPii(injected)).as("redacted_md5"),
         length(TextAnalysis.redactPii(injected)).as("redacted_len"))
     })
@@ -713,13 +716,13 @@ object TextQueries {
         |         regexp_replace(
         |           regexp_replace(it,
         |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |           '\+?\d{1,3}([- ]\d{2,4}){2,3}', '[PHONE]', 'g') AS r
+        |           '(^|[^0-9])(\+?\d{1,3}([- ]\d{2,4}){2,3})', '\1[PHONE]', 'g') AS r
         |  FROM inj)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(it,
         |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(it,
-        |         '\+?\d{1,3}([- ]\d{2,4}){2,3}')) AS INT) AS n_phones,
+        |         '(^|[^0-9])(\+?\d{1,3}([- ]\d{2,4}){2,3})')) AS INT) AS n_phones,
         |       md5(r) AS redacted_md5,
         |       CAST(length(r) AS INT) AS redacted_len
         |FROM red""".stripMargin

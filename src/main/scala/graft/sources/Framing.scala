@@ -15,9 +15,12 @@ import graft.core.Event
   * `Store` instances are per payload type).
   *
   * Frame layout: 1 flag byte (bit0 = has time, bit1 = has value),
-  * then 8-byte epoch-millis when timed, then 4-byte payload length +
-  * bytes when data-carrying. Decoding is incremental and tolerates any
-  * read chunking (the reference reads 4096-byte chunks).
+  * then 8-byte epoch-MICROS when timed (µs, not getTime's ms: a
+  * millisecond wire format would collapse µs-distinct events into ties
+  * and re-introduce the fold-order bug the [[Event.orderKey]] sweep
+  * fixed), then 4-byte payload length + bytes when data-carrying.
+  * Decoding is incremental and tolerates any read chunking (the
+  * reference reads 4096-byte chunks).
   */
 object Framing {
 
@@ -28,7 +31,7 @@ object Framing {
     val d = new DataOutputStream(out)
     val flags = (if (e.time.isDefined) HasTime else 0) | (if (e.value.isDefined) HasValue else 0)
     d.writeByte(flags)
-    e.time.foreach(t => d.writeLong(t.getTime))
+    e.time.foreach(t => d.writeLong(Event.micros(t)))
     e.value.foreach { bs => d.writeInt(bs.length); d.write(bs) }
     d.flush()
   }
@@ -40,7 +43,12 @@ object Framing {
     if (first < 0) return None
     val d = new DataInputStream(in)
     val flags = first
-    val time = if ((flags & HasTime) != 0) Some(new Timestamp(d.readLong())) else None
+    val time = if ((flags & HasTime) != 0) {
+      val us = d.readLong()
+      val t = new Timestamp(Math.floorDiv(us, 1000L))
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      Some(t)
+    } else None
     val value = if ((flags & HasValue) != 0) {
       val n = d.readInt()
       if (n < 0) throw new EOFException(s"negative frame length $n")

@@ -107,9 +107,10 @@ object StreamingOps {
 
   /** Streaming `streamScan` per key (reference
     * `FunctionalProcessing.hs:188-191`): running fold with state in
-    * `flatMapGroupsWithState`; events within each micro-batch are folded in
-    * (time, tiebreak-less) order. Value-less events pass through without
-    * updating state.
+    * `flatMapGroupsWithState`; events within each micro-batch are folded
+    * in [[Event.orderKey]] order (µs time, stable content-hash tiebreak —
+    * shuffle arrival order must not leak into the fold). Value-less
+    * events pass through without updating state.
     *
     * Memory note: the per-key sort buffers one key's events from ONE
     * micro-batch (bounded by the trigger's batch size via
@@ -134,7 +135,7 @@ object StreamingOps {
           else {
             var acc = state.getOption.getOrElse(init)
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+              .sortBy(Event.orderKey)
             val out = sorted.map { e =>
               e.value match {
                 case Some(v) => acc = f(acc, v); (k, Event(e.time, Some(acc)))
@@ -164,7 +165,7 @@ object StreamingOps {
           else {
             var acc = state.getOption.getOrElse(init)
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+              .sortBy(Event.orderKey)
             val out = sorted.flatMap { e =>
               e.value match {
                 case Some(v) =>
@@ -209,7 +210,7 @@ object StreamingOps {
             val durUs = durationMs * 1000L
             var first = state.getOption.getOrElse(Long.MinValue)
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+              .sortBy(Event.orderKey)
             val out = sorted.flatMap { e =>
               e.time.map { t =>
                 // µs, not Timestamp.getTime's ms — the testdata (and the
@@ -250,7 +251,7 @@ object StreamingOps {
           else {
             var (count, rev) = state.getOption.getOrElse((0, Nil: List[Event[A]]))
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+              .sortBy(Event.orderKey)
             val out = IndexedSeq.newBuilder[(K, Event[List[A]])]
             sorted.filter(_.isData).foreach { e =>
               rev = e :: rev
@@ -291,7 +292,7 @@ object StreamingOps {
             var (count, buf) = state.getOption
               .getOrElse((0, scala.collection.immutable.Queue.empty[Event[A]]))
             val sorted = it.map(_._2).toIndexedSeq
-              .sortBy(e => e.time.map(Event.micros).getOrElse(Long.MinValue))
+              .sortBy(Event.orderKey)
             val out = IndexedSeq.newBuilder[(K, Event[List[A]])]
             sorted.filter(_.isData).foreach { e =>
               buf = buf.enqueue(e)

@@ -154,7 +154,16 @@ object TextAnalysis {
     * leaking leading digits. Bounded repetition only; RE2-safe. */
   val PhonePattern = "\\+?\\d{1,3}([- ]\\d{2,4}){2,3}"
 
+  /** [[PhonePattern]] anchored so a match cannot START mid-number (RE2 has
+    * no lookbehind, so the guard is a captured non-digit/start): without
+    * it, `2023-01-15` matches from its second digit and redacts to
+    * `2[PHONE]` — a leaked digit AND a destroyed date. Matches whose
+    * leading group is a 4+-digit run (years, ids) are now impossible;
+    * dd-mm-yyyy dates still redact whole (indistinguishable from phone
+    * digit-grouping, and dates can be PII) but never leak digits. */
+  val PhoneBoundedPattern = s"(^|[^0-9])($PhonePattern)"
+
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
-      PhonePattern, "[PHONE]")
+      PhoneBoundedPattern, "$1[PHONE]")
 }

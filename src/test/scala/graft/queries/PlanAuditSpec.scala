@@ -28,36 +28,34 @@ class PlanAuditSpec extends SparkSuite {
     // a global window min over the read-back, no crossJoin node
   )
 
-  test("no driver query plans a cartesian or nested-loop join unawares") {
-    val crossPlanned = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  test("no driver query plans a cartesian/nested-loop join or single-partition Coalesce unawares") {
+    // ONE pass over the surface (constructing a streaming-gate query runs
+    // its whole micro-batch replay, so every extra pass costs the full
+    // streaming floor), both predicates checked per plan. The Coalesce
+    // match is digit-bounded: a bare contains("Coalesce 1") would also
+    // flag a legitimate Coalesce 16.
+    val coalesce1 = java.util.regex.Pattern.compile("Coalesce 1(?![0-9])")
+    val audited = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val plan =
         try fn(spark, sfDir).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
       spark.catalog.clearCache()
-      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"))
-        Some(name)
-      else None
-    }.toSet
+      (name,
+        plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+        coalesce1.matcher(plan).find())
+    }
+    val crossPlanned = audited.collect { case (n, true, _) => n }.toSet
     val offenders = crossPlanned -- crossJoinByDesign
     assert(offenders.isEmpty,
       s"unexpected cartesian/nested-loop plans in: ${offenders.mkString(", ")}")
     // the whitelist must stay honest: every entry actually cross-joins
     val stale = crossJoinByDesign -- crossPlanned
     assert(stale.isEmpty, s"whitelist entries no longer cross-join: ${stale.mkString(", ")}")
-  }
-
-  test("no driver query funnels data through a single-partition Coalesce") {
-    // "Coalesce 1" in an executed plan = the whole input pulled through one
-    // task — the other classic works-at-test-scale/dies-at-100TB shape
-    // (q_graph_lowered carried one until round 7's distributed prefix-scan)
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
-      spark.catalog.clearCache()
-      if (plan.contains("Coalesce 1")) Some(name) else None
-    }
-    assert(offenders.isEmpty,
-      s"single-partition Coalesce in: ${offenders.mkString(", ")}")
+    // "Coalesce 1" = the whole input pulled through one task — the other
+    // classic works-at-test-scale/dies-at-100TB shape (q_graph_lowered
+    // carried one until round 7's distributed prefix-scan)
+    val funneled = audited.collect { case (n, _, true) => n }
+    assert(funneled.isEmpty,
+      s"single-partition Coalesce in: ${funneled.mkString(", ")}")
   }
 }

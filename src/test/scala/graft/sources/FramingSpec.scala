@@ -49,6 +49,17 @@ class FramingSpec extends AnyFunSuite {
     }
   }
 
+  test("wire format preserves MICROSECOND timestamps (ms would collapse µs-distinct events)") {
+    val t = new Timestamp(1704067200123L)
+    t.setNanos(123456000) // .123456 seconds — µs-granular like the testdata
+    val out = new java.io.ByteArrayOutputStream()
+    Framing.writeEvent(out, graft.core.Event(Some(t), Some(Array[Byte](1))))
+    val back = Framing.readEvent(new java.io.ByteArrayInputStream(out.toByteArray)).get
+    assert(back.time.get.getTime == t.getTime && back.time.get.getNanos == t.getNanos,
+      s"µs round-trip: wrote $t got ${back.time.get}")
+    assert(graft.core.Event.micros(back.time.get) == graft.core.Event.micros(t))
+  }
+
   test("truncated frame raises, clean EOF ends the stream") {
     val bos = new ByteArrayOutputStream()
     Framing.writeAll(bos, events.take(1))

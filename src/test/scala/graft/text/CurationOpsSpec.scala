@@ -102,6 +102,19 @@ class CurationOpsSpec extends SparkSuite {
     assert(rows(2) == "or [PHONE] works", s"got: ${rows(2)}")
   }
 
+  test("redactPii cannot start a match mid-number: ISO dates and year runs survive intact") {
+    val rows = Seq(
+      "meeting on 2023-01-15 agreed",   // ISO date: unguarded pattern redacted "2[PHONE]"
+      "in 1995 2000 2005 the",          // year runs with space separators
+      "order 123456-78-90 shipped")     // long id: no 1-3 digit lead exists
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(rows(0) == "meeting on 2023-01-15 agreed", s"got: ${rows(0)}")
+    assert(rows(1) == "in 1995 2000 2005 the", s"got: ${rows(1)}")
+    assert(rows(2) == "order 123456-78-90 shipped", s"got: ${rows(2)}")
+  }
+
   // --- numericProfile ---
 
   private lazy val nums = Seq[(java.lang.Double, java.lang.Double)](
