@@ -423,6 +423,37 @@ object StreamQueries {
       s.read.parquet(s"$tmp/result")
     }),
 
+    // streamJoinW executed as a STREAMING aggregate→join chain (Spark 4
+    // chained stateful operators): both sides' tumbling-hour aggregates
+    // join on the window struct, append mode. A window pair emits once
+    // the watermark passes its end; on the finite replay that is every
+    // window ending at/before max(ts) − 1min — the oracle excludes the
+    // rest identically. The batch form is q_join_w.
+    "q_streaming_join_w" -> ((s, dir) => {
+      val base = Tables.streamEventsChunked(s, dir)
+      val joined = graft.streaming.StreamJoins.windowAggJoin(
+        base.filter(col("event_type") === "click"),
+        base.filter(col("event_type") === "purchase"),
+        tsLeft = "ts", tsRight = "ts", duration = "1 hour", watermark = "1 minute",
+        leftAggs = Seq(count(lit(1)).as("n_clicks")),
+        rightAggs = Seq(roundp(sum(col("value")), 2).as("purchase_total")))
+        .select(col("w.start").as("window_start"), col("n_clicks"), col("purchase_total"))
+      val tmp = graft.core.TempDirs.create("graft_stream_wj_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // STREAMING session windows — Spark's native session_window aggregate
     // (merging-window state) through the replay; complete mode flushes
     // every session of the finite stream, so the batch q_session_window
@@ -1020,6 +1051,21 @@ object StreamQueries {
         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    // q_join_w's hourly window join, minus windows the final watermark
+    // (max ts − 1 minute) has not passed — those stay in streaming state
+    "q_streaming_join_w" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |c AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |         floor(sum(value) * 100 + 0.5) / 100 AS purchase_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT h AS window_start, n_clicks, purchase_total
+        |FROM c JOIN p USING (h), m
+        |WHERE h + INTERVAL 1 HOUR <= mx - INTERVAL 1 MINUTE""".stripMargin,
 
     // the buffered-state inner join must emit exactly the relational
     // interval join, no pair lost across micro-batch/watermark boundaries
