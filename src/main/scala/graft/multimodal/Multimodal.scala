@@ -267,7 +267,9 @@ object Multimodal {
       out.array()
     }
 
-    def parse(docId: Long, bytes: Array[Byte]): AudioMeta = {
+    /** The shared RIFF chunk walk: (audioFormat, channels, rate, bits,
+      * dataOffset, dataSize) — used by [[parse]] and [[decimateWav]]. */
+    private def parseLayout(bytes: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
       require(bytes.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
@@ -299,6 +301,29 @@ object Multimodal {
       require(audioFormat == 1, s"audioFormat $audioFormat unsupported (PCM=1 only; " +
         "compressed WAV needs an external codec behind the pluggable decoder surface)")
       require(bits == 8 || bits == 16, s"$bits-bit samples unsupported (8/16 only)")
+      (audioFormat, channels, rate, bits, off, size)
+    }
+
+    /** REAL transform on the audio path: naive decimation of 8-bit mono
+      * PCM — keep every `factor`-th sample, re-encode at rate/factor.
+      * Deliberately filterless (a production resampler low-passes first
+      * to prevent aliasing; the filterless form is the integer-exact one
+      * an oracle replays byte-for-byte, and the Spark-side plumbing —
+      * chunk walk, re-encode, batching — is identical either way). */
+    def decimateWav(bytes: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, s"decimation factor must be >= 1 (got $factor)")
+      val (_, channels, rate, bits, off, size) = parseLayout(bytes)
+      require(bits == 8 && channels == 1,
+        s"decimateWav supports 8-bit mono PCM (got $bits-bit, $channels ch)")
+      val kept = new Array[Byte](if (size == 0) 0 else (size - 1) / factor + 1)
+      var i = 0
+      while (i < kept.length) { kept(i) = bytes(off + i * factor); i += 1 }
+      wavFromBytes(kept, rate / factor)
+    }
+
+    def parse(docId: Long, bytes: Array[Byte]): AudioMeta = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val (_, channels, rate, bits, off, size) = parseLayout(bytes)
       var peak = 0
       var sumSq = 0L
       var n = 0L

@@ -188,6 +188,26 @@ object SimilarityQueries {
     // partition-batched surface. The oracle recomputes every stat from the
     // character codes alone — container arithmetic for sizes, max code for
     // peak amplitude, exact integer Σs² for the energy sum.
+    // REAL audio transform end to end: text-as-WAV → decimate by 4 (keep
+    // every 4th sample, rate 8000 → 2000; deliberately filterless so the
+    // oracle replays every byte) → re-decode the RESIZED audio for its
+    // stats. The audio twin of q_image_resize.
+    "q_audio_decimate" -> ((s, dir) => {
+      import s.implicits._
+      val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
+      val wavs = docs(s, dir)
+        .select(col("doc_id"), encode(ascii, "UTF-8").as("pcm"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          (id, Multimodal.WavDecoder.decimateWav(
+            Multimodal.WavDecoder.wavFromBytes(b, 8000), 4))
+        })
+        .toDF("doc_id", "blob")
+      Multimodal.extractAudioMeta(s, wavs).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"), col("peak"), col("sum_sq"))
+    }),
+
     "q_audio_meta" -> ((s, dir) => {
       import s.implicits._
       val ascii = regexp_replace(col("text"), "[^\\x20-\\x7e]", "?")
@@ -549,6 +569,27 @@ object SimilarityQueries {
         |       CAST(44 + length(ascii) + length(ascii) % 2 AS INT) AS n_bytes,
         |       8000 AS sample_rate, 1 AS channels, 8 AS bits,
         |       CAST(length(ascii) AS BIGINT) AS n_samples,
+        |       CAST(coalesce(list_max(cs), 0) AS INT) AS peak,
+        |       CAST(coalesce(list_sum(list_transform(cs, c -> c * c)), 0) AS BIGINT) AS sum_sq
+        |FROM g""".stripMargin,
+
+    // the decimated stats recomputed from the character codes at stride 4
+    // (positions 1, 5, 9, … 1-based): container arithmetic for sizes,
+    // max/Σs² over the kept samples only
+    "q_audio_decimate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7e]', '?', 'g') AS ascii
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         list_transform(
+        |           list_filter(range(1, length(ascii) + 1), i -> (i - 1) % 4 = 0),
+        |           i -> ord(substr(ascii, CAST(i AS INT), 1))) AS cs
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(44 + len(cs) + len(cs) % 2 AS INT) AS n_bytes,
+        |       2000 AS sample_rate, 1 AS channels, 8 AS bits,
+        |       CAST(len(cs) AS BIGINT) AS n_samples,
         |       CAST(coalesce(list_max(cs), 0) AS INT) AS peak,
         |       CAST(coalesce(list_sum(list_transform(cs, c -> c * c)), 0) AS BIGINT) AS sum_sq
         |FROM g""".stripMargin,

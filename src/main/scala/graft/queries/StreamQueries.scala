@@ -352,6 +352,38 @@ object StreamQueries {
           roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
+    // Per-user time-sliding windows through StreamingOps.slidingTimeByKey
+    // (per-key slidingTime(6h): per event the window [t, t+6h) over that
+    // user's events; FIFO queue in state; a user's windows whose end lies
+    // beyond their last event never close — the oracle drops them the
+    // same way).
+    "q_streaming_slidingtime_bykey" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[List[Double]])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[List[Double]]])
+      implicit val encState
+          : org.apache.spark.sql.Encoder[scala.collection.immutable.Queue[Event[Double]]] =
+        Encoders.kryo[scala.collection.immutable.Queue[Event[Double]]]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble))
+        .map { case (u, ts, v) => (u, Event(Some(ts), Some(v))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[Double]]))
+      val slid = graft.streaming.StreamingOps.slidingTimeByKey[Long, Double](
+        keyed, ms = 6L * 3600 * 1000)
+      val typed = slid.flatMap { case (u, e) =>
+        e.value.map { w => (u, e.time.get, w.length.toLong, w.sum) }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.scalaDouble))
+      runLoweredToDf(s, typed.toDF("user_id", "window_start", "n", "sum_raw"),
+        "graft_stream_stbk_", statePartitions = 4)
+        .select(col("user_id"), col("window_start"), col("n"),
+          roundp(col("sum_raw"), 2).as("sum_value"))
+    }),
+
     // STREAMING stateful dedup — Structured Streaming's dropDuplicates
     // state machine fed the 4-file chunked replay: a key first seen in
     // micro-batch 1 must NOT re-emit in batch 3, so the carried seen-keys
@@ -1033,6 +1065,20 @@ object StreamQueries {
         |SELECT user_id, ts AS window_start, CAST(n AS BIGINT) AS n,
         |       floor(s * 100 + 0.5) / 100 AS sum_value
         |FROM w WHERE rn + 4 <= total""".stripMargin,
+
+    // per-user window [a.ts, a.ts+6h); a window emits only once one of
+    // that user's events at/after its end has arrived
+    "q_streaming_slidingtime_bykey" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT user_id, max(us) AS max_us FROM c GROUP BY 1)
+        |SELECT a.user_id, a.ts AS window_start, count(*) AS n,
+        |       floor(sum(b.value) * 100 + 0.5) / 100 AS sum_value
+        |FROM c a JOIN c b ON a.user_id = b.user_id
+        |  AND b.us >= a.us AND b.us < a.us + 21600000000
+        |JOIN m ON m.user_id = a.user_id
+        |WHERE a.us + 21600000000 <= m.max_us
+        |GROUP BY a.user_id, a.ts""".stripMargin,
 
     // the keyed streaming scan must reproduce the batch per-user running
     // sum exactly (same oracle as q_scan)

@@ -312,6 +312,51 @@ object StreamingOps {
       }
   }
 
+  /** Streaming `slidingTime ms` per key (reference
+    * `FunctionalProcessing.hs:99-108` per-key): per timed event e of a
+    * key, the window [e.time, e.time+ms); e's window closes when the
+    * first event of that key at/after e.time+ms arrives. State per key =
+    * the FIFO queue of events still inside some pending window —
+    * O(window), not O(history). Windows whose end lies beyond the key's
+    * last event never close. Untimed events are dropped (no window to
+    * anchor). */
+  def slidingTimeByKey[K, A](ds: Dataset[(K, Event[A])], ms: Long,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Event[List[A]])],
+      encState: Encoder[scala.collection.immutable.Queue[Event[A]]])
+      : Dataset[(K, Event[List[A]])] = {
+    require(ms >= 1, s"window duration must be >= 1 ms (got $ms)")
+    val msUs = ms * 1000L
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[scala.collection.immutable.Queue[Event[A]],
+                              (K, Event[List[A]])](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[A])],
+         state: GroupState[scala.collection.immutable.Queue[Event[A]]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption
+              .getOrElse(scala.collection.immutable.Queue.empty[Event[A]])
+            val sorted = it.map(_._2).toIndexedSeq.sortBy(Event.orderKey)
+            val out = IndexedSeq.newBuilder[(K, Event[List[A]])]
+            sorted.filter(_.isTimed).foreach { e =>
+              val t = Event.micros(e.time.get)
+              while (buf.nonEmpty && Event.micros(buf.head.time.get) + msUs <= t) {
+                val end = Event.micros(buf.head.time.get) + msUs
+                val w = buf.iterator.takeWhile(x => Event.micros(x.time.get) < end).toList
+                out += ((k, Event(w.head.time, Some(w.filter(_.isData).map(_.value.get)))))
+                val (_, rest) = buf.dequeue
+                buf = rest
+              }
+              buf = buf.enqueue(e)
+            }
+            state.update(buf)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   private def timeoutConf(idleTimeoutMs: Option[Long]): GroupStateTimeout =
     if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout

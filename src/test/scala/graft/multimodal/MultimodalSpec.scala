@@ -164,6 +164,28 @@ class MultimodalSpec extends SparkSuite {
     assert(m.n_samples == 2 && m.peak == 3 && m.sum_sq == 4L + 9)
   }
 
+  test("decimateWav keeps every factor-th sample, halves rate, rejects 16-bit") {
+    val wav = Multimodal.WavDecoder.wavFromBytes(Array[Byte](10, 20, 30, 40, 50, 60, 70), 8000)
+    val dec = Multimodal.WavDecoder.decimateWav(wav, 3) // keeps 10, 40, 70
+    val m = Multimodal.WavDecoder.parse(1L, dec)
+    assert(m.sample_rate == 8000 / 3 && m.n_samples == 3 && m.peak == 70)
+    assert(m.sum_sq == 100L + 1600 + 4900)
+    // factor 1 is an identity re-encode
+    val id = Multimodal.WavDecoder.parse(2L, Multimodal.WavDecoder.decimateWav(wav, 1))
+    assert(id.n_samples == 7 && id.sum_sq == Multimodal.WavDecoder.parse(2L, wav).sum_sq)
+    // 16-bit input gets the directed error, not silent byte-level garbage
+    val bb = java.nio.ByteBuffer.allocate(12 + (8 + 16) + (8 + 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(4).putShort(-2).putShort(3)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decimateWav(bb.array(), 2)
+    }
+    assert(e.getMessage.contains("8-bit mono"), s"got: $e")
+  }
+
   test("WAV parser rejects non-PCM, truncated chunks, and non-RIFF bytes") {
     val ok = Multimodal.WavDecoder.wavFromBytes(Array[Byte](1, 2), 8000)
     val nonPcm = ok.clone(); nonPcm(20) = 3 // audioFormat = IEEE float
