@@ -102,7 +102,16 @@ object StreamOps {
       * result is garbage-collected — same contract as Dedup's
       * localCheckpoint'ed pipelines; don't call this just to inspect a
       * plan. Ticks pass through. Results are identical to
-      * `streamScan(f, init)` on the time-ordered stream. */
+      * `streamScan(f, init)` on the time-ordered stream.
+      *
+      * REQUIRES every event to be timed: an untimed event's position in
+      * the stream is its arrival order, and arrival order does not
+      * survive the `repartitionByRange` shuffle (unlike the in-batch
+      * stable-sort paths), so a scan prefix over untimed events would be
+      * nondeterministic across runs. The per-partition fold rejects the
+      * first untimed event it sees with a directed error; use
+      * `streamScan` (single ordered partition) for streams that carry
+      * untimed data events. */
     def streamScanMonoid[B](f: (B, A) => B, init: B, merge: (B, B) => B)(
         implicit enc: Encoder[Event[B]]): Dataset[Event[B]] = {
       import org.apache.spark.sql.{Encoders, functions => F}
@@ -117,7 +126,16 @@ object StreamOps {
         .localCheckpoint()
       val partials = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
         var acc = init
-        it.foreach { case (_, _, e) => e.value.foreach(x => acc = f(acc, x)) }
+        it.foreach { case (_, _, e) =>
+          if (e.time.isEmpty && e.value.nonEmpty)
+            throw new IllegalArgumentException(
+              "streamScanMonoid requires timed events: an untimed data event's " +
+                "stream position is its arrival order, which does not survive the " +
+                "range-partition shuffle, so its scan prefix would be " +
+                "nondeterministic. Stamp events at ingest, or use streamScan " +
+                "(single ordered partition) for untimed streams.")
+          e.value.foreach(x => acc = f(acc, x))
+        }
         Iterator.single((i, acc))
       }.collect().sortBy(_._1).toVector.map(_._2)
       val offsets = partials.scanLeft(init)(merge).dropRight(1)

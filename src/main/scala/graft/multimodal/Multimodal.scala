@@ -315,6 +315,11 @@ object Multimodal {
       val (_, channels, rate, bits, off, size) = parseLayout(bytes)
       require(bits == 8 && channels == 1,
         s"decimateWav supports 8-bit mono PCM (got $bits-bit, $channels ch)")
+      require(rate % factor == 0,
+        s"decimation factor $factor must divide the sample rate $rate: " +
+          "rate / factor is the re-encoded header rate, and integer division " +
+          "would silently floor it (factor > rate would even declare rate 0 — " +
+          "an invalid WAV produced without error)")
       val kept = new Array[Byte](if (size == 0) 0 else (size - 1) / factor + 1)
       var i = 0
       while (i < kept.length) { kept(i) = bytes(off + i * factor); i += 1 }

@@ -313,11 +313,12 @@ object StreamingLowering {
         }
       }
       val k = math.min(lq.length, rq.length)
-      val out = lq.take(k).zip(rq.take(k)).map { case ((lt, lv), rv) =>
-        Event(lt, Some((lv, rv): Any))
-      }.toIndexedSeq
-      lq = lq.drop(k); rq = rq.drop(k)
-      val buffered = math.max(lq.length, rq.length)
+      // Guard BEFORE pairing: the leftover after this batch's pairing is
+      // max(len) - k, a cheap length check. Failing after computing `out`
+      // would discard the threshold-crossing batch's matched pairs (state
+      // from prior batches is already committed, so a checkpoint restart
+      // would not replay them).
+      val buffered = math.max(lq.length, rq.length) - k
       if (buffered > maxBuffer) {
         val (fast, slow) = if (lq.length > rq.length) ("left", "right") else ("right", "left")
         throw new IllegalStateException(
@@ -328,6 +329,10 @@ object StreamingLowering {
             "Fix the lagging source, or pair by key/time instead " +
             "(graft.streaming.StreamJoins) if the sides are not rate-matched.")
       }
+      val out = lq.take(k).zip(rq.take(k)).map { case ((lt, lv), rv) =>
+        Event(lt, Some((lv, rv): Any))
+      }.toIndexedSeq
+      lq = lq.drop(k); rq = rq.drop(k)
       (out, (lq, rq))
     }
   }

@@ -23,6 +23,15 @@ object GraphQueries {
       // single-ordered-partition interpreter-parity path (that path stays
       // spec-covered in LoweringSpec). Event times are unique in `events`,
       // so the fold order is well-defined without a tiebreak.
+      //
+      // The fold accumulates in SCALED LONG (cents), not Double: FP
+      // addition is not associative, so a Double monoid only approximately
+      // satisfies streamScanMonoid's merge contract — a per-partition
+      // partial plus an offset re-fold can differ in ULPs from the
+      // sequential fold, and a running sum landing on a rounding boundary
+      // would flip the oracle hash nondeterministically. Long addition is
+      // exactly associative, so the distributed scan is bit-identical to
+      // the sequential one regardless of partitioning.
       val src = Tables.events(s, dir)
         .select(col("ts"), col("value"))
         .as[(java.sql.Timestamp, Double)]
@@ -36,17 +45,18 @@ object GraphQueries {
           List(Param("(>20)", (v: Any) => v.asInstanceOf[Double] > 20.0)),
           "Double", "Double", 1),
         StreamVertex(3, OpScan, List(
-          Param("sum", (acc: Any, v: Any) =>
-            (acc.asInstanceOf[Double] + v.asInstanceOf[Double]): Any),
-          Param("0.0", 0.0: Any),
+          Param("sumCents", (acc: Any, v: Any) =>
+            (acc.asInstanceOf[Long] +
+              math.floor(v.asInstanceOf[Double] * 100 + 0.5).toLong): Any),
+          Param("0L", 0L: Any),
           Param("(+)", (a: Any, b: Any) =>
-            (a.asInstanceOf[Double] + b.asInstanceOf[Double]): Any)),
-          "Double", "Double", 1),
-        StreamVertex(4, OpSink, Nil, "Double", "Double", 1)))
+            (a.asInstanceOf[Long] + b.asInstanceOf[Long]): Any)),
+          "Double", "Long", 1),
+        StreamVertex(4, OpSink, Nil, "Long", "Long", 1)))
       Lowering.lower(s, g, Map(0 -> src))(4)
         .map { e =>
-          val x = e.value.get.asInstanceOf[Double]
-          (e.time.get, math.floor(x * 100 + 0.5) / 100)
+          val cents = e.value.get.asInstanceOf[Long]
+          (e.time.get, cents / 100.0)
         }
         .toDF("ts", "running")
     })
@@ -55,11 +65,13 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "q_graph_lowered" ->
       """WITH f AS (
-        |  SELECT ts, event_id, value * 2 AS v FROM events WHERE value * 2 > 20.0)
+        |  SELECT ts, event_id,
+        |         CAST(floor(value * 2 * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE value * 2 > 20.0)
         |SELECT ts,
-        |       floor(sum(v) OVER (ORDER BY ts, event_id
-        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |             * 100 + 0.5) / 100 AS running
+        |       sum(cents) OVER (ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         / 100.0 AS running
         |FROM f""".stripMargin
   )
 }

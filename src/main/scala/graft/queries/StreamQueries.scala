@@ -235,6 +235,12 @@ object StreamQueries {
     // lowering gates): per-user running sum through StreamingOps.scanByKey
     // over the chunked replay, per-key accumulators carrying across
     // micro-batch/checkpoint boundaries. Reuses the batch q_scan oracle.
+    // ASSUMES per-user unique ts (true of the generated `events` table,
+    // pinned by TablesSpec): the oracle tiebreaks equal timestamps by
+    // event_id while the fold runs in Event.orderKey order (content-hash
+    // tiebreak) — two same-microsecond events for one user could order
+    // differently on the two sides. Same assumption as the chop/changes
+    // bykey gates below.
     "q_streaming_scan_bykey" -> ((s, dir) => {
       import org.apache.spark.sql.Encoders
       import graft.core.Event
