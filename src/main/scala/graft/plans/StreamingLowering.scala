@@ -314,10 +314,8 @@ object StreamingLowering {
       }
       val k = math.min(lq.length, rq.length)
       // Guard BEFORE pairing: the leftover after this batch's pairing is
-      // max(len) - k, a cheap length check. Failing after computing `out`
-      // would discard the threshold-crossing batch's matched pairs (state
-      // from prior batches is already committed, so a checkpoint restart
-      // would not replay them).
+      // max(len) - k, a cheap length check — no point computing `out` (or
+      // mutating lq/rq) when the throw would discard it anyway.
       val buffered = math.max(lq.length, rq.length) - k
       if (buffered > maxBuffer) {
         val (fast, slow) = if (lq.length > rq.length) ("left", "right") else ("right", "left")

@@ -79,6 +79,18 @@ class StreamOpsSpec extends SparkSuite {
     assert(out.length == 2 && out.forall(_.value.isEmpty), "ticks pass through value-less")
   }
 
+  test("streamScanMonoid rejects untimed data events with a directed error") {
+    // an untimed data event's stream position is arrival order, which does
+    // not survive the range-partition shuffle — the fold must refuse loudly
+    val mixed = Seq(Event.data(0L, 1), Event.dataOnly(2), Event.data(10L, 3)).toDS
+    val e = intercept[Exception] {
+      mixed.streamScanMonoid[Int](_ + _, 0, _ + _).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(8).toList
+    assert(chain.exists(t => Option(t.getMessage).exists(_.contains("requires timed events"))),
+      s"expected the directed untimed-event error in the cause chain, got: $chain")
+  }
+
   test("streamWindow chop: windows stamped with first element's time") {
     val evs = (0 until 5).map(i => Event.data(i * 10L, i))
     val out = evs.toDS.streamWindow(WindowMakers.chop(2)).collect().toSeq

@@ -165,11 +165,19 @@ class MultimodalSpec extends SparkSuite {
   }
 
   test("decimateWav keeps every factor-th sample, halves rate, rejects 16-bit") {
-    val wav = Multimodal.WavDecoder.wavFromBytes(Array[Byte](10, 20, 30, 40, 50, 60, 70), 8000)
+    // rate 9000 so factor 3 divides it exactly: decimateWav is divisor-only
+    // (rate / factor is the re-encoded header rate; flooring is a directed error)
+    val wav = Multimodal.WavDecoder.wavFromBytes(Array[Byte](10, 20, 30, 40, 50, 60, 70), 9000)
     val dec = Multimodal.WavDecoder.decimateWav(wav, 3) // keeps 10, 40, 70
     val m = Multimodal.WavDecoder.parse(1L, dec)
-    assert(m.sample_rate == 8000 / 3 && m.n_samples == 3 && m.peak == 70)
+    assert(m.sample_rate == 3000 && m.n_samples == 3 && m.peak == 70)
     assert(m.sum_sq == 100L + 1600 + 4900)
+    // a non-dividing factor gets the directed error, never a floored header rate
+    val nd = intercept[IllegalArgumentException] {
+      Multimodal.WavDecoder.decimateWav(
+        Multimodal.WavDecoder.wavFromBytes(Array[Byte](1, 2, 3), 8000), 3)
+    }
+    assert(nd.getMessage.contains("must divide the sample rate"), s"got: $nd")
     // factor 1 is an identity re-encode
     val id = Multimodal.WavDecoder.parse(2L, Multimodal.WavDecoder.decimateWav(wav, 1))
     assert(id.n_samples == 7 && id.sum_sq == Multimodal.WavDecoder.parse(2L, wav).sum_sq)
