@@ -23,14 +23,14 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadAvg()
-    val spark = SparkSession.builder()
+    val spark = graft.streaming.StateStores.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // same session timezone as Verify: otherwise a non-UTC host would
       // benchmark different window/date groupings than were validated
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.catalyst.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** State-store provider selection for the streaming surface.
+  *
+  * All keyed stateful operators ([[StreamingOps]], the lowered state
+  * machines in `graft.plans.StreamingLowering`, and Spark's own
+  * window/dedup/join state) keep their state in the configured
+  * StateStoreProvider. The default HDFS-backed provider holds every
+  * key's state on the executor HEAP — fine at gate scale, but at 100 TB
+  * keyed state (billions of keys) it OOMs executors; RocksDB spills
+  * state to local disk with a bounded block cache, which is the provider
+  * a production deployment of this library would run. The reference's
+  * analogous bound is its back-pressured bounded channel
+  * (`/root/reference/src/Striot/Nodes.hs:214`) — state there is one
+  * in-flight window per node, so heap sufficed; ours is per-key and
+  * unbounded in key cardinality, hence the pluggable store.
+  *
+  * Selection is an environment switch so the SAME query surface runs
+  * under either provider with no code change (provider portability is
+  * itself the contract being proven — `RocksDBStateStoreSpec` pins that
+  * every keyed gate produces identical results under both).
+  */
+object StateStores {
+
+  val RocksDBProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Spark's built-in default (heap-backed); named here so specs can flip
+    * back explicitly after testing RocksDB. */
+  val DefaultProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  /** Resolve `SPARK_GRAFT_STATE_STORE` to a provider class: unset →
+    * None (keep Spark's default), `rocksdb` → RocksDB, `default` →
+    * the heap-backed default (explicit), anything else → directed error. */
+  def fromEnv(env: Map[String, String] = sys.env): Option[String] =
+    env.get("SPARK_GRAFT_STATE_STORE").map {
+      case "rocksdb" => RocksDBProvider
+      case "default" => DefaultProvider
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATE_STORE=$other is not a known state store " +
+          "(expected 'rocksdb' or 'default'); for a custom provider set " +
+          "spark.sql.streaming.stateStore.providerClass directly")
+    }
+
+  /** Apply the env-selected provider to a session builder (no-op when the
+    * env var is unset — Spark's default provider applies). */
+  def configure(b: SparkSession.Builder, env: Map[String, String] = sys.env)
+      : SparkSession.Builder =
+    fromEnv(env).fold(b)(p => b.config("spark.sql.streaming.stateStore.providerClass", p))
+}
