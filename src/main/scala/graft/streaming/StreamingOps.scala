@@ -335,22 +335,35 @@ object StreamingOps {
          state: GroupState[scala.collection.immutable.Queue[Event[A]]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var buf = state.getOption
+            // Time-ordered vector with two ADVANCING indices instead of a
+            // Queue rescanned per close: `i` anchors the oldest pending
+            // window, `j` is its exclusive window-end bound. Both ends are
+            // nondecreasing (anchor times ascend, so end = anchor + ms
+            // ascends too), so each close costs O(emitted window) with no
+            // re-scan of the shared prefix — a dense same-key burst of w
+            // events closes in O(total output), where the Queue form paid
+            // an extra O(w) per close re-walking (and re-reversing) the
+            // buffer: quadratic on hot keys.
+            var vec = state.getOption
               .getOrElse(scala.collection.immutable.Queue.empty[Event[A]])
+              .toVector
+            var i = 0
+            var j = 0
             val sorted = it.map(_._2).toIndexedSeq.sortBy(Event.orderKey)
             val out = IndexedSeq.newBuilder[(K, Event[List[A]])]
             sorted.filter(_.isTimed).foreach { e =>
               val t = Event.micros(e.time.get)
-              while (buf.nonEmpty && Event.micros(buf.head.time.get) + msUs <= t) {
-                val end = Event.micros(buf.head.time.get) + msUs
-                val w = buf.iterator.takeWhile(x => Event.micros(x.time.get) < end).toList
-                out += ((k, Event(w.head.time, Some(w.filter(_.isData).map(_.value.get)))))
-                val (_, rest) = buf.dequeue
-                buf = rest
+              while (i < vec.length && Event.micros(vec(i).time.get) + msUs <= t) {
+                val end = Event.micros(vec(i).time.get) + msUs
+                if (j <= i) j = i // the window always contains its anchor
+                while (j < vec.length && Event.micros(vec(j).time.get) < end) j += 1
+                val w = vec.slice(i, j)
+                out += ((k, Event(w.head.time, Some(w.filter(_.isData).map(_.value.get).toList))))
+                i += 1
               }
-              buf = buf.enqueue(e)
+              vec = vec :+ e
             }
-            state.update(buf)
+            state.update(scala.collection.immutable.Queue.from(vec.drop(i)))
             idleTimeoutMs.foreach(state.setTimeoutDuration)
             out.result().iterator
           }

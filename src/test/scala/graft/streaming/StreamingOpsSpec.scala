@@ -263,6 +263,100 @@ class StreamingOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] { StreamingOps.slidingByKey[Long, Double](keyed, 0) }
   }
 
+  test("idleTimeoutMs evicts an idle key's state; the key restarts from init on return") {
+    // Drives the ProcessingTimeTimeout path across three micro-batches. Each
+    // batch is its own Trigger.Once run over a SHARED checkpoint: a query
+    // with registered processing-time timeouts keeps constructing no-data
+    // timeout batches forever, so neither processAllAvailable nor an
+    // AvailableNow run ever terminates — one-batch restarts make each
+    // micro-batch deterministic instead:
+    //   run 1: key 1 folds 10.0 (state = 10.0, 100ms idle timeout armed,
+    //          persisted in the checkpoint)
+    //   run 2 (after a generous sleep): key 2 arrives — key 1 has idled past
+    //          its timeout, so its hasTimedOut branch runs and REMOVES the
+    //          state, emitting nothing
+    //   run 3: key 1 reappears — with its state evicted it restarts from
+    //          init (accumulator 5.0, NOT 15.0)
+    val dir = Files.createTempDirectory("graft-evict").toString
+    val ckpt = Files.createTempDirectory("graft-evict-ckpt").toString
+    val res = Files.createTempDirectory("graft-evict-out").toString
+    def write(rows: (Long, java.sql.Timestamp, Double)*): Unit =
+      rows.toDF("user_id", "ts", "value").write.mode("append").parquet(dir)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    write((1L, ts(1000), 10.0))
+    val schema = spark.read.parquet(dir).schema
+    def runOnce(): Unit = {
+      val keyed = spark.readStream.schema(schema).parquet(dir)
+        .as[(Long, java.sql.Timestamp, Double)]
+        .map { case (u, t, v) => (u, Event(Some(t), Some(v))) }
+      val q = StreamingOps.scanByKey[Long, Double, Double](
+          keyed, _ + _, 0.0, idleTimeoutMs = Some(100L))
+        .flatMap { case (u, e) => e.value.map(v => (u, v)) }
+        .toDF("user_id", "acc")
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(res)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    Thread.sleep(500) // let key 1's 100ms idle timeout expire on the wall clock
+    write((2L, ts(2000), 1.0))
+    runOnce() // key 1 times out in this run's batch (eviction emits nothing)
+    write((1L, ts(3000), 5.0))
+    runOnce()
+    val got = spark.read.parquet(res).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList.sorted
+    assert(got == List((1L, 5.0), (1L, 10.0), (2L, 1.0)),
+      s"expected key 1 to restart from init after eviction, got: $got")
+  }
+
+  test("slidingTimeByKey: 10k-event single-key dense burst closes every window correctly") {
+    // The scale-regression pin for the incremental (index-advancing) close:
+    // one hot key, 10k events 1ms apart, 100ms windows, all in ONE
+    // micro-batch — 9.9k closing windows of 100 events each. The close is
+    // O(total emitted output); the old per-close queue rescan made dense
+    // same-key bursts quadratic.
+    import org.apache.spark.sql.Encoders
+    implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[List[Double]])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[List[Double]]])
+    implicit val encState
+        : org.apache.spark.sql.Encoder[scala.collection.immutable.Queue[Event[Double]]] =
+      Encoders.kryo[scala.collection.immutable.Queue[Event[Double]]]
+    val n = 10000
+    val dir = Files.createTempDirectory("graft-burst").toString
+    (0 until n).map(i => (1L, new java.sql.Timestamp(i.toLong), i.toDouble))
+      .toDF("user_id", "ts", "value").coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val keyed = spark.readStream.schema(schema).parquet(dir)
+      .as[(Long, java.sql.Timestamp, Double)]
+      .map { case (u, t, v) => (u, Event(Some(t), Some(v))) }
+    val t0 = System.nanoTime()
+    val windowed = StreamingOps.slidingTimeByKey[Long, Double](keyed, ms = 100L)
+    val q = windowed
+      .map { case (_, e) => (e.time.get, e.value.get.length.toLong, e.value.get.sum) }
+      .toDF("anchor", "n", "sum")
+      .writeStream.format("memory").queryName("burst_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val got = spark.table("burst_test").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // window anchored at i closes iff some event reaches i+100 → anchors 0..n-101;
+    // each holds exactly events i..i+99: n=100, sum = 100i + 4950
+    assert(got.length == n - 100)
+    got.zipWithIndex.foreach { case ((anchor, cnt, sum), i) =>
+      assert(anchor == i && cnt == 100L && sum == 100.0 * i + 4950.0,
+        s"window $i: got ($anchor, $cnt, $sum)")
+    }
+    // linear-ish close: ~1M emitted elements must not take minutes (the
+    // quadratic form degraded superlinearly with burst density)
+    assert(elapsed < 90.0, s"dense-burst close took ${elapsed}s")
+  }
+
   test("streaming filterAccByKey deduplicates consecutive values per key") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
