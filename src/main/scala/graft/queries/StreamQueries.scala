@@ -519,6 +519,80 @@ object StreamQueries {
       s.read.parquet(s"$tmp/result")
     }),
 
+    // APPEND-MODE session windows — the unbounded-stream configuration:
+    // with a watermark, a session's state is EVICTED (and the session
+    // emitted exactly once) as soon as the watermark provably passes its
+    // close, so state holds only open sessions instead of every session
+    // ever seen (the complete-mode q_streaming_session's cost). Fed the
+    // 4-chunk replay so sessions merge across micro-batches. On the finite
+    // replay the final watermark is max(ts) − 1min, so exactly the sessions
+    // whose close (last event + 10min gap) lies at/before that emit — the
+    // oracle filters the batch gaps-and-islands result identically (the
+    // q_streaming_join_w move).
+    "q_streaming_session_append" -> ((s, dir) => {
+      val agg = graft.streaming.StreamingOps.sessionAgg(
+          Tables.streamEventsChunked(s, dir), "ts", gap = "10 minutes",
+          watermark = "1 minute", keys = Seq(col("user_id")),
+          aggs = Seq(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_value")))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n"), col("sum_value"))
+      val tmp = graft.core.TempDirs.create("graft_stream_ssa_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        agg.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
+    // streamJoinE as a STREAMING stream-stream join (the last §2.3
+    // composite that was batch-only): both sides bucketed into their
+    // tumbling hour window, joined on WINDOW EQUALITY + the theta predicate
+    // (click_value > purchase_value), per user. Window equality bounds both
+    // sides' join state by the watermark — O(events per window), never
+    // O(stream) — and the inner join emits pairs as matches arrive, so the
+    // finite replay reproduces the batch q_join_e result verbatim (same
+    // oracle). Fed the chunked replay: pairs form across micro-batches out
+    // of buffered state, which is what's being gated.
+    "q_streaming_join_e" -> ((s, dir) => {
+      val base = Tables.streamEventsChunked(s, dir)
+      val clicks = base.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"), col("user_id"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      val joined = graft.streaming.StreamJoins.windowThetaJoin(
+          clicks, purchases, "c_ts", "p_ts", duration = "1 hour",
+          watermark = "2 hours",
+          theta = col("user_id") === col("p_user") &&
+            col("click_value") > col("purchase_value"))
+        // the epoch-aligned 1h window start IS date_trunc('hour', c_ts)
+        .select(col("w.start").as("hour"), col("user_id"),
+          col("click_id"), col("purchase_id"))
+      val tmp = graft.core.TempDirs.create("graft_stream_je_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // chopTime executed THROUGH the stateful streaming lowering
     // (StreamingLowering.lower → flatMapGroupsWithState): the reference's
     // Source→Window(chopTime)→Filter→Map graph (FunctionalProcessing.hs:
@@ -1147,6 +1221,42 @@ object StreamQueries {
         |SELECT min(ts) AS session_start, user_id, count(*) AS n,
         |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // the batch session oracle restricted to sessions the final watermark
+    // (max ts − 1min) provably closed: last event + 10min gap ≤ watermark.
+    // Append mode emits exactly those once; open sessions stay in state.
+    "q_streaming_session_append" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |d AS (
+        |  SELECT user_id, ts, value, event_id,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM d)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+        |       floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+        |FROM sess, m GROUP BY user_id, sid, mx
+        |HAVING max(ts) + INTERVAL 10 MINUTE <= mx - INTERVAL 1 MINUTE""".stripMargin,
+
+    // the streaming window-equality theta join must reproduce the batch
+    // hourly streamJoinE exactly — inner-join pairs emit as matches arrive,
+    // none lost across micro-batch boundaries or evicted early
+    "q_streaming_join_e" ->
+      """SELECT a.hour, a.user_id, a.click_id, b.purchase_id
+        |FROM (SELECT date_trunc('hour', ts) AS hour, user_id,
+        |             event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click') a
+        |JOIN (SELECT date_trunc('hour', ts) AS hour, user_id,
+        |             event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase') b
+        |  ON a.hour = b.hour AND a.user_id = b.user_id
+        | AND a.click_value > b.purchase_value""".stripMargin,
 
     // the merged streams' parts, rebuilt relationally: dollars/cents split
     // per event, positive parts only (floor arithmetic on the same doubles)
