@@ -11,63 +11,27 @@ import org.apache.spark.sql.functions._
   *
   * Decoders are pluggable per format: [[Multimodal.NetpbmDecoder]] REALLY
   * decodes binary netpbm images (PGM/PPM — header parse, dimension
-  * validation, brightness-histogram features) with zero external
-  * libraries; every other format is STUBBED (`decodeStub` derives
-  * deterministic fake metadata — no image/audio codecs in this
-  * environment). The Spark-side plumbing — binary schema, partitioning,
-  * batch iterator shape, typed output — is identical for both; swapping
-  * the stub for a JNI/ffmpeg/ImageIO decoder changes only the function
-  * body.
+  * validation, brightness-histogram features) and [[Multimodal.WavDecoder]]
+  * really parses RIFF/WAV audio, both with zero external libraries; any
+  * other format raises its decoder's directed error. The Spark-side
+  * plumbing — binary schema, partitioning, batch iterator shape, typed
+  * output — is decoder-agnostic; a JNI/ffmpeg/ImageIO-backed factory slots
+  * into the same [[Multimodal.MediaDecoder]] surface without touching it
+  * (the test suite drives the plumbing through exactly such a drop-in,
+  * test-scope decoder).
   */
 object Multimodal {
 
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int, checksum: Long)
 
-  /** Deterministic fake "decode": pretends the blob is an image and derives
-    * (width, height, checksum) from the bytes. Replace with a real decoder
-    * in production. */
-  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    var crc = 0L
-    var i = 0
-    while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
-    val w = 64 + (math.abs(crc) % 1024).toInt
-    val h = 64 + (math.abs(crc >> 10) % 1024).toInt
-    MediaMeta(docId, bytes.length, w, h, crc)
-  }
-
-  /** Attach a fake binary payload column (UTF-8 of the text) — stands in for
-    * a real image/audio blob column in the testdata. */
-  def withFakeBlob(df: DataFrame): DataFrame =
-    df.withColumn("blob", encode(col("text"), "UTF-8"))
-
   /** Pluggable decoder: constructed ONCE PER PARTITION (the expensive
     * library/codec init the `mapInPandas` batch shape exists to amortize),
-    * then applied per row. Production swaps [[StubDecoder]] for a JNI /
+    * then applied per row. Production swaps [[NetpbmDecoder]] for a JNI /
     * ffmpeg / ImageIO-backed factory; the plumbing does not change. */
   trait MediaDecoder extends Serializable {
     def decode(docId: Long, bytes: Array[Byte]): MediaMeta
     /** Fixed-size feature vector (the embedding-extraction step). */
     def features(bytes: Array[Byte], dim: Int): Array[Float]
-  }
-
-  /** Deterministic stub decoder (this container has no media libraries). */
-  object StubDecoder extends (() => MediaDecoder) with Serializable {
-    def apply(): MediaDecoder = new MediaDecoder {
-      def decode(docId: Long, bytes: Array[Byte]): MediaMeta = decodeStub(docId, bytes)
-      def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-        val out = new Array[Float](dim)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
-        var d = 0
-        while (d < dim) {
-          h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift per slot
-          out(d) = (h & 0xffff).toFloat / 0xffff.toFloat
-          d += 1
-        }
-        out
-      }
-    }
   }
 
   /** REAL decoder for binary netpbm images (PGM `P5` grayscale / PPM `P6`
@@ -207,7 +171,7 @@ object Multimodal {
   /** Partition-batched decode: binary column → typed metadata. The decoder
     * factory runs once per partition. */
   def extractMeta(spark: SparkSession, df: DataFrame,
-                  decoder: () => MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
+                  decoder: () => MediaDecoder): Dataset[MediaMeta] = {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
@@ -221,7 +185,7 @@ object Multimodal {
     * `array<float>` embedding column, composable with the
     * [[graft.similarity.Similarity]] ANN pipelines. */
   def extractFeatures(spark: SparkSession, df: DataFrame, dim: Int,
-                      decoder: () => MediaDecoder = StubDecoder): DataFrame = {
+                      decoder: () => MediaDecoder): DataFrame = {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]

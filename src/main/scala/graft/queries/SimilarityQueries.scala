@@ -247,9 +247,13 @@ object SimilarityQueries {
 
     // Multimodal frame sampling (the video path): 64-byte frames, every
     // 2nd kept — slicing is column arithmetic the oracle reproduces from
-    // byte lengths alone.
+    // byte lengths alone. The payload is the doc's UTF-8 bytes standing in
+    // for a video blob (the testdata carries no real video; frame slicing
+    // never decodes, so any byte stream exercises it faithfully).
     "q_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.withFakeBlob(docs(s, dir)), frameBytes = 64, stride = 2)
+      Multimodal.sampleFrames(
+          docs(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
+          frameBytes = 64, stride = 2)
         .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n_bytes"))),
 
     // Embedding-cosine near-duplicate pairs — the EXACT triangle-blocked

@@ -9,6 +9,11 @@ import graft.similarity.Similarity
 class TextSimilaritySpec extends SparkSuite {
   import spark.implicits._
 
+  /** UTF-8 text bytes standing in for a media blob (the testdata has no
+    * real media; the plumbing under test never assumes a format). */
+  private def fakeBlob(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("blob", encode(col("text"), "UTF-8"))
+
   test("tokens / counts / stopword ratio") {
     val df = Seq((1L, "the cat  and   the hat"), (2L, "")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
@@ -59,9 +64,12 @@ class TextSimilaritySpec extends SparkSuite {
     assert(lsh.subsetOf(Set(1L, 2L, 3L)))
   }
 
-  test("multimodal decode stub: deterministic metadata from binary payloads") {
+  test("decode plumbing is decoder-agnostic: a drop-in custom decoder drives it") {
+    // the production surface takes only real decoders (netpbm, WAV); this
+    // deterministic test-scope decoder proves a third-party factory slots
+    // into the same partition-batched plumbing unchanged
     val df = Seq((7L, "hello world"), (8L, "hello world"), (9L, "different")).toDF("doc_id", "text")
-    val metas = Multimodal.extractMeta(spark, Multimodal.withFakeBlob(df))
+    val metas = Multimodal.extractMeta(spark, fakeBlob(df), TestStubDecoder)
       .collect().map(m => m.doc_id -> ((m.n_bytes, m.width, m.height, m.checksum))).toMap
     assert(metas(7L)._1 == "hello world".getBytes("UTF-8").length)
     assert(metas(7L)._4 == metas(8L)._4) // same bytes → same checksum
@@ -71,7 +79,7 @@ class TextSimilaritySpec extends SparkSuite {
 
   test("multimodal feature extraction: fixed-dim deterministic embeddings, ANN-composable") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
-    val feats = Multimodal.extractFeatures(spark, Multimodal.withFakeBlob(df), dim = 16)
+    val feats = Multimodal.extractFeatures(spark, fakeBlob(df), dim = 16, TestStubDecoder)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(feats.values.forall(_.length == 16))
     assert(feats(1L) == feats(2L)) // deterministic
@@ -83,9 +91,39 @@ class TextSimilaritySpec extends SparkSuite {
     val df = Seq(
       (1L, "a" * 200),  // 200 bytes → frames of 64: [64,64,64,8], keep idx 0,2
       (2L, "")).toDF("doc_id", "text")
-    val frames = Multimodal.sampleFrames(Multimodal.withFakeBlob(df), frameBytes = 64, stride = 2)
+    val frames = Multimodal.sampleFrames(fakeBlob(df), frameBytes = 64, stride = 2)
       .select(col("doc_id"), col("frame_idx"), length(col("frame")).as("n"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(frames == Set((1L, 0, 64), (1L, 2, 64), (2L, 0, 0)))
+  }
+}
+
+/** Test-scope stand-in for an external codec: deterministic fake metadata /
+  * features derived from the raw bytes. Exists to prove the
+  * [[Multimodal.MediaDecoder]] plumbing is decoder-agnostic — the
+  * production surface ships only real decoders. */
+object TestStubDecoder extends (() => Multimodal.MediaDecoder) with Serializable {
+  def apply(): Multimodal.MediaDecoder = new Multimodal.MediaDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): Multimodal.MediaMeta = {
+      var crc = 0L
+      var i = 0
+      while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
+      val w = 64 + (math.abs(crc) % 1024).toInt
+      val h = 64 + (math.abs(crc >> 10) % 1024).toInt
+      Multimodal.MediaMeta(docId, bytes.length, w, h, crc)
+    }
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+      var d = 0
+      while (d < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17 // xorshift per slot
+        out(d) = (h & 0xffff).toFloat / 0xffff.toFloat
+        d += 1
+      }
+      out
+    }
   }
 }
