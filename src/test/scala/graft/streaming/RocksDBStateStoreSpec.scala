@@ -20,13 +20,18 @@ class RocksDBStateStoreSpec extends SparkSuite {
   private val sfDir = "/root/testdata/sf0.001"
   private val confKey = "spark.sql.streaming.stateStore.providerClass"
 
-  /** Run `body` with the session's state store provider set to `provider`,
-    * restoring the prior setting (or unsetting) after. */
+  /** Run `body` with the session's state store provider set to `provider`
+    * (plus the production companion confs for RocksDB — changelog
+    * checkpointing), restoring the prior settings (or unsetting) after. */
   private def withProvider[T](provider: String)(body: => T): T = {
-    val prev = spark.conf.getOption(confKey)
+    val extras =
+      if (provider == StateStores.RocksDBProvider) StateStores.RocksDBExtras else Map.empty
+    val keys = confKey :: extras.keys.toList
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
     spark.conf.set(confKey, provider)
+    extras.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    finally keys.foreach(k => prev(k).fold(spark.conf.unset(k))(spark.conf.set(k, _)))
   }
 
   private def rows(name: String): Seq[String] = {
@@ -73,9 +78,9 @@ class RocksDBStateStoreSpec extends SparkSuite {
 
   test("StateStores env resolution: rocksdb, default, unset, junk") {
     assert(StateStores.fromEnv(Map("SPARK_GRAFT_STATE_STORE" -> "rocksdb"))
-      .contains(StateStores.RocksDBProvider))
+      .contains((StateStores.RocksDBProvider, StateStores.RocksDBExtras)))
     assert(StateStores.fromEnv(Map("SPARK_GRAFT_STATE_STORE" -> "default"))
-      .contains(StateStores.DefaultProvider))
+      .contains((StateStores.DefaultProvider, Map.empty[String, String])))
     assert(StateStores.fromEnv(Map.empty).isEmpty)
     val e = intercept[IllegalArgumentException] {
       StateStores.fromEnv(Map("SPARK_GRAFT_STATE_STORE" -> "leveldb"))
