@@ -473,6 +473,46 @@ object Dedup {
     train.join(contaminated, id === col("__decon_id"), "left_anti")
   }
 
+  /** Two-stage Bloom-prefiltered decontamination — byte-for-byte the same
+    * result as [[decontaminate]], built for contamination sets too large
+    * to broadcast as an exact hash set. Stage 1 probes every training
+    * n-gram hash against a BROADCAST Bloom filter of the benchmark's
+    * n-gram hashes (built in one pass over the small side;
+    * `Statistics.bloomFilter` — at fpp=1% the filter is ~9.6 bits/entry
+    * vs 64 for the exact hash set, an ~7x smaller broadcast, and fpp
+    * trades size for stage-2 work smoothly). Stage 2 exact-verifies ONLY
+    * the surviving candidate grams with the semi-join — false positives
+    * cost just that verification, false negatives cannot exist, so the
+    * Bloom stage is pure scan-reduction with no approximation in the
+    * result. Stage 2 is left unhinted: the candidate side is a small
+    * fraction of the corpus, so AQE picks broadcast at small scale and a
+    * shuffled semi-join when the benchmark side outgrows the driver.
+    *
+    * The probe is a Scala UDF over the broadcast filter deliberately:
+    * Spark's `bloom_filter_agg`/`might_contain` expressions are
+    * Catalyst-internal (injected only by the runtime-filter optimizer
+    * rule, not registered for user plans), so a UDF is the supported
+    * surface — and it's a single primitive-long probe, no serialization
+    * beyond the long itself. */
+  def decontaminateBloom(train: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchText: Column, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
+    val benchGrams = bench.select(explode(wordNgramHashes(benchText, n)).as("h")).distinct()
+    // expected-item count for sizing: one count over the (small) bench side
+    val expected = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("h", expected, fpp)
+    val bcBf = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
+    val candidates = widen(train)
+      .select(id.as("__decon_id"), explode(wordNgramHashes(text, n)).as("h"))
+      .filter(mightContain(col("h")))
+    val contaminated = candidates
+      .join(benchGrams, Seq("h"), "left_semi")
+      .select(col("__decon_id")).distinct()
+    train.join(contaminated, id === col("__decon_id"), "left_anti")
+  }
+
   /** Sparse TF-IDF cosine near-duplicate pairs — the token-posting-list
     * all-pairs similarity (the lexical complement of the dense embedding
     * paths in [[graft.similarity.Similarity]]): weight each (doc, token)

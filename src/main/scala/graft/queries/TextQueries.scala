@@ -275,6 +275,20 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // The same contamination guard through the two-stage Bloom prefilter
+    // (Dedup.decontaminateBloom): a broadcast Bloom filter of benchmark
+    // n-gram hashes prunes training grams before the exact verify join —
+    // the configuration for contamination sets too large to broadcast as
+    // exact hash sets. Result is byte-for-byte q_decontaminate's (false
+    // positives are re-verified, false negatives impossible) — same oracle.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 23 === 0)
+      val train = d.filter(col("doc_id") % 23 =!= 0)
+      Dedup.decontaminateBloom(train, col("doc_id"), col("text"), bench, col("text"), n = 4)
+        .select("doc_id", "lang")
+    }),
+
     // Training-window chunking: 64-token windows, stride 48 (16-token
     // overlap). Chunk slicing is pure column arithmetic fused into the
     // scan; the chunk content hash travels instead of the chunk text.
@@ -670,6 +684,23 @@ object TextQueries {
     // string 4-grams stand in for the Spark side's 64-bit hashed 4-grams —
     // identical contamination sets modulo ~2^-65 hash collisions
     "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN []
+         |                 ELSE list_transform(range(1, len(t) - 2),
+         |                      i -> array_to_string(t[i:i+3], ' ')) END) AS g
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+         |  WHERE doc_id % 23 <> 0)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id % 23 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // the Bloom prefilter is exact after stage-2 verification, so the
+    // oracle is q_decontaminate's verbatim
+    "q_decontaminate_bloom" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
          |grams AS (
          |  SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN []

@@ -30,6 +30,30 @@ class DedupSpec extends SparkSuite {
     assert(out(5L).isEmpty)
   }
 
+  test("decontaminateBloom equals decontaminate exactly, even at absurd fpp") {
+    // bench = docs 1 and 5; training docs 2 and 4 share 4-grams with doc 1
+    // → dropped; doc 3 survives. The Bloom prefilter must not change the
+    // result at any fpp: false positives are verified away in stage 2,
+    // false negatives cannot exist. fpp=0.5 forces a tiny, collision-heavy
+    // filter, the worst case for the prefilter.
+    val bench = docs.filter(col("doc_id").isin(1L, 5L))
+    val train = docs.filter(!col("doc_id").isin(1L, 5L))
+    val exact = Dedup.decontaminate(
+      train, col("doc_id"), col("text"), bench, col("text"), n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(3L))
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Dedup.decontaminateBloom(
+        train, col("doc_id"), col("text"), bench, col("text"), n = 4, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp diverged from the exact decontamination")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateBloom(
+        train, col("doc_id"), col("text"), bench, col("text"), n = 4, fpp = 1.5)
+    }
+  }
+
   test("ngramJaccardPairs finds near-dups and exact dups with correct jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, maxDf = 10, minJaccard = 0.3)
