@@ -357,6 +357,54 @@ class StreamingOpsSpec extends SparkSuite {
     assert(elapsed < 90.0, s"dense-burst close took ${elapsed}s")
   }
 
+  test("scanByKey state survives a query RESTART: checkpoint round-trip of kryo state") {
+    // The gates exercise cross-batch state carry within ONE query run;
+    // production also needs the accumulator to survive a STOP and a fresh
+    // start() from the same checkpoint (deploys, crashes, rescheduling) —
+    // i.e. the kryo-encoded per-key state must round-trip through the
+    // state store's on-disk checkpoint, not just executor memory. Run 1
+    // folds the first half of each key's events, run 2 (new query
+    // instance, same checkpoint) folds the rest; if state did not survive
+    // the restart, run 2 would restart accumulators from init and the
+    // final per-key running sums would diverge from the batch totals.
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val res = Files.createTempDirectory("graft-restart-out").toString
+    def write(rows: (Long, java.sql.Timestamp, Double)*): Unit =
+      rows.toDF("user_id", "ts", "value").write.mode("append").parquet(dir)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val firstHalf = (0 until 10).map(i => (i % 3.toLong, ts(i * 100L), (i + 1).toDouble))
+    val secondHalf = (10 until 20).map(i => (i % 3.toLong, ts(i * 100L), (i + 1).toDouble))
+    write(firstHalf: _*)
+    val schema = spark.read.parquet(dir).schema
+    def runOnce(): Unit = {
+      val keyed = spark.readStream.schema(schema).parquet(dir)
+        .as[(Long, java.sql.Timestamp, Double)]
+        .map { case (u, t, v) => (u, Event(Some(t), Some(v))) }
+      val q = StreamingOps.scanByKey[Long, Double, Double](keyed, _ + _, 0.0)
+        .flatMap { case (u, e) => e.value.map(v => (u, v)) }
+        .toDF("user_id", "acc")
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(res)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // run 1: first half only
+    write(secondHalf: _*)
+    runOnce() // run 2: fresh query instance resumes from the checkpoint
+    val out = spark.read.parquet(res).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 20, "every event must emit exactly one running sum across both runs")
+    val finalAcc = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = (firstHalf ++ secondHalf).groupBy(_._1)
+      .view.mapValues(_.map(_._3).sum).toMap
+    assert(finalAcc == expected,
+      s"restart must resume accumulators from checkpointed state: got $finalAcc, want $expected")
+  }
+
   test("streaming filterAccByKey deduplicates consecutive values per key") {
     val stream = spark.readStream
       .schema(eventsBatch.schema).parquet(replayDir)
