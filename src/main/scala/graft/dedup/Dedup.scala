@@ -513,6 +513,52 @@ object Dedup {
     train.join(contaminated, id === col("__decon_id"), "left_anti")
   }
 
+  /** Repeated-span statistics — the EXACT-SUBSTRING dedup signal (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022, which removes verbatim spans repeated across a corpus; the
+    * reference engine has no analog — this is pure training-data
+    * tooling): for each document, how much of it is made of token
+    * n-gram SPANS that also occur verbatim in at least one OTHER
+    * document. Unlike [[ngramJaccardPairs]] (set similarity between pair
+    * candidates) this is a per-document corpus-wide measure — a doc can
+    * be 80% boilerplate without having any single near-duplicate.
+    *
+    * Output per doc: `n_grams` (positional n-gram count, len−n+1),
+    * `n_dup` (positions whose span occurs in ≥ 2 distinct docs),
+    * `dup_frac` = n_dup / n_grams (0.0 for docs shorter than n tokens).
+    *
+    * Scale shape: spans travel as 64-bit hashes (decontaminate's move —
+    * a string-gram oracle reproduces the result modulo ~2⁻⁶⁵ collisions);
+    * per-(doc, span) occurrence counts combine map-side before the one
+    * shuffle on the span key; document frequency is a window count over
+    * that already-aggregated set (no second scan); the per-doc rollup is
+    * the only other exchange. Nothing is broadcast, nothing is collected,
+    * no all-pairs join exists anywhere — cost is linear in corpus token
+    * count regardless of how duplicated it is. */
+  def repeatedSpanStats(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1, s"span length must be >= 1 token (got $n)")
+    val toks = TextAnalysis.tokens(text)
+    // positional (NON-distinct) grams: a doc repeating a span k times has
+    // k duplicated positions, not 1
+    val gramArr = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val grams = widen(df).select(id.as("doc_id"), explode(gramArr).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val perDoc = grams.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("occ"))
+    val withDf = perDoc.withColumn("docs",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    val dup = withDf.filter(col("docs") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("occ")).as("n_dup"))
+    val base = df.select(id.as("doc_id"),
+      greatest(size(toks) - (n - 1), lit(0)).as("n_grams"))
+    val nDup = coalesce(col("n_dup"), lit(0L))
+    base.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), nDup.as("n_dup"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(roundp(nDup.cast("double") / col("n_grams"), 6)).as("dup_frac"))
+  }
+
   /** Sparse TF-IDF cosine near-duplicate pairs — the token-posting-list
     * all-pairs similarity (the lexical complement of the dense embedding
     * paths in [[graft.similarity.Similarity]]): weight each (doc, token)

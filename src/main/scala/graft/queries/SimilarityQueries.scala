@@ -93,6 +93,22 @@ object SimilarityQueries {
         k = 5, nprobe = 2)
     }),
 
+    // SemDeDup-style semantic dedup (cluster-then-dedup-within-cluster):
+    // the same deterministic seed-point codebook as q_knn_ivf_portable
+    // (embeddings of vec_id 0..7) buckets the corpus in one map pass;
+    // near-dup cosine pairs are formed WITHIN cells only (one shuffle on
+    // the cell key — the shape that survives 100 TB, vs q_embedding_dedup's
+    // corpus-wide triangle join); the lowest-id member of each neighborhood
+    // survives. Same 0.42 threshold as q_embedding_dedup, so the cross-cell
+    // recall gap is measurable (SemanticDedupSpec).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semanticDedup(e, centroids, threshold = 0.42)
+    }),
+
     // The SRP-LSH bucketed-ANN pipeline over the PORTABLE plane family
     // (one closed-form Lehmer multiplication per ±1 weight): every bucket
     // bit, candidate pair, and rank SQL-replayable — the PortableHash move
@@ -481,6 +497,34 @@ object SimilarityQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
         |  FROM pairs)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the q_knn_ivf_portable assignment CTE verbatim (seed centroids
+    // vec_id 0..7, squared-L2, lowest-cell tiebreak), then within-cell
+    // near-dup pairs and the lowest-id-survives anti-join
+    "q_semantic_dedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cell_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, e.embedding, c.cell_id,
+        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i])
+        |                * (CAST(e.embedding[i] AS DOUBLE) - c.c_emb[i]))) AS d2
+        |  FROM embeddings e, c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT vec_id, embedding, cell_id AS cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE floor(list_cosine_similarity(
+        |          list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |          list_transform(b.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 >= 0.42)
+        |SELECT vec_id, CAST(cell AS INT) AS cell FROM assign
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT label,

@@ -289,6 +289,14 @@ object TextQueries {
         .select("doc_id", "lang")
     }),
 
+    // Exact-substring dedup signal (Lee et al. ACL'22): per document, how
+    // many of its positional word 5-gram spans occur verbatim in ≥ 2
+    // distinct docs, and the duplicated fraction. Spans travel as 64-bit
+    // hashes (the decontaminate move); the oracle replays with string
+    // grams.
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.repeatedSpanStats(docs(s, dir), col("doc_id"), col("text"), n = 5)),
+
     // Training-window chunking: 64-token windows, stride 48 (16-token
     // overlap). Chunk slicing is pure column arithmetic fused into the
     // scan; the chunk content hash travels instead of the chunk text.
@@ -714,6 +722,27 @@ object TextQueries {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id % 23 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // positional 5-gram spans as strings (the Spark side's 64-bit hashes,
+    // modulo ~2^-65 collisions); df = distinct docs per span via a window
+    // count over the per-(doc, span) aggregate
+    "q_span_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN []
+         |                 ELSE list_transform(range(1, len(t) - 3),
+         |                      i -> array_to_string(t[i:i+4], ' ')) END) AS g
+         |  FROM toks),
+         |perdoc AS (SELECT doc_id, g, count(*) AS occ FROM grams GROUP BY doc_id, g),
+         |wdf AS (SELECT doc_id, occ, count(*) OVER (PARTITION BY g) AS docs FROM perdoc),
+         |dup AS (SELECT doc_id, sum(occ) AS n_dup FROM wdf WHERE docs >= 2 GROUP BY doc_id),
+         |base AS (SELECT doc_id, greatest(len(t) - 4, 0) AS n_grams FROM toks)
+         |SELECT b.doc_id, CAST(b.n_grams AS INT) AS n_grams,
+         |       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+         |       CASE WHEN b.n_grams = 0 THEN 0.0
+         |            ELSE floor(coalesce(d.n_dup, 0) / b.n_grams * 1000000 + 0.5) / 1000000
+         |       END AS dup_frac
+         |FROM base b LEFT JOIN dup d USING (doc_id)""".stripMargin,
 
     // chunk k covers tokens [k*48+1, k*48+64] (1-based inclusive slice);
     // a doc with n tokens yields ceil(n/48) chunks, trailing chunk short

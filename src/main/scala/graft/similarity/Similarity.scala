@@ -275,6 +275,40 @@ object Similarity {
       .select("q_id", "n_id", "cos", "rank")
   }
 
+  /** Semantic deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, find
+    * near-duplicate pairs WITHIN each cluster only, and keep one
+    * representative per near-dup neighborhood. The clustering is what
+    * makes this a 100 TB operation — the quadratic cosine work is confined
+    * to single cells (E[n/k] rows each), reached through ONE shuffle on
+    * the cell key, instead of an all-pairs join over the corpus.
+    *
+    * Cell assignment reuses the IVF coarse quantizer ([[Ivf.cellOf]] —
+    * centroid-literal arithmetic, a map-only pass). The keep rule is the
+    * deterministic greedy: a vector is DROPPED iff some lower-id vector in
+    * the same cell has cosine ≥ threshold with it (SemDeDup §3 keeps one
+    * point per ε-ball; lowest-id is the portable, oracle-replayable choice
+    * of representative). Pairs whose members land in different cells are
+    * not compared — the approximation SemDeDup explicitly accepts; recall
+    * vs the exact [[cosineNearDupPairsBlocked]] is measured in
+    * `SemanticDedupSpec`, not assumed.
+    *
+    * Returns the KEPT rows: (vec_id, cell). */
+  def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+                    threshold: Double): DataFrame = {
+    val cells = corpus.select(col("vec_id"), col("embedding"),
+      Ivf.cellOf(col("embedding"), centroids).as("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(roundp(cosine(col("a_emb"), col("b_emb")), 6) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    cells.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** Engine-portable SRP plane sign — the [[graft.functions.PortableHash]]
     * move applied to hyperplanes: w(plane, dim) = ±1 from ONE closed-form
     * Lehmer multiplication, `((1 + plane·dims + dim)·48271 mod (2³¹−1))
