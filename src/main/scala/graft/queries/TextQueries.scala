@@ -32,6 +32,16 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.avgTokenLength(TextAnalysis.tokens(col("text"))).as("avg_token_len"))),
 
+    // BPE-ish pre-tokenizer counts (GPT-2 regex family, engine-portable
+    // subset): the "LLM token count" column a training pipeline budgets
+    // by, plus fertility (pre-tokens per whitespace word). Pure regexp
+    // expressions fused into the scan.
+    "q_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
+        TextAnalysis.bpeishFertility(col("text")).as("fertility"))),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -344,6 +354,21 @@ object TextQueries {
          |            ELSE floor(CAST(list_sum(list_transform($Toks, t -> length(t))) AS DOUBLE)
          |                       / len($Toks) * 10000 + 0.5) / 10000 END AS avg_token_len
          |FROM documents""".stripMargin,
+
+    // same regex, single-quote doubled for the SQL literal; RE2 and Java
+    // regex agree on it by construction (leftmost-first, no lookahead)
+    "q_bpe_tokens" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |         len(regexp_extract_all(text,
+         |           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe,
+         |         len($Toks) AS n_words
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_bpe AS INT) AS n_bpe,
+         |       CASE WHEN n_words = 0 THEN 0.0
+         |            ELSE floor(CAST(n_bpe AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+         |       END AS fertility
+         |FROM b""".stripMargin,
 
     "q_quality" ->
       s"""WITH t AS (

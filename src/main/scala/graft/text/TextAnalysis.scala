@@ -18,6 +18,31 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer pattern — the GPT-2 family (Radford et al. 2019:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace runs), restricted to constructs Java
+    * regex and RE2 (the DuckDB oracle's engine) interpret identically:
+    * both are leftmost-first on alternation, and the GPT-2 `\s+(?!\S)`
+    * lookahead is dropped (RE2 has none) — so a multi-space run becomes
+    * one whitespace token instead of splitting before the next word.
+    * Deterministic and engine-portable is the point; the count is the
+    * standard cheap proxy for "LLM tokens" when no real vocab is loaded. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Number of BPE-ish pre-tokens (matches of [[BpeishPattern]]) — an
+    * upper bound on post-merge BPE tokens, computed in codegen. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Fertility: BPE-ish pre-tokens per whitespace word (the tokenizer-
+    * efficiency metric; 0.0 for wordless docs). Rounded to 4dp. */
+  def bpeishFertility(text: Column): Column = {
+    val words = tokenCount(text)
+    when(words === 0, lit(0.0))
+      .otherwise(roundp(bpeishTokenCount(text).cast("double") / words, 4))
+  }
+
   /** Mean token length (rounded; 0.0 for empty docs). */
   def avgTokenLength(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
