@@ -93,6 +93,18 @@ object SimilarityQueries {
         k = 5, nprobe = 2)
     }),
 
+    // Deterministic distributed k-means with the TRAINING LOOP itself under
+    // the oracle: seed-point init (vec_id 0..7), two Lloyd steps whose
+    // per-cell/dim means are rounded at 6dp (the q_embedding_centroids
+    // move applied to training state), final assignment emitted. The
+    // DuckDB oracle replays both iterations as chained CTEs — unlike
+    // q_knn_ivf, whose Spark-ML codebook is rows-only-checked.
+    "q_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cs = graft.similarity.Ivf.lloydTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+      e.select(col("vec_id"), graft.similarity.Ivf.cellOf(col("embedding"), cs).as("cell"))
+    }),
+
     // SemDeDup-style semantic dedup (cluster-then-dedup-within-cluster):
     // the same deterministic seed-point codebook as q_knn_ivf_portable
     // (embeddings of vec_id 0..7) buckets the corpus in one map pass;
@@ -497,6 +509,58 @@ object SimilarityQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
         |  FROM pairs)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // both Lloyd iterations unrolled: assignment = argmin over squared-L2
+    // (lowest-cell tiebreak, the q_knn_ivf_portable CTE), means rounded
+    // floor(x*1e6+0.5)/1e6 per (cell, dim), empty cells keep the previous
+    // centroid via LEFT JOIN + coalesce
+    "q_kmeans" ->
+      """WITH c0 AS (
+        |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, s.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+        |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
+        |    FROM embeddings e, c0 s) WHERE rnk = 1),
+        |m1 AS (
+        |  SELECT cell, d,
+        |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
+        |           / 1000000 AS m
+        |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a1)
+        |  GROUP BY cell, d),
+        |c1 AS (
+        |  SELECT s.cell, coalesce(m.c, s.c) AS c
+        |  FROM c0 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m1 GROUP BY cell) m
+        |    ON s.cell = m.cell),
+        |a2 AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT e.vec_id, e.embedding, s.cell,
+        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+        |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
+        |    FROM embeddings e, c1 s) WHERE rnk = 1),
+        |m2 AS (
+        |  SELECT cell, d,
+        |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
+        |           / 1000000 AS m
+        |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a2)
+        |  GROUP BY cell, d),
+        |c2 AS (
+        |  SELECT s.cell, coalesce(m.c, s.c) AS c
+        |  FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m2 GROUP BY cell) m
+        |    ON s.cell = m.cell)
+        |SELECT vec_id, CAST(cell AS INT) AS cell FROM (
+        |  SELECT e.vec_id, s.cell,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |           list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+        |                  * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
+        |  FROM embeddings e, c2 s) WHERE rnk = 1""".stripMargin,
 
     // the q_knn_ivf_portable assignment CTE verbatim (seed centroids
     // vec_id 0..7, squared-L2, lowest-cell tiebreak), then within-cell

@@ -29,6 +29,60 @@ object Ivf {
     model.clusterCenters.map(_.toArray)
   }
 
+  /** One Lloyd step, engine-portable: assign every vector to its nearest
+    * centroid (exact argmin over centroid literals, lowest-cell tiebreak),
+    * then recompute each cell's mean PER DIMENSION and round it to 6dp.
+    * The rounding is what makes the step replayable by another engine:
+    * the only cross-partition float reduction (the mean) is pinned at a
+    * fixed precision, so the next iteration's inputs are bit-identical
+    * everywhere (the q_embedding_centroids move applied to training).
+    * Empty cells keep their previous centroid — the standard Lloyd rule,
+    * stated so the oracle can apply the same one.
+    *
+    * Scale shape: one map pass for assignment fused with posexplode, one
+    * hash aggregate on (cell, dim) — partial means combine map-side, so
+    * the shuffle carries k×d cells, not vectors — and a k×d-row collect
+    * (the codebook, a few KB). Cost per step is one scan + one tiny
+    * shuffle regardless of corpus size. */
+  def lloydStep(corpus: DataFrame, embCol: String,
+                centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val dims = centroids.head.length
+    val means = corpus
+      .select(cellOf(col(embCol), centroids).as("cell"),
+        posexplode(col(embCol)).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(Relational.roundp(avg(col("x").cast("double")), 6).as("m"))
+      .collect()
+    val byCell = means.groupBy(_.getInt(0))
+    centroids.indices.map { c =>
+      byCell.get(c) match {
+        case Some(rows) =>
+          val arr = new Array[Double](dims)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        case None => centroids(c)
+      }
+    }.toArray
+  }
+
+  /** Deterministic distributed k-means: seed-point init (the embeddings of
+    * the k lowest ids — the classic random-point init made reproducible),
+    * then `iters` Lloyd steps. Unlike [[trainCentroids]] (Spark ML, seeded
+    * but not SQL-expressible) every step of this trainer is replayable by
+    * the DuckDB oracle as chained CTEs — training itself is under the
+    * correctness gate, not just the probe path. */
+  def lloydTrain(corpus: DataFrame, idCol: String, embCol: String,
+                 k: Int, iters: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(iters >= 0, s"iters must be >= 0 (got $iters)")
+    var cs: Array[Array[Double]] = corpus.filter(col(idCol) < k).orderBy(idCol)
+      .select(col(embCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cs.length == k, s"need ids 0..${k - 1} present for seeding (got ${cs.length})")
+    for (_ <- 0 until iters) cs = lloydStep(corpus, embCol, cs)
+    cs
+  }
+
   /** Squared L2 distance to one centroid literal. */
   private def sqDist(emb: Column, centroid: Array[Double]): Column = {
     val c = array(centroid.map(lit): _*)
@@ -38,8 +92,16 @@ object Ivf {
     }), lit(0.0), (acc, v) => acc + v)
   }
 
-  /** Nearest-centroid cell id as a pure expression. */
-  def cellOf(emb: Column, centroids: Array[Array[Double]]): Column = {
+  /** Nearest-centroid cell id: the codegen'd [[graft.functions.NearestCell]]
+    * kernel (squared-L2 argmin, lowest-cell tiebreak). */
+  def cellOf(emb: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCell(emb, centroids)
+
+  /** The composed-builtin formulation of [[cellOf]] — k interpreted
+    * `aggregate(zip_with(...))` distances, first-position argmin. Kept as
+    * the reference semantics the kernel is asserted identical to
+    * (`NearestCellSpec`); not on any query path. */
+  private[graft] def cellOfComposed(emb: Column, centroids: Array[Array[Double]]): Column = {
     val dists = array(centroids.map(c => sqDist(emb, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
