@@ -40,25 +40,36 @@ object Bench {
     try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
-    // Prior-round per-query medians (newest BENCH_r*.json in cwd, absent on
-    // round 1 / dev runs): the reference point for the load-retry below.
-    // Two consecutive rounds shipped ambiguous numbers because co-tenant
-    // load inflated a handful of queries 2-5x with zero code change; a
-    // same-process re-measurement separates "machine was busy" from a real
-    // regression without a human in the loop.
-    val prior: Map[String, Double] = try {
-      val files = Option(new java.io.File(".").listFiles(
-        (_, n) => n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
-      if (files.isEmpty) Map.empty
+    // Prior-round per-query medians: the reference point for the load-retry
+    // below. Two consecutive rounds shipped ambiguous numbers because
+    // co-tenant load inflated a handful of queries 2-5x with zero code
+    // change; a same-process re-measurement separates "machine was busy"
+    // from a real regression without a human in the loop. Primary source is
+    // our own bench.json (the previous full run's complete line, committed
+    // each round); the driver-written BENCH_r*.json is a wrapper whose
+    // "tail" field truncates the queries map, so it is only a fallback —
+    // parsing it found ZERO priors in round 9 and the retry silently
+    // no-opped on a 3.9x load artifact.
+    def parsePriors(txt: String): Map[String, Double] = {
+      val qsect = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(qsect)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    def readPriors(p: java.nio.file.Path): Map[String, Double] =
+      try parsePriors(java.nio.file.Files.readString(p))
+      catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = {
+      val own = readPriors(java.nio.file.Paths.get("bench.json"))
+      if (own.nonEmpty) own
       else {
-        val txt = java.nio.file.Files.readString(
-          files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).toPath)
-        val qsect = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(qsect)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val files = Option(new java.io.File(".").listFiles(
+          (_, n) => n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
+        if (files.isEmpty) Map.empty
+        else readPriors(files.maxBy(
+          f => "\\d+".r.findFirstIn(f.getName).get.toInt).toPath)
       }
-    } catch { case _: Throwable => Map.empty }
+    }
     // a query that throws must NOT be timed as a success — its
     // time-to-failure would read as a performance win; failed queries are
     // reported in an "errors" map and excluded from the total
@@ -114,9 +125,12 @@ object Bench {
     println(line)
     // also land the line on disk: log-capture pipelines truncate long stdout
     // lines (BENCH_r06 lost half its per-query numbers that way); the file
-    // artifact keeps every round's numbers complete regardless
+    // artifact keeps every round's numbers complete regardless. Subset runs
+    // (SPARK_GRAFT_ONLY) default to bench_dev.json — a dev loop must not
+    // clobber the full-run artifact that seeds the next run's retry priors.
+    val defaultOut = if (only.isDefined) "bench_dev.json" else "bench.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")), line + "\n")
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
