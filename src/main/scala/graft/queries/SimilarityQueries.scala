@@ -105,6 +105,18 @@ object SimilarityQueries {
       e.select(col("vec_id"), graft.similarity.Ivf.cellOf(col("embedding"), cs).as("cell"))
     }),
 
+    // Trained ANN end to end under ONE oracle: the q_kmeans Lloyd codebook
+    // (2 deterministic iterations) feeds the q_knn_ivf_portable probe path
+    // (cell bucketing, nprobe=2, exact-cosine rerank) — training AND
+    // search replayed value-for-value by the same chained CTEs. This is
+    // the full IVF lifecycle a production pipeline runs; q_knn_ivf keeps
+    // the Spark-ML codebook variant (rows-only + IvfSpec recall).
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cs = graft.similarity.Ivf.lloydTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+      graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), cs, k = 5, nprobe = 2)
+    }),
+
     // SemDeDup-style semantic dedup (cluster-then-dedup-within-cluster):
     // the same deterministic seed-point codebook as q_knn_ivf_portable
     // (embeddings of vec_id 0..7) buckets the corpus in one map pass;
@@ -423,6 +435,54 @@ object SimilarityQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin
 
+  /** The deterministic Lloyd training chain as DuckDB CTEs — c0 (seed
+    * centroids = embeddings of vec_id 0..7) through c2 (after two
+    * iterations): assignment = squared-L2 argmin with lowest-cell
+    * tiebreak, per-(cell, dim) means floor-rounded at 6dp, empty cells
+    * keeping their previous centroid via LEFT JOIN + coalesce. Shared by
+    * the q_kmeans oracle (final assignment) and the q_knn_ivf_trained
+    * oracle (codebook feeding the probe CTEs). */
+  private val lloydC2Ctes: String =
+    """c0 AS (
+      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, s.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+      |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
+      |    FROM embeddings e, c0 s) WHERE rnk = 1),
+      |m1 AS (
+      |  SELECT cell, d,
+      |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
+      |           / 1000000 AS m
+      |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a1)
+      |  GROUP BY cell, d),
+      |c1 AS (
+      |  SELECT s.cell, coalesce(m.c, s.c) AS c
+      |  FROM c0 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m1 GROUP BY cell) m
+      |    ON s.cell = m.cell),
+      |a2 AS (
+      |  SELECT vec_id, embedding, cell FROM (
+      |    SELECT e.vec_id, e.embedding, s.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+      |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
+      |    FROM embeddings e, c1 s) WHERE rnk = 1),
+      |m2 AS (
+      |  SELECT cell, d,
+      |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
+      |           / 1000000 AS m
+      |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a2)
+      |  GROUP BY cell, d),
+      |c2 AS (
+      |  SELECT s.cell, coalesce(m.c, s.c) AS c
+      |  FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m2 GROUP BY cell) m
+      |    ON s.cell = m.cell)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_minhash_portable" -> minhashPortableOracle,
     "q_simhash_portable" -> simhashPortableOracle,
@@ -514,46 +574,7 @@ object SimilarityQueries {
     // (lowest-cell tiebreak, the q_knn_ivf_portable CTE), means rounded
     // floor(x*1e6+0.5)/1e6 per (cell, dim), empty cells keep the previous
     // centroid via LEFT JOIN + coalesce
-    "q_kmeans" ->
-      """WITH c0 AS (
-        |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-        |  FROM embeddings WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, s.cell,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
-        |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
-        |    FROM embeddings e, c0 s) WHERE rnk = 1),
-        |m1 AS (
-        |  SELECT cell, d,
-        |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
-        |           / 1000000 AS m
-        |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a1)
-        |  GROUP BY cell, d),
-        |c1 AS (
-        |  SELECT s.cell, coalesce(m.c, s.c) AS c
-        |  FROM c0 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m1 GROUP BY cell) m
-        |    ON s.cell = m.cell),
-        |a2 AS (
-        |  SELECT vec_id, embedding, cell FROM (
-        |    SELECT e.vec_id, e.embedding, s.cell,
-        |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
-        |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
-        |    FROM embeddings e, c1 s) WHERE rnk = 1),
-        |m2 AS (
-        |  SELECT cell, d,
-        |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
-        |           / 1000000 AS m
-        |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a2)
-        |  GROUP BY cell, d),
-        |c2 AS (
-        |  SELECT s.cell, coalesce(m.c, s.c) AS c
-        |  FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m2 GROUP BY cell) m
-        |    ON s.cell = m.cell)
+    "q_kmeans" -> s"""WITH $lloydC2Ctes
         |SELECT vec_id, CAST(cell AS INT) AS cell FROM (
         |  SELECT e.vec_id, s.cell,
         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -561,6 +582,38 @@ object SimilarityQueries {
         |             i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
         |                  * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
         |  FROM embeddings e, c2 s) WHERE rnk = 1""".stripMargin,
+
+    // the Lloyd training CTEs feeding the q_knn_ivf_portable probe CTEs:
+    // one statement replays codebook training, cell bucketing, nprobe=2
+    // probing, and the exact-cosine rerank
+    "q_knn_ivf_trained" -> s"""WITH $lloydC2Ctes,
+        |d AS (
+        |  SELECT e.vec_id, e.embedding, s.cell,
+        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+        |                * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))) AS d2
+        |  FROM embeddings e, c2 s),
+        |assign AS (
+        |  SELECT vec_id AS n_id, embedding AS n_emb, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
+        |    SELECT vec_id, embedding, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d WHERE vec_id < 10) WHERE rnk <= 2),
+        |pairs AS (
+        |  SELECT q_id, n_id,
+        |         floor(list_cosine_similarity(
+        |           list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+        |           list_transform(n_emb, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM probe JOIN assign USING (cell) WHERE n_id <> q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+        |  FROM pairs)
+        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     // the q_knn_ivf_portable assignment CTE verbatim (seed centroids
     // vec_id 0..7, squared-L2, lowest-cell tiebreak), then within-cell

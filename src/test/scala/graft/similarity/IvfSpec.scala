@@ -49,4 +49,23 @@ class IvfSpec extends SparkSuite {
     assert(r4 >= r1)              // monotone recall in nprobe
     assert(r4 == brute.size)      // nprobe = nlist probes everything → exact
   }
+
+  test("Lloyd-trained codebook: absolute recall@5 floor at nprobe=2 of 8 cells") {
+    // the q_knn_ivf_trained configuration on the larger corpus: usefulness,
+    // not just determinism — a degenerate codebook (all vectors one cell,
+    // or cells uncorrelated with cosine neighborhoods) fails the floor
+    val e = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cs = Ivf.lloydTrain(e, "vec_id", "embedding", k = 8, iters = 2)
+    val queries = e.filter(col("vec_id") < 10)
+    val ivf = Ivf.ivfKnn(e, queries, cs, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceKnn(e, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"recall@5 (nprobe 2/8): $recall%.3f over ${brute.size} truth pairs")
+    // probing 2/8 cells blind would catch ~25% of neighbors; clustered
+    // cells must do meaningfully better for IVF to be worth running
+    assert(recall >= 0.5, f"recall@5 $recall%.3f under 0.5 — codebook not " +
+      "concentrating cosine neighborhoods")
+  }
 }
