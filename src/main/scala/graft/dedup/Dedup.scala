@@ -513,6 +513,42 @@ object Dedup {
     train.join(contaminated, id === col("__decon_id"), "left_anti")
   }
 
+  /** Contamination REPORT — the graded companion to [[decontaminate]]'s
+    * binary drop: for every training document, what fraction of its
+    * DISTINCT word n-grams also appear in the benchmark set. Release
+    * pipelines threshold this (e.g. drop > 50% overlap, flag > 10%)
+    * instead of dropping on a single shared gram; the binary guard is
+    * exactly the `contaminated_frac > 0` slice of this output.
+    *
+    * Output per training doc: `n_grams` (distinct grams, 0 for docs
+    * shorter than n tokens), `n_contaminated` (of those, how many occur
+    * in any benchmark doc), `contaminated_frac` (6dp, 0.0 when the doc
+    * has no grams).
+    *
+    * Scale shape: grams travel as 64-bit hashes; per-doc distinct is one
+    * shuffle on (doc, gram); the benchmark set joins on the gram hash
+    * unhinted (AQE broadcasts an eval-suite-sized side, shuffles a bigger
+    * one); the per-doc rollup is the only other exchange. */
+  def contaminationStats(train: DataFrame, id: Column, text: Column,
+                         bench: DataFrame, benchText: Column, n: Int): DataFrame = {
+    val benchGrams = bench.select(explode(wordNgramHashes(benchText, n)).as("h"))
+      .distinct().withColumn("__hit", lit(1L))
+    val grams = widen(train)
+      .select(id.as("doc_id"), explode(wordNgramHashes(text, n)).as("h"))
+      .distinct()
+    val perDoc = grams.join(benchGrams, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+    val nGrams = coalesce(col("n_grams"), lit(0L))
+    val nHit = coalesce(col("n_contaminated"), lit(0L))
+    train.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), nGrams.as("n_grams"), nHit.as("n_contaminated"),
+        when(nGrams === 0, lit(0.0))
+          .otherwise(roundp(nHit.cast("double") / nGrams, 6)).as("contaminated_frac"))
+  }
+
   /** Repeated-span statistics — the EXACT-SUBSTRING dedup signal (Lee et
     * al., "Deduplicating Training Data Makes Language Models Better", ACL
     * 2022, which removes verbatim spans repeated across a corpus; the

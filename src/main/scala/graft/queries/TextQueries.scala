@@ -307,6 +307,36 @@ object TextQueries {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.repeatedSpanStats(docs(s, dir), col("doc_id"), col("text"), n = 5)),
 
+    // Contamination REPORT: per-doc fraction of distinct word 4-grams
+    // shared with the benchmark slice — the graded form release pipelines
+    // threshold; q_decontaminate is its `contaminated_frac > 0` drop
+    // (cross-checked in DedupSpec). Same train/bench split as
+    // q_decontaminate.
+    "q_contamination_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 23 === 0)
+      val train = d.filter(col("doc_id") % 23 =!= 0)
+      Dedup.contaminationStats(train, col("doc_id"), col("text"), bench, col("text"), n = 4)
+    }),
+
+    // Deterministic sharded training-order shuffle: a Lehmer permutation
+    // of doc_id (×48271 mod 2³¹−1 — reproducible pseudorandom order, no
+    // RNG state to ship) keys both the shard assignment and the
+    // within-shard position. This is the export step that writes training
+    // files: shard = one output file, pos = record order inside it. The
+    // position is a KEYED window (one hash exchange on 16 shards ×
+    // whatever parallelism) — never a global single-partition row_number;
+    // at 100 TB each shard's window sorts independently.
+    "q_shuffle_shards" -> ((s, dir) => {
+      val skey = (col("doc_id") * 48271L) % 2147483647L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), skey.as("skey"))
+        .withColumn("shard", (col("skey") % 16).cast("int"))
+        .withColumn("pos", row_number().over(w))
+    }),
+
     // Training-window chunking: 64-token windows, stride 48 (16-token
     // overlap). Chunk slicing is pure column arithmetic fused into the
     // scan; the chunk content hash travels instead of the chunk text.
@@ -768,6 +798,43 @@ object TextQueries {
          |            ELSE floor(coalesce(d.n_dup, 0) / b.n_grams * 1000000 + 0.5) / 1000000
          |       END AS dup_frac
          |FROM base b LEFT JOIN dup d USING (doc_id)""".stripMargin,
+
+    // distinct 4-grams per train doc, hit = gram present in the benchmark
+    // slice's distinct gram set; docs shorter than 4 tokens keep 0/0/0.0
+    "q_contamination_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(t) < 4 THEN []
+         |                   ELSE list_transform(range(1, len(t) - 2),
+         |                        i -> array_to_string(t[i:i+3], ' ')) END) AS g
+         |    FROM toks)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+         |stats AS (
+         |  SELECT t.doc_id, count(*) AS n_grams,
+         |         sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM grams t LEFT JOIN bench b USING (g)
+         |  WHERE t.doc_id % 23 <> 0
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_contaminated,
+         |       CASE WHEN coalesce(s.n_grams, 0) = 0 THEN 0.0
+         |            ELSE floor(CAST(s.n_hit AS DOUBLE) / s.n_grams * 1000000 + 0.5)
+         |                 / 1000000
+         |       END AS contaminated_frac
+         |FROM documents d LEFT JOIN stats s USING (doc_id)
+         |WHERE d.doc_id % 23 <> 0""".stripMargin,
+
+    // Lehmer key (doc_id * 48271 mod 2^31-1), shard = key mod 16,
+    // pos = rank within shard by (key, doc_id)
+    "q_shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id, (doc_id * 48271) % 2147483647 AS skey FROM documents)
+        |SELECT doc_id, skey, CAST(skey % 16 AS INT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY skey % 16
+        |                               ORDER BY skey, doc_id) AS INT) AS pos
+        |FROM k""".stripMargin,
 
     // chunk k covers tokens [k*48+1, k*48+64] (1-based inclusive slice);
     // a doc with n tokens yields ceil(n/48) chunks, trailing chunk short

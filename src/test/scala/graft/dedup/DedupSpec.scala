@@ -54,6 +54,26 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("contaminationStats grades overlap; its frac>0 slice IS decontaminate's drop set") {
+    val bench = docs.filter(col("doc_id").isin(1L, 5L))
+    val train = docs.filter(!col("doc_id").isin(1L, 5L))
+    val stats = Dedup.contaminationStats(
+        train, col("doc_id"), col("text"), bench, col("text"), n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats.keySet == Set(2L, 3L, 4L), "one row per training doc, always")
+    // docs 2 and 4 share 4-grams with bench doc 1; doc 3 is clean
+    assert(stats(3L)._2 == 0L && stats(3L)._3 == 0.0)
+    assert(stats(2L)._2 > 0L && stats(2L)._3 > 0.0 && stats(2L)._3 <= 1.0)
+    assert(stats(4L)._2 > 0L)
+    // graded report ⊃ binary guard: frac == 0 survivors match decontaminate
+    val survivors = Dedup.decontaminate(
+        train, col("doc_id"), col("text"), bench, col("text"), n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(stats.filter(_._2._3 == 0.0).keySet == survivors)
+    // a doc shorter than n tokens reports 0 grams, not a null or a crash
+    assert(stats(4L)._1 > 0L)
+  }
+
   test("ngramJaccardPairs finds near-dups and exact dups with correct jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
         n = 3, maxDf = 10, minJaccard = 0.3)
