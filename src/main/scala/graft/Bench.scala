@@ -50,11 +50,20 @@ object Bench {
     // "tail" field truncates the queries map, so it is only a fallback —
     // parsing it found ZERO priors in round 9 and the retry silently
     // no-opped on a 3.9x load artifact.
+    // Priors only apply at the SAME scale factor: an sf0.1 prior compared
+    // against an sf1 run would flag every query (mass retries), and a
+    // larger-sf prior would mask real regressions. The prior file's "sf"
+    // field must equal this run's sfDir or the file is ignored.
     def parsePriors(txt: String): Map[String, Double] = {
-      val qsect = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(qsect)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+        .map(_.group(1)).contains(sfDir)
+      if (!sfOk) Map.empty
+      else {
+        val qsect = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(qsect)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
     def readPriors(p: java.nio.file.Path): Map[String, Double] =
       try parsePriors(java.nio.file.Files.readString(p))
@@ -100,7 +109,15 @@ object Bench {
       val best = prior.get(name) match {
         case Some(p) if first > 3 * p && !errors.contains(name) =>
           retried(name) = first
-          math.min(first, timeQuery(name, fn))
+          val second = timeQuery(name, fn)
+          if (errors.contains(name)) {
+            // the retry run failed where the first succeeded — a retry
+            // exists to compensate for load, and load-induced transient
+            // failures are exactly when it fires; keep the clean first
+            // measurement instead of voiding it
+            errors.remove(name)
+            first
+          } else math.min(first, second)
         case _ => first
       }
       name -> best

@@ -15,29 +15,17 @@ import graft.text.TextAnalysis
   */
 object Dedup {
 
-  // Intermediates persisted by the candidate-pair builders below, so library
-  // callers can release them: Verify/Bench call spark.catalog.clearCache()
-  // per query, but a long-lived session embedding these pipelines should call
-  // `unpersistAll()` after consuming the result (the caching contract).
-  // References must be STRONG — Spark's CacheManager pins a persisted plan
-  // until unpersist/clearCache regardless of whether the Dataset wrapper is
-  // still reachable, so a weak registry could never release it. Unbounded
-  // growth is prevented by self-pruning instead: every track() drops entries
-  // that are no longer persisted (clearCache or a direct unpersist already
-  // released them), so the registry only ever holds live cache entries.
-  private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
-  private def track(df: DataFrame): DataFrame = synchronized {
-    tracked.filterInPlace(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-    tracked += df
-    df.persist()
-  }
+  // Intermediates persisted by the candidate-pair builders below go through
+  // the library-wide registry (shared with the similarity builders) so
+  // callers can release them — see graft.core.CacheRegistry for the
+  // caching contract.
+  private def track(df: DataFrame): DataFrame = graft.core.CacheRegistry.track(df)
 
-  /** Unpersist every intermediate DataFrame the dedup builders have cached.
-    * Call after the actions consuming a builder's result have run. */
-  def unpersistAll(blocking: Boolean = false): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking))
-    tracked.clear()
-  }
+  /** Unpersist every intermediate DataFrame the dedup/similarity builders
+    * have cached ([[graft.core.CacheRegistry.unpersistAll]]). Call after
+    * the actions consuming a builder's result have run. */
+  def unpersistAll(blocking: Boolean = false): Unit =
+    graft.core.CacheRegistry.unpersistAll(blocking)
 
   /** Spread the corpus across the cluster before CPU-bound per-document work
     * (tokenize → shingle → hash runs interpreted, ~µs per shingle) — but ONLY
@@ -498,7 +486,13 @@ object Dedup {
                          bench: DataFrame, benchText: Column, n: Int,
                          fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1) (got $fpp)")
-    val benchGrams = bench.select(explode(wordNgramHashes(benchText, n)).as("h")).distinct()
+    // persisted: this distinct set (one explode + shuffle) feeds THREE
+    // consumers — the sizing count, the bloomFilter aggregate, and the
+    // stage-2 verify join — and the benchmark side is the one this
+    // function assumes is re-scannable cheaply; without the cache it
+    // would be recomputed for each (CacheRegistry contract)
+    val benchGrams = track(
+      bench.select(explode(wordNgramHashes(benchText, n)).as("h")).distinct())
     // expected-item count for sizing: one count over the (small) bench side
     val expected = math.max(benchGrams.count(), 1L)
     val bf = benchGrams.stat.bloomFilter("h", expected, fpp)

@@ -86,9 +86,7 @@ object SimilarityQueries {
     // trained codebook (rows-only + IvfSpec recall checks).
     "q_knn_ivf_portable" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
+      val centroids = graft.similarity.Ivf.seedCentroids(e, "vec_id", "embedding", k = 8)
       graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids,
         k = 5, nprobe = 2)
     }),
@@ -127,9 +125,7 @@ object SimilarityQueries {
     // recall gap is measurable (SemanticDedupSpec).
     "q_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") < 8).orderBy("vec_id")
-        .select(col("embedding").cast("array<double>"))
-        .collect().map(_.getSeq[Double](0).toArray)
+      val centroids = graft.similarity.Ivf.seedCentroids(e, "vec_id", "embedding", k = 8)
       Similarity.semanticDedup(e, centroids, threshold = 0.42)
     }),
 

@@ -328,7 +328,10 @@ object TextQueries {
     // whatever parallelism) — never a global single-partition row_number;
     // at 100 TB each shard's window sorts independently.
     "q_shuffle_shards" -> ((s, dir) => {
-      val skey = (col("doc_id") * 48271L) % 2147483647L
+      // reduce doc_id mod 2^31-1 BEFORE the multiply: the product then
+      // stays under 2^47, so the key never overflows a long (Spark 4 ANSI
+      // would throw; the oracle engine would too) at any id scale
+      val skey = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
       docs(s, dir)
@@ -386,12 +389,13 @@ object TextQueries {
          |FROM documents""".stripMargin,
 
     // same regex, single-quote doubled for the SQL literal; RE2 and Java
-    // regex agree on it by construction (leftmost-first, no lookahead)
+    // regex agree on it by construction (leftmost-first, no lookahead,
+    // explicit whitespace class — Java \s includes U+000B, RE2's doesn't)
     "q_bpe_tokens" ->
       s"""WITH b AS (
          |  SELECT doc_id,
          |         len(regexp_extract_all(text,
-         |           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS n_bpe,
+         |           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\f\\r \\p{L}\\p{N}]+|[\\t\\n\\f\\r ]+')) AS n_bpe,
          |         len($Toks) AS n_words
          |  FROM documents)
          |SELECT doc_id, CAST(n_bpe AS INT) AS n_bpe,
@@ -830,7 +834,8 @@ object TextQueries {
     // pos = rank within shard by (key, doc_id)
     "q_shuffle_shards" ->
       """WITH k AS (
-        |  SELECT doc_id, (doc_id * 48271) % 2147483647 AS skey FROM documents)
+        |  SELECT doc_id, ((doc_id % 2147483647) * 48271) % 2147483647 AS skey
+        |  FROM documents)
         |SELECT doc_id, skey, CAST(skey % 16 AS INT) AS shard,
         |       CAST(row_number() OVER (PARTITION BY skey % 16
         |                               ORDER BY skey, doc_id) AS INT) AS pos

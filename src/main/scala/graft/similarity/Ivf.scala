@@ -47,9 +47,18 @@ object Ivf {
   def lloydStep(corpus: DataFrame, embCol: String,
                 centroids: Array[Array[Double]]): Array[Array[Double]] = {
     val dims = centroids.head.length
+    // degenerate inputs follow cellOf/NearestCell's tolerance instead of
+    // crashing after a full corpus scan: null vectors don't vote (their
+    // cell is null), dimensions past the codebook width are ignored (the
+    // kernel scores only the common prefix), and a (cell, dim) with no
+    // votes — empty cell OR every member shorter than `dim` — keeps the
+    // previous centroid's coordinate, the per-dimension form of the
+    // standard empty-cell keep rule
     val means = corpus
+      .filter(col(embCol).isNotNull)
       .select(cellOf(col(embCol), centroids).as("cell"),
         posexplode(col(embCol)).as(Seq("dim", "x")))
+      .filter(col("dim") < dims && col("x").isNotNull)
       .groupBy(col("cell"), col("dim"))
       .agg(Relational.roundp(avg(col("x").cast("double")), 6).as("m"))
       .collect()
@@ -57,7 +66,7 @@ object Ivf {
     centroids.indices.map { c =>
       byCell.get(c) match {
         case Some(rows) =>
-          val arr = new Array[Double](dims)
+          val arr = centroids(c).clone()
           rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
           arr
         case None => centroids(c)
@@ -73,13 +82,24 @@ object Ivf {
     * correctness gate, not just the probe path. */
   def lloydTrain(corpus: DataFrame, idCol: String, embCol: String,
                  k: Int, iters: Int): Array[Array[Double]] = {
-    require(k >= 1, s"k must be >= 1 (got $k)")
     require(iters >= 0, s"iters must be >= 0 (got $iters)")
-    var cs: Array[Array[Double]] = corpus.filter(col(idCol) < k).orderBy(idCol)
+    var cs = seedCentroids(corpus, idCol, embCol, k)
+    for (_ <- 0 until iters) cs = lloydStep(corpus, embCol, cs)
+    cs
+  }
+
+  /** The embeddings of the k lowest ids as a codebook — the deterministic
+    * seed-point init every oracled clustering path shares (lloydTrain
+    * iteration 0, the q_knn_ivf_portable quantizer, semantic dedup's
+    * buckets). One definition so the "ids 0..k−1, ascending, as double"
+    * contract can't drift between them and their oracle CTEs. */
+  def seedCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                    k: Int): Array[Array[Double]] = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val cs: Array[Array[Double]] = corpus.filter(col(idCol) < k).orderBy(idCol)
       .select(col(embCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(cs.length == k, s"need ids 0..${k - 1} present for seeding (got ${cs.length})")
-    for (_ <- 0 until iters) cs = lloydStep(corpus, embCol, cs)
     cs
   }
 

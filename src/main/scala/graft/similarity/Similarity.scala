@@ -297,8 +297,13 @@ object Similarity {
     * Returns the KEPT rows: (vec_id, cell). */
   def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]],
                     threshold: Double): DataFrame = {
-    val cells = corpus.select(col("vec_id"), col("embedding"),
-      Ivf.cellOf(col("embedding"), centroids).as("cell"))
+    // persisted: the assignment pass (a full corpus scan + k·d multiply-adds
+    // per row) feeds three plan legs — both sides of the within-cell
+    // self-join and the final anti-join — and would otherwise be
+    // recomputed for each (graft.core.CacheRegistry contract)
+    val cells = graft.core.CacheRegistry.track(
+      corpus.select(col("vec_id"), col("embedding"),
+        Ivf.cellOf(col("embedding"), centroids).as("cell")))
     val a = cells.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = cells.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     val dropped = a.join(b, Seq("cell"))

@@ -25,10 +25,14 @@ object TextAnalysis {
     * both are leftmost-first on alternation, and the GPT-2 `\s+(?!\S)`
     * lookahead is dropped (RE2 has none) — so a multi-space run becomes
     * one whitespace token instead of splitting before the next word.
-    * Deterministic and engine-portable is the point; the count is the
-    * standard cheap proxy for "LLM tokens" when no real vocab is loaded. */
+    * Whitespace is the EXPLICIT class `[\t\n\f\r ]` rather than `\s`:
+    * Java's `\s` includes U+000B (vertical tab), RE2's does not, so a
+    * bare `\s` would tokenize a VT-bearing document differently in the
+    * two engines. Deterministic and engine-portable is the point; the
+    * count is the standard cheap proxy for "LLM tokens" when no real
+    * vocab is loaded. */
   val BpeishPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\t\n\f\r \\p{L}\\p{N}]+|[\t\n\f\r ]+"
 
   /** Number of BPE-ish pre-tokens (matches of [[BpeishPattern]]) — an
     * upper bound on post-merge BPE tokens, computed in codegen. */

@@ -19,9 +19,7 @@ class SemanticDedupSpec extends SparkSuite {
     graft.queries.Tables.embeddings(spark, s"/root/testdata/$sf")
 
   private def seedCentroids(e: DataFrame): Array[Array[Double]] =
-    e.filter(col("vec_id") < 8).orderBy("vec_id")
-      .select(col("embedding").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    Ivf.seedCentroids(e, "vec_id", "embedding", k = 8)
 
   test("keep rule: dropped iff a lower-id same-cell neighbor within threshold") {
     val e = emb("sf0.01").cache()

@@ -36,6 +36,16 @@ class BpeishTokenSpec extends SparkSuite {
     assert(out(5L) == ((0, 0.0)))
   }
 
+  test("vertical tab is punctuation, not whitespace — the RE2-compatible reading") {
+    // Java \s includes U+000B, RE2's does not; the pattern uses the
+    // explicit class [\t\n\f\r ] so BOTH engines read VT as residual
+    // punctuation: "!!" is one punct run, not punct|ws|punct
+    val out = counts(1L -> "!\u000B!", 2L -> "a\u000Bb", 3L -> "a b")
+    assert(out(1L)._1 == 1, "VT must fold into the punctuation run")
+    assert(out(2L)._1 == 3) // "a", VT-punct, "b"
+    assert(out(3L)._1 == 2) // real space prefixes the next word
+  }
+
   test("pre-token count bounds whitespace word count from above on testdata") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
     val bad = docs.select(
