@@ -319,6 +319,32 @@ object TextQueries {
       Dedup.contaminationStats(train, col("doc_id"), col("text"), bench, col("text"), n = 4)
     }),
 
+    // Dataset mixing with epoch weights — the step that assembles a
+    // training mixture from per-source rates (rate 2.0 = two epochs,
+    // 0.5 = keep half): n_copies = floor(rate) + one more iff the doc's
+    // Lehmer-uniform u < frac(rate), materialized by exploding a copy
+    // index. Deterministic (u is pure integer arithmetic on doc_id, no
+    // RNG state), so the SAME docs survive on every run and engine — the
+    // property dataset cards need for reproducibility. Rates are exact
+    // binary fractions to keep the u < frac compare engine-portable. The
+    // rate table is 20 rows — AQE broadcasts it; everything else is one
+    // map pass over the corpus.
+    "q_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Seq("src0" -> 2.0, "src1" -> 1.5, "src2" -> 0.5)
+        .toDF("source", "rate")
+      val m = 2147483647L
+      val u = ((col("doc_id") % m) * 48271L % m).cast("double") / m
+      val rate = coalesce(col("rate"), lit(0.25))
+      val nCopies = (floor(rate) +
+        when(u < rate - floor(rate), 1L).otherwise(0L)).cast("long")
+      docs(s, dir).join(rates, Seq("source"), "left")
+        .select(col("doc_id"), col("source"), nCopies.as("n_copies"))
+        .filter(col("n_copies") >= 1)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+    }),
+
     // Deterministic sharded training-order shuffle: a Lehmer permutation
     // of doc_id (×48271 mod 2³¹−1 — reproducible pseudorandom order, no
     // RNG state to ship) keys both the shard assignment and the
@@ -829,6 +855,25 @@ object TextQueries {
          |       END AS contaminated_frac
          |FROM documents d LEFT JOIN stats s USING (doc_id)
          |WHERE d.doc_id % 23 <> 0""".stripMargin,
+
+    // same Lehmer uniform, rates via VALUES, copies via range unnest
+    "q_mixture_sample" ->
+      """WITH rates AS (
+        |  SELECT * FROM (VALUES ('src0', 2.0), ('src1', 1.5), ('src2', 0.5))
+        |    r(source, rate)),
+        |d AS (
+        |  SELECT doc_id, d.source,
+        |         CAST(((doc_id % 2147483647) * 48271) % 2147483647 AS DOUBLE)
+        |           / 2147483647 AS u,
+        |         coalesce(r.rate, 0.25) AS rate
+        |  FROM documents d LEFT JOIN rates r USING (source)),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         CAST(floor(rate) + (CASE WHEN u < rate - floor(rate)
+        |                                  THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
+        |FROM c WHERE n >= 1""".stripMargin,
 
     // Lehmer key (doc_id * 48271 mod 2^31-1), shard = key mod 16,
     // pos = rank within shard by (key, doc_id)
