@@ -345,6 +345,30 @@ object TextQueries {
           explode(sequence(lit(1L), col("n_copies"))).as("copy"))
     }),
 
+    // Token-budgeted mixture: the quota form of dataset assembly — each
+    // source contributes docs in the deterministic Lehmer shuffle order
+    // until its token budget is spent. A doc is kept iff its FIRST token
+    // lands inside the budget (exclusive prefix sum < budget — the same
+    // cut convention as q_pack's bin), so the kept set is identical on
+    // every run and engine with no RNG state. The prefix sum is a KEYED
+    // window (one hash exchange on source); no global sort exists at any
+    // scale, and the token count fuses into the scan.
+    "q_mixture_tokens" -> ((s, dir) => {
+      val budget = 600L
+      val m = 2147483647L
+      val skey = (col("doc_id") % m) * 48271L % m
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"), skey.as("skey"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+        .filter(col("cum_before") < budget)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+    }),
+
     // Deterministic sharded training-order shuffle: a Lehmer permutation
     // of doc_id (×48271 mod 2³¹−1 — reproducible pseudorandom order, no
     // RNG state to ship) keys both the shard assignment and the
@@ -874,6 +898,22 @@ object TextQueries {
         |  FROM d)
         |SELECT doc_id, source, unnest(range(1, n + 1)) AS copy
         |FROM c WHERE n >= 1""".stripMargin,
+
+    // same Lehmer order; exclusive prefix sum per source, cut at 600
+    "q_mixture_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($Toks) AS INT) AS n_tokens,
+         |         ((doc_id % 2147483647) * 48271) % 2147483647 AS skey
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(COALESCE(sum(n_tokens) OVER (
+         |                PARTITION BY source ORDER BY skey, doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |              AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_before
+         |FROM c WHERE cum_before < 600""".stripMargin,
 
     // Lehmer key (doc_id * 48271 mod 2^31-1), shard = key mod 16,
     // pos = rank within shard by (key, doc_id)
