@@ -30,6 +30,9 @@ object Bench {
       // benchmark different window/date groupings than were validated
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.catalyst.GraftExtensions")
+      // shuffle/spill on the same tmpfs-first scratch as checkpoints: host
+      // disk latency must not leak into query timings (see TempDirs)
+      .config("spark.local.dir", graft.core.TempDirs.sparkLocalDir())
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

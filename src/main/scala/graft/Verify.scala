@@ -19,6 +19,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.catalyst.GraftExtensions")
+      // shuffle/spill on the same tmpfs-first scratch as checkpoints (see
+      // TempDirs): identical policy to Bench so the two surfaces agree
+      .config("spark.local.dir", graft.core.TempDirs.sparkLocalDir())
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -65,6 +65,13 @@ object TempDirs {
     p
   }
 
+  /** A registered scratch dir for `spark.local.dir` (shuffle files, block
+    * manager spill). Harness mains (Verify/Bench) pass this to the session
+    * builder so shuffle IO follows the same tmpfs-first policy as
+    * checkpoints; library users on a real cluster never see it — executors
+    * there get local dirs from the cluster manager (YARN/K8s). */
+  def sparkLocalDir(): String = create("graft_spark_local_").toAbsolutePath.toString
+
   /** Recursive delete; symlinks are removed, never followed. Best-effort:
     * a cleanup failure at shutdown must not mask the real exit status. */
   private def deleteRecursively(p: Path): Unit =
