@@ -4,24 +4,38 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet testdata (see TESTDATA.md). */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType; read it as raw long nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-    * timestamp (integer `div` — a double division would lose precision at
-    * 1e18 ns magnitudes). The testdata is µs-aligned so no truncation. */
+  /** `events.ts` has shipped in two physical parquet encodings across
+    * driver rounds, and every downstream operator (watermarks above all —
+    * `EventTimeWatermark` rejects TIMESTAMP_NTZ) expects one logical type,
+    * TimestampType (LTZ). Normalize both:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType; read
+    *    as raw long nanos (`spark.sql.legacy.parquet.nanosAsLong`) and
+    *    convert with integer `div` (a double division would lose precision
+    *    at 1e18 ns magnitudes). The testdata is µs-aligned so no
+    *    truncation.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ; cast to TimestampType. Every session entry point
+    *    (Verify/Bench/SparkSuite) pins `spark.sql.session.timeZone=UTC`,
+    *    so the cast reinterprets the stored µs value identically — the
+    *    same instants the NANOS encoding produced. */
+  private def normalizeTs(tsType: DataType)(df: DataFrame): DataFrame = tsType match {
+    case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                => df
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(raw.schema("ts").dataType)(raw)
   }
   // one symlink dir + schema read per (sfDir), reused across calls — a
   // table accessor must not create a fresh temp dir / batch scan / conf
@@ -31,7 +45,7 @@ object Tables {
 
   /** The events table replayed through Structured Streaming: `readStream`
     * over the same parquet with the batch read's schema (and the same
-    * nanos→µs conversion as [[events]]) — the finite-replay twin of a live
+    * `ts` normalization as [[events]]) — the finite-replay twin of a live
     * stream, used by the driver-gated streaming queries. The symlink
     * source dir and schema are cached per `sfDir`; the dir is reaped at
     * JVM exit. */
@@ -51,9 +65,7 @@ object Tables {
       (d.toString, spark.read.parquet(path).schema)
     })
     val raw = spark.readStream.schema(schema).parquet(dir)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(schema("ts").dataType)(raw)
   }
 
   private val chunkedCache = new java.util.concurrent.ConcurrentHashMap[
