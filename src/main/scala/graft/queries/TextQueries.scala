@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.operators.Relational.roundp
-import graft.text.TextAnalysis
+import graft.text.{Bm25, TextAnalysis}
 
 /** Training-data text pipeline over `documents` (doc_id, text, lang, source,
   * n_chars): tokenization/expand, quality scoring, language heuristic,
@@ -229,6 +229,14 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), roundp(avg(col("logp")), 4).as("avg_logp"))
     }),
+
+    // BM25 ranked retrieval (graft.text.Bm25): top-25 docs for a 3-term
+    // query spanning the df spectrum (rare family token + two mid-df
+    // terms). Scan-fused tf columns, one corpus-stats row broadcast back,
+    // TakeOrdered top-k — see Bm25.scaladoc for the 100 TB shape.
+    "q_bm25_topk" -> ((s, dir) =>
+      Bm25.topK(docs(s, dir), col("doc_id"), col("text"),
+        queryTerms = Seq("dup", "vector", "merge"), k = 25)),
 
     // Sparse TF-IDF cosine near-dup pairs over rare-token postings — the
     // lexical all-pairs similarity (posting-list join, df-pruned), the
@@ -715,6 +723,40 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
          |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // BM25 re-derived term by term with the IDENTICAL operation order
+    // (idf·(tf·(k1+1)) / (tf + k1·((1−b) + b·dl/avgdl)), terms summed
+    // left-to-right) so the double arithmetic agrees bit-for-bit before
+    // the shared 4dp floor-rounding; ranking on the rounded score makes
+    // the k-boundary selection engine-portable
+    "q_bm25_topk" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents),
+         |tf AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |         len(list_filter(toks, x -> x = 'dup'))    AS tf_0,
+         |         len(list_filter(toks, x -> x = 'vector')) AS tf_1,
+         |         len(list_filter(toks, x -> x = 'merge'))  AS tf_2
+         |  FROM d),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |         CAST(sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+         |         CAST(sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+         |         CAST(sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+         |  FROM tf)
+         |SELECT doc_id,
+         |       floor((
+         |           ln(1.0 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+         |             * (tf_0 * 2.2) / (tf_0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |         + ln(1.0 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+         |             * (tf_1 * 2.2) / (tf_1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |         + ln(1.0 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+         |             * (tf_2 * 2.2) / (tf_2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |       ) * 10000 + 0.5) / 10000 AS score
+         |FROM tf, s
+         |WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
 
     // the sparse posting-list cosine replayed end to end: tf, df-pruned
     // idf weights, per-doc L2 norms, pair partials — threshold applied to
