@@ -634,4 +634,38 @@ object Dedup {
       .agg(roundp(sum(col("wa") * col("wb")), roundTo).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Pairwise n-gram Jaccard overlap BETWEEN corpus slices — the
+    * inter-source duplication report a curation pipeline runs before
+    * weighting sources (two crawls of the same sites look independent by
+    * row count and are near-identical by content). One row per unordered
+    * source pair sharing ≥1 shingle: (src_a < src_b, n_common, n_a, n_b,
+    * jaccard over the sources' DISTINCT shingle sets, 4dp).
+    *
+    * Scale shape: shingles travel as 64-bit hashes ([[wordNgramHashes]]);
+    * the per-source distinct gram set is one map-side-combined aggregate;
+    * the gram self-join fans out ≤ |sources|² rows per gram (sources
+    * number in the hundreds, not the billions — this is the slice-level
+    * twin of [[ngramJaccardPairs]], which needs df-pruning precisely
+    * because its key space is per-document); per-source sizes are a
+    * |sources|-row broadcast. The gram set is persisted across its three
+    * consumers (both join sides + sizes) — release with [[unpersistAll]].
+    */
+  def sourceOverlap(df: DataFrame, group: Column, text: Column, n: Int): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1 (got $n)")
+    val grams = track(widen(df)
+      .select(group.as("source"), explode(wordNgramHashes(text, n)).as("h"))
+      .distinct())
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    grams.select(col("source").as("src_a"), col("h"))
+      .join(grams.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+        roundp(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4)
+          .as("jaccard"))
+  }
 }

@@ -238,6 +238,12 @@ object TextQueries {
       Bm25.topK(docs(s, dir), col("doc_id"), col("text"),
         queryTerms = Seq("dup", "vector", "merge"), k = 25)),
 
+    // Inter-source duplication matrix (Dedup.sourceOverlap): 3-gram
+    // Jaccard between every source pair — the "how much do my crawls
+    // overlap" report that decides source weights before training.
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), col("source"), col("text"), n = 3)),
+
     // Sparse TF-IDF cosine near-dup pairs over rare-token postings — the
     // lexical all-pairs similarity (posting-list join, df-pruned), the
     // classic complement to the dense-embedding near-dup paths. Gated on
@@ -757,6 +763,28 @@ object TextQueries {
          |FROM tf, s
          |WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // string 3-grams re-derived with the q_repetition construction
+    // (toks[i:i+2], range is [a,b)); hashing is collision-free in practice
+    // (see wordNgramHashes), so string-set Jaccard equals hash-set Jaccard
+    "q_source_overlap" ->
+      s"""WITH t AS (
+         |  SELECT source, $Toks AS toks FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source,
+         |         unnest(list_transform(range(1, len(toks) - 1),
+         |                i -> array_to_string(toks[i:i+2], ' '))) AS gram
+         |  FROM t WHERE len(toks) >= 3),
+         |s AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         |i AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         |  FROM g a JOIN g b USING (gram)
+         |  WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+         |       floor(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+         |             * 10000 + 0.5) / 10000 AS jaccard
+         |FROM i JOIN s sa ON sa.source = i.src_a
+         |       JOIN s sb ON sb.source = i.src_b""".stripMargin,
 
     // the sparse posting-list cosine replayed end to end: tf, df-pruned
     // idf weights, per-doc L2 norms, pair partials — threshold applied to

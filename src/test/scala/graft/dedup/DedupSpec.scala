@@ -282,4 +282,25 @@ class DedupSpec extends SparkSuite {
     }
     Dedup.unpersistAll()
   }
+
+  test("sourceOverlap: exact pair counts and Jaccard; gramless sources absent") {
+    val byeSource = Seq(
+      ("A", "a b c d"),  // grams {a b c, b c d}
+      ("A", "a b c"),    // adds nothing: distinct per source
+      ("B", "b c d e"),  // grams {b c d, c d e} — shares {b c d} with A
+      ("C", "x y")       // < 3 tokens: no grams, source must not appear
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(byeSource, col("source"), col("text"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toList
+    assert(got == List(("A", "B", 1L, 2L, 2L, 0.3333)))
+    Dedup.unpersistAll()
+  }
+
+  test("sourceOverlap rejects a non-positive shingle size") {
+    intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(docs.withColumn("source", lit("s")),
+        col("source"), col("text"), n = 0)
+    }
+  }
 }
