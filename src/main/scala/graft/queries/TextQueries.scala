@@ -230,6 +230,36 @@ object TextQueries {
         .agg(count(lit(1)).as("n_tokens"), roundp(avg(col("logp")), 4).as("avg_logp"))
     }),
 
+    // Corpus bigram-LM quality — the conditional-probability upgrade of
+    // q_unigram_quality (catches scrambled-word docs a unigram model
+    // scores identically): P(w2|w1) = (c(w1w2)+0.5)/(c(w1·)+0.5·V),
+    // add-k smoothed, score(doc) = mean ln P over its bigrams (docs with
+    // <2 tokens have no bigrams and are absent, like their SQL twin).
+    // Scale shape: bigrams come from ONE per-doc array transform (no
+    // self-join on position); counts are map-side-combined aggregates
+    // keyed by (w1,w2)/w1; V folds in as a literal from one eager
+    // distinct-count (the q_sparse_pairs move — no 1-row crossJoin
+    // node); the model table joins back without a broadcast hint so
+    // AQE picks broadcast only when the vocabulary fits.
+    "q_bigram_quality" -> ((s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val headV = bi.select(col("w1")).distinct().count()
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val model = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          (log(col("c2") + 0.5) - log(col("c1") + lit(0.5 * headV.toDouble))).as("logp"))
+      bi.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), roundp(avg(col("logp")), 4).as("avg_logp"))
+    }),
+
     // BM25 ranked retrieval (graft.text.Bm25): top-25 docs for a 3-term
     // query spanning the df spectrum (rare family token + two mid-df
     // terms). Scan-fused tf columns, one corpus-stats row broadcast back,
@@ -729,6 +759,31 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
          |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // bigram model re-derived with the same smoothing arithmetic
+    // (ln(c2+0.5) − ln(c1+0.5·V), V = distinct bigram heads); DuckDB
+    // slices are 1-based inclusive so range(1, len) yields the same
+    // (w1,w2) pairs as Spark's 0-based sequence(0, size-2)
+    "q_bigram_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks)),
+         |                i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+         |  FROM t WHERE len(toks) >= 2),
+         |bi AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM p),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS hv FROM bi),
+         |model AS (
+         |  SELECT c2.w1, c2.w2,
+         |         ln(c2 + 0.5) - ln(c1 + 0.5 * hv) AS logp
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
+         |FROM bi JOIN model USING (w1, w2)
+         |GROUP BY doc_id""".stripMargin,
 
     // BM25 re-derived term by term with the IDENTICAL operation order
     // (idf·(tf·(k1+1)) / (tf + k1·((1−b) + b·dl/avgdl)), terms summed
