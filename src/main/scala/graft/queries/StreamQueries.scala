@@ -298,6 +298,46 @@ object StreamQueries {
         "graft_stream_cbk_", statePartitions = 4)
     }),
 
+    // Streaming as-of enrichment through StreamingOps.asofEnrichByKey:
+    // each purchase enriched with the user's most recent at-or-before
+    // click — state is ONE click per user, carried across micro-batches.
+    // Reuses the batch q_asof_join oracle (DuckDB native ASOF JOIN):
+    // chunk replay is time-contiguous and per-user ts are unique, so the
+    // streaming fold's "last click seen" IS the batch argmax. Inner
+    // semantics via the state=None drop in the flatMap.
+    "q_streaming_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      // payload: (isClick, event_id, ts_us, value)
+      type P = (Boolean, Long, Long, Double)
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[(P, Option[P])])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(P, Option[P])]])
+      implicit val encState: org.apache.spark.sql.Encoder[Option[P]] =
+        Encoders.kryo[Option[P]]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, String, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble))
+        .map { case (u, ts, id, t, v) =>
+          (u, Event(Some(ts), Some((t == "click", id, Event.micros(ts), v)): Option[P]))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[P]]))
+      val enriched = graft.streaming.StreamingOps.asofEnrichByKey[Long, P](keyed, _._1)
+      val typed = enriched.flatMap { case (u, e) =>
+        for { (p, lastOpt) <- e.value.toSeq; c <- lastOpt.toSeq }
+          yield (p._2, u, p._3, p._4, c._2, c._3)
+      }(Encoders.product[(Long, Long, Long, Double, Long, Long)])
+      runLoweredToDf(s,
+        typed.toDF("event_id", "user_id", "p_us", "value", "click_id", "c_us"),
+        "graft_stream_asof_", statePartitions = 4)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("p_us")).as("ts"), col("value"),
+          col("click_id"), timestamp_micros(col("c_us")).as("click_ts"),
+          (col("p_us") - col("c_us")).as("gap_us"))
+    }),
+
     // Per-user count-tumbling windows through StreamingOps.chopByKey (the
     // keyed chop(5) state machine — open windows carry across micro-batch
     // boundaries per key). Emits (user_id, window_start, n, sum_value) for
@@ -1177,6 +1217,17 @@ object StreamQueries {
         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    // identical to the batch q_asof_join oracle: DuckDB's native ASOF
+    // JOIN independently re-derives "the greatest click ts <= purchase
+    // ts per user" that the streaming fold's carried state computes
+    "q_streaming_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |       c.event_id AS click_id, c.ts AS click_ts,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     // q_join_w's hourly window join, minus windows the final watermark
     // (max ts − 1 minute) has not passed — those stay in streaming state

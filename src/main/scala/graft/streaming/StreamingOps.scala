@@ -181,6 +181,48 @@ object StreamingOps {
           }
       }
 
+  /** Streaming as-of enrichment per key — the streaming twin of
+    * [[graft.operators.Relational.asofJoin]] (engine primitive absent
+    * from the reference, SURVEY §2.6): right-side events update the
+    * per-key "most recent right" state and emit nothing; left-side
+    * events emit enriched with that state (None until a right has been
+    * seen — filter for inner semantics). Within a micro-batch events
+    * fold with RIGHTS BEFORE LEFTS at the same microsecond — exactly the
+    * batch operator's `__side` ordering, so "at-or-before" includes an
+    * equal-timestamp right. Across micro-batches the state carries, so a
+    * left sees rights from any earlier batch. State is ONE right payload
+    * per key — bounded regardless of stream length; `idleTimeoutMs`
+    * evicts idle keys ([[scanByKey]]'s lifetime contract). Value-less
+    * events pass through unenriched (payload None). */
+  def asofEnrichByKey[K, A](ds: Dataset[(K, Event[A])], isRight: A => Boolean,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Event[(A, Option[A])])],
+      encState: Encoder[Option[A]]): Dataset[(K, Event[(A, Option[A])])] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Option[A], (K, Event[(A, Option[A])])](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[A])], state: GroupState[Option[A]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last: Option[A] = state.getOption.getOrElse(None)
+            val sorted = it.map(_._2).toIndexedSeq
+              .sortBy { e =>
+                val (t, h) = Event.orderKey(e)
+                (t, if (e.value.exists(isRight)) 0 else 1, h)
+              }
+            val out = sorted.flatMap { e =>
+              e.value match {
+                case Some(v) if isRight(v) => last = Some(v); None
+                case Some(v)               => Some((k, Event(e.time, Some((v, last)))))
+                case None                  => Some((k, Event[(A, Option[A])](e.time, None)))
+              }
+            }
+            state.update(last)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+
   /** Streaming `chopTimeAligned` per key: stamp each timed event with the
     * FIRST-EVENT-aligned window start for its key (the reference's
     * chopTime alignment, `FunctionalProcessing.hs:118-129`) — the

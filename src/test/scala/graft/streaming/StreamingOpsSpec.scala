@@ -423,4 +423,40 @@ class StreamingOpsSpec extends SparkSuite {
       eventsBatch, col("event_type"), Seq(col("user_id")), Seq(col("ts"), col("event_id"))).count()
     assert(got == expected)
   }
+
+  test("asofEnrichByKey: equal-ts right wins, state carries, no-right lefts get None") {
+    import org.apache.spark.sql.Encoders
+    // payload: (isRight, id); constructed ties exercise the rights-before-
+    // lefts ordering the batch asofJoin's __side column encodes
+    type P = (Boolean, Long)
+    implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[(P, Option[P])])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(P, Option[P])]])
+    implicit val encState: org.apache.spark.sql.Encoder[Option[P]] = Encoders.kryo[Option[P]]
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val dir = Files.createTempDirectory("graft-asof").toString
+    Seq(
+      (1L, ts(10), true, 10L),  // user 1: click at :10...
+      (1L, ts(10), false, 20L), // ...purchase at the SAME ts → sees click 10
+      (1L, ts(11), false, 21L), // later purchase → still click 10
+      (1L, ts(12), true, 11L),  // newer click...
+      (1L, ts(13), false, 22L), // ...purchase → click 11 (latest wins)
+      (2L, ts(10), false, 30L)  // user 2: purchase with no click → None
+    ).toDF("user_id", "ts", "is_click", "id").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .as[(Long, java.sql.Timestamp, Boolean, Long)]
+      .map { case (u, t, r, id) => (u, Event(Some(t), Some((r, id)): Option[P])) }(
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[P]]))
+    val enriched = StreamingOps.asofEnrichByKey[Long, P](stream, _._1)
+    val typed = enriched.flatMap { case (u, e) =>
+      e.value.map { case ((_, id), last) => (u, id, last.map(_._2).getOrElse(-1L)) }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+    val q = typed.toDF("user_id", "id", "click_id").writeStream.format("memory")
+      .queryName("asof_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 20L, 10L), (1L, 21L, 10L), (1L, 22L, 11L), (2L, 30L, -1L)))
+  }
 }
