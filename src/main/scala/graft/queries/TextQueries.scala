@@ -260,6 +260,16 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"), roundp(avg(col("logp")), 4).as("avg_logp"))
     }),
 
+    // Hashed-feature linear quality classifier (TextAnalysis.
+    // hashedLinearScore): the fastText-style learned-filter shape with a
+    // deterministic stand-in weight table — integer feature sum, sigmoid
+    // only at the end, fully DuckDB-replayable.
+    "q_quality_classifier" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.hashedLinearScore(col("text")).as("quality_prob"))),
+
     // BM25 ranked retrieval (graft.text.Bm25): top-25 docs for a 3-term
     // query spanning the df spectrum (rare family token + two mid-df
     // terms). Scan-fused tf columns, one corpus-stats row broadcast back,
@@ -784,6 +794,32 @@ object TextQueries {
          |       floor(avg(logp) * 10000 + 0.5) / 10000 AS avg_logp
          |FROM bi JOIN model USING (w1, w2)
          |GROUP BY doc_id""".stripMargin,
+
+    // per-token polyHash → bucket → weight replayed in exact integer
+    // arithmetic (the q_rolling_portable machinery); the only floats are
+    // the final mean-normalized sigmoid, mirrored operation for operation
+    "q_quality_classifier" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $Toks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |         coalesce(list_sum(list_transform(toks, tk ->
+         |           ((CASE WHEN length(tk) = 0 THEN 0
+         |                  ELSE CAST(list_sum(list_transform(
+         |                         range(1, least(length(tk), 48) + 1),
+         |                         c -> CAST(ord(substr(tk, CAST(c AS INT), 1)) AS BIGINT)
+         |                              * ([$pow31])[CAST(c AS INT)]))
+         |                       % 2147483647 AS BIGINT) END
+         |             % 1024) * 2654435761) % 1001 - 500)), 0) AS raw
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |       CASE WHEN n = 0 THEN 0.5
+         |            ELSE floor(1.0 / (1.0 + exp(-(CAST(raw AS DOUBLE) / n / 500.0)))
+         |                 * 10000 + 0.5) / 10000 END AS quality_prob
+         |FROM s""".stripMargin
+    },
 
     // BM25 re-derived term by term with the IDENTICAL operation order
     // (idf·(tf·(k1+1)) / (tf + k1·((1−b) + b·dl/avgdl)), terms summed

@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableHash
 import graft.operators.Relational.roundp
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -195,4 +196,31 @@ object TextAnalysis {
   def redactPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
       PhoneBoundedPattern, "$1[PHONE]")
+
+  /** Hashed-feature linear quality classifier — the fastText-style filter
+    * shape (Joulin et al. 2016: bag of hashed token features × weight
+    * vector → sigmoid) every pretraining pipeline runs as the learned
+    * complement of [[qualityScore]]'s heuristics. No trained model ships
+    * with the repo, so the weight table is a deterministic stand-in,
+    * w(b) = ((b·2654435761) mod 1001) − 500 over `buckets` feature
+    * buckets (Knuth's multiplicative constant; swap in real weights via
+    * the same bucket indexing). Engine-pattern is what matters and is
+    * exactly production's: token → [[PortableHash.polyHash]] → bucket →
+    * weight, summed per document in INTEGER arithmetic (order-independent
+    * — no FP-associativity drift across engines or partitionings); floats
+    * appear only in the final mean-normalized sigmoid, rounded to 4dp.
+    * Pure column expressions fused into the scan; token-less docs score a
+    * neutral 0.5. */
+  def hashedLinearScore(text: Column, buckets: Int = 1024): Column = {
+    require(buckets > 0 && buckets <= 1000000,
+      s"buckets must be in [1, 1e6] (got $buckets): weight products are " +
+        "overflow-audited for 1e6 buckets")
+    val toks = tokens(text)
+    val raw = aggregate(toks, lit(0L), (acc, t) =>
+      acc + (pmod(pmod(PortableHash.polyHash(t), lit(buckets.toLong)) *
+        lit(2654435761L), lit(1001L)) - lit(500L)))
+    when(size(toks) === 0, lit(0.5))
+      .otherwise(roundp(
+        lit(1.0) / (lit(1.0) + exp(-(raw.cast("double") / size(toks) / 500.0))), 4))
+  }
 }

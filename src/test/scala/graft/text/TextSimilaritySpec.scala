@@ -96,6 +96,29 @@ class TextSimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(frames == Set((1L, 0, 64), (1L, 2, 64), (2L, 0, 0)))
   }
+
+  test("hashedLinearScore matches an integer re-derivation via polyHashScala; empty is neutral") {
+    import graft.functions.PortableHash
+    val texts = Seq((1L, "spark table join stream"), (2L, "a"), (3L, ""))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.hashedLinearScore(col("text")).as("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def expected(text: String): Double = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) 0.5
+      else {
+        val raw = toks.map(t =>
+          (PortableHash.polyHashScala(t) % 1024L) * 2654435761L % 1001L - 500L).sum
+        math.floor(1.0 / (1.0 + math.exp(-(raw.toDouble / toks.length / 500.0)))
+          * 10000 + 0.5) / 10000
+      }
+    }
+    texts.foreach { case (id, t) => assert(got(id) == expected(t), s"doc $id") }
+    intercept[IllegalArgumentException] {
+      texts.toDF("doc_id", "text")
+        .select(TextAnalysis.hashedLinearScore(col("text"), buckets = 0))
+    }
+  }
 }
 
 /** Test-scope stand-in for an external codec: deterministic fake metadata /
