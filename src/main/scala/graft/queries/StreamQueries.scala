@@ -313,8 +313,8 @@ object StreamQueries {
       implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
       implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[(P, Option[P])])] =
         Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(P, Option[P])]])
-      implicit val encState: org.apache.spark.sql.Encoder[Option[P]] =
-        Encoders.kryo[Option[P]]
+      implicit val encState: org.apache.spark.sql.Encoder[Option[(Long, P)]] =
+        Encoders.kryo[Option[(Long, P)]]
       val keyed = Tables.streamEventsChunked(s, dir)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))

@@ -28,7 +28,15 @@ object Tables {
     *    same instants the NANOS encoding produced. */
   private def normalizeTs(tsType: DataType)(df: DataFrame): DataFrame = tsType match {
     case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampNTZType =>
+      // the cast reinterprets wall-clock in the SESSION timezone; it yields
+      // the stored instants only under UTC — fail loudly rather than let a
+      // misconfigured session silently shift every timestamp
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"events.ts is TIMESTAMP_NTZ: the cast to TimestampType requires " +
+        s"spark.sql.session.timeZone=UTC (got '$tz') — every graft entry point pins it")
+      df.withColumn("ts", col("ts").cast(TimestampType))
     case _                => df
   }
 

@@ -190,31 +190,54 @@ object StreamingOps {
     * fold with RIGHTS BEFORE LEFTS at the same microsecond — exactly the
     * batch operator's `__side` ordering, so "at-or-before" includes an
     * equal-timestamp right. Across micro-batches the state carries, so a
-    * left sees rights from any earlier batch. State is ONE right payload
-    * per key — bounded regardless of stream length; `idleTimeoutMs`
-    * evicts idle keys ([[scanByKey]]'s lifetime contract). Value-less
-    * events pass through unenriched (payload None). */
+    * left sees rights from any earlier batch.
+    *
+    * The at-or-before contract is enforced against out-of-order arrival
+    * ACROSS micro-batches, not just assumed: state stores `(ts, payload)`
+    * and a right arriving in a later batch with an OLDER timestamp than
+    * the stored right does NOT regress it; a left whose timestamp
+    * precedes the stored right's timestamp enriches to None rather than
+    * with a future-timestamp right. (Single-payload state cannot recover
+    * the true at-or-before right for such a straggler left — the batch
+    * [[graft.operators.Relational.asofJoin]] is the exact form; this is
+    * the bounded-state streaming trade.) Untimed rights only seed EMPTY
+    * state; untimed lefts enrich with whatever is stored (no event time,
+    * so at-or-before is vacuous). State is ONE `(ts, right)` per key —
+    * bounded regardless of stream length; `idleTimeoutMs` evicts idle
+    * keys ([[scanByKey]]'s lifetime contract). Value-less events pass
+    * through unenriched (payload None). */
   def asofEnrichByKey[K, A](ds: Dataset[(K, Event[A])], isRight: A => Boolean,
       idleTimeoutMs: Option[Long] = None)(
       implicit encK: Encoder[K], encOut: Encoder[(K, Event[(A, Option[A])])],
-      encState: Encoder[Option[A]]): Dataset[(K, Event[(A, Option[A])])] =
+      encState: Encoder[Option[(Long, A)]]): Dataset[(K, Event[(A, Option[A])])] =
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState[Option[A], (K, Event[(A, Option[A])])](
+      .flatMapGroupsWithState[Option[(Long, A)], (K, Event[(A, Option[A])])](
         OutputMode.Append, timeoutConf(idleTimeoutMs)) {
-        (k: K, it: Iterator[(K, Event[A])], state: GroupState[Option[A]]) =>
+        (k: K, it: Iterator[(K, Event[A])], state: GroupState[Option[(Long, A)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var last: Option[A] = state.getOption.getOrElse(None)
+            // stored right as (µs ts, payload); Long.MinValue = untimed right
+            var last: Option[(Long, A)] = state.getOption.getOrElse(None)
             val sorted = it.map(_._2).toIndexedSeq
               .sortBy { e =>
                 val (t, h) = Event.orderKey(e)
                 (t, if (e.value.exists(isRight)) 0 else 1, h)
               }
             val out = sorted.flatMap { e =>
+              val us = e.time.map(Event.micros).getOrElse(Long.MinValue)
               e.value match {
-                case Some(v) if isRight(v) => last = Some(v); None
-                case Some(v)               => Some((k, Event(e.time, Some((v, last)))))
-                case None                  => Some((k, Event[(A, Option[A])](e.time, None)))
+                case Some(v) if isRight(v) =>
+                  // never regress: an older-ts right from a later batch loses
+                  if (last.forall(_._1 <= us)) last = Some((us, v))
+                  None
+                case Some(v) =>
+                  // a straggler left older than the stored right must not see
+                  // a future right; untimed lefts (us = MinValue vs untimed
+                  // right's MinValue) still enrich — <= keeps both contracts
+                  val atOrBefore =
+                    last.filter { case (rts, _) => rts <= (if (e.time.isDefined) us else Long.MaxValue) }
+                  Some((k, Event(e.time, Some((v, atOrBefore.map(_._2))))))
+                case None => Some((k, Event[(A, Option[A])](e.time, None)))
               }
             }
             state.update(last)

@@ -424,26 +424,60 @@ class StreamingOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
-  test("asofEnrichByKey: equal-ts right wins, state carries, no-right lefts get None") {
+  test("asofEnrichByKey: equal-ts right wins, state carries ACROSS micro-batches, " +
+       "no-right lefts get None, out-of-order arrivals don't violate at-or-before") {
     import org.apache.spark.sql.Encoders
     // payload: (isRight, id); constructed ties exercise the rights-before-
     // lefts ordering the batch asofJoin's __side column encodes
     type P = (Boolean, Long)
     implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[(P, Option[P])])] =
       Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(P, Option[P])]])
-    implicit val encState: org.apache.spark.sql.Encoder[Option[P]] = Encoders.kryo[Option[P]]
+    implicit val encState: org.apache.spark.sql.Encoder[Option[(Long, P)]] =
+      Encoders.kryo[Option[(Long, P)]]
     def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
-    val dir = Files.createTempDirectory("graft-asof").toString
-    Seq(
-      (1L, ts(10), true, 10L),  // user 1: click at :10...
-      (1L, ts(10), false, 20L), // ...purchase at the SAME ts → sees click 10
-      (1L, ts(11), false, 21L), // later purchase → still click 10
-      (1L, ts(12), true, 11L),  // newer click...
-      (1L, ts(13), false, 22L), // ...purchase → click 11 (latest wins)
-      (2L, ts(10), false, 30L)  // user 2: purchase with no click → None
-    ).toDF("user_id", "ts", "is_click", "id").write.mode("overwrite").parquet(dir)
-    val schema = spark.read.parquet(dir).schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
+    val dir = Files.createTempDirectory("graft-asof")
+    // one parquet FILE per micro-batch (maxFilesPerTrigger=1, mtimes strictly
+    // increasing) so cross-batch state carry is genuinely exercised: batch 1's
+    // purchase 21 must read click-10 state written by batch 0, and batch 2's
+    // out-of-order rows must hit batch-0/1 state, not same-batch ordering.
+    val batches = Seq(
+      Seq( // batch 0
+        (1L, ts(10), true, 10L),  // user 1: click at :10...
+        (1L, ts(10), false, 20L), // ...purchase at the SAME ts → sees click 10
+        (3L, ts(20), true, 50L)   // user 3: click at :20
+      ),
+      Seq( // batch 1 — purchase 21 enriched from STATE, not same-batch fold
+        (1L, ts(11), false, 21L), // later purchase → still click 10
+        (1L, ts(12), true, 11L),  // newer click...
+        (1L, ts(13), false, 22L), // ...purchase → click 11 (latest wins)
+        (2L, ts(10), false, 30L)  // user 2: purchase with no click → None
+      ),
+      Seq( // batch 2 — out-of-order arrivals vs user 3's stored click@:20
+        (3L, ts(15), true, 51L),  // OLDER click: must NOT regress state
+        (3L, ts(21), false, 60L), // purchase after stored click → click 50
+        (3L, ts(12), false, 61L)  // straggler purchase BEFORE stored click → None
+      ))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val sub = Files.createTempDirectory("graft-asof-build")
+      rows.toDF("user_id", "ts", "is_click", "id")
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = java.nio.file.Files.list(sub).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) found = p
+      }
+      assert(found != null, s"no part file under $sub")
+      val target = dir.resolve(f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(found, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600000L + i * 10000L))
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
       .as[(Long, java.sql.Timestamp, Boolean, Long)]
       .map { case (u, t, r, id) => (u, Event(Some(t), Some((r, id)): Option[P])) }(
         Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[P]]))
@@ -454,9 +488,14 @@ class StreamingOpsSpec extends SparkSuite {
     val q = typed.toDF("user_id", "id", "click_id").writeStream.format("memory")
       .queryName("asof_test").outputMode("append").start()
     q.processAllAvailable()
+    // three files × maxFilesPerTrigger=1 → three micro-batches must have run
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      s"expected 3 data micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
     q.stop()
     val got = spark.table("asof_test")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == Set((1L, 20L, 10L), (1L, 21L, 10L), (1L, 22L, 11L), (2L, 30L, -1L)))
+    assert(got == Set(
+      (1L, 20L, 10L), (1L, 21L, 10L), (1L, 22L, 11L), (2L, 30L, -1L),
+      (3L, 60L, 50L), (3L, 61L, -1L)))
   }
 }
