@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * of each query is the cold one (codegen compile + any persist build); the
   * median therefore reflects steady state while still charging repeatable
   * per-run work. SPARK_GRAFT_ONLY=q_a,q_b restricts to a subset (dev loop).
+  *
+  * Environment hygiene knobs (a certification run sets them; dev default is
+  * measure-and-annotate only):
+  *  - SPARK_GRAFT_IDLE_WAIT_S: total seconds the run may spend waiting for
+  *    OTHER processes' CPU (measured from /proc/stat minus /proc/self/stat —
+  *    loadavg can't tell a co-tenant from our own last burst) to drop below
+  *    SPARK_GRAFT_MAX_EXT_CPUS (default 2.0) before timing each query.
+  *  - The JSON carries per-query "loads" (1-min loadavg) and "ext_cpus"
+  *    (other-process busy cores at gate time), plus "io_probe_ms" (mean
+  *    4KiB write+fsync latency in the cwd) so environment skew is
+  *    machine-detectable next to the numbers it would distort.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +34,68 @@ object Bench {
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadAvg()
+    // EXTERNAL busy cores: /proc/stat whole-host busy jiffies minus THIS
+    // process's jiffies over a short sample window. Loadavg cannot separate
+    // a co-tenant from the bench's own 32-thread bursts (and decays over a
+    // minute — it stays high after OUR heavy query on an otherwise idle
+    // host); this measures other-process CPU directly and instantaneously,
+    // which is what the idle gate below must key on.
+    def extBusyCores(sampleMs: Long = 250): Double = try {
+      def hostBusy(): Long = {
+        val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq steal ...
+        val v = f.drop(1).map(_.toLong)
+        v.take(8).sum - v(3) - v(4) // busy = all - idle - iowait
+      }
+      def selfBusy(): Long = {
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/self/stat"))
+        // utime=field14, stime=field15 (1-based), after the parenthesized comm
+        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+        rest(11).toLong + rest(12).toLong
+      }
+      val (h0, s0, t0) = (hostBusy(), selfBusy(), System.nanoTime())
+      Thread.sleep(sampleMs)
+      val (h1, s1, t1) = (hostBusy(), selfBusy(), System.nanoTime())
+      val hz = 100.0 // USER_HZ; Linux userspace ABI value
+      val elapsed = (t1 - t0) / 1e9
+      (((h1 - h0) - (s1 - s0)).max(0L) / hz) / elapsed
+    } catch { case _: Throwable => -1.0 }
+    // Idle gate: before timing each query, wait (bounded by a shared budget)
+    // until other-process CPU drops below the threshold. Default budget 0 =
+    // never wait (dev loop); a certification run sets SPARK_GRAFT_IDLE_WAIT_S
+    // so a co-tenant burst delays the measurement instead of poisoning it.
+    val maxExt = sys.env.getOrElse("SPARK_GRAFT_MAX_EXT_CPUS", "2.0").toDouble
+    var idleWaitBudgetMs = sys.env.getOrElse("SPARK_GRAFT_IDLE_WAIT_S", "0").toLong * 1000L
+    def awaitIdle(): Double = {
+      var ext = extBusyCores()
+      while (ext >= 0 && ext > maxExt && idleWaitBudgetMs > 0) {
+        val napMs = 5000L.min(idleWaitBudgetMs)
+        Thread.sleep(napMs)
+        idleWaitBudgetMs -= napMs
+        ext = extBusyCores()
+      }
+      ext
+    }
+    // IO-health probe: mean latency of ~100 4KiB write+fsync cycles against
+    // the working directory's filesystem. Round 9 lost hours to a host-side
+    // fsync degradation diagnosed by hand; recording the probe next to the
+    // timings makes environment skew machine-detectable in the artifact.
+    def ioProbeMs(n: Int = 100): Double = try {
+      val p = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get("."), ".graft_io_probe", ".tmp")
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.WRITE)
+      val buf = java.nio.ByteBuffer.allocate(4096)
+      val t0 = System.nanoTime()
+      (1 to n).foreach { _ =>
+        buf.rewind(); ch.write(buf, 0); ch.force(true)
+      }
+      val dt = (System.nanoTime() - t0) / 1e6 / n
+      ch.close(); java.nio.file.Files.deleteIfExists(p)
+      math.rint(dt * 1000) / 1000
+    } catch { case _: Throwable => -1.0 }
+    val ioProbe = ioProbeMs()
     val spark = graft.streaming.StateStores.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,8 +174,10 @@ object Bench {
       times(times.length / 2) // upper-median
     }
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val exts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.map { case (name, fn) =>
+      exts(name) = awaitIdle()
       loads(name) = loadAvg()
       val first = timeQuery(name, fn)
       // >3x the prior round's median and no error: re-measure once and keep
@@ -126,11 +201,19 @@ object Bench {
       name -> best
     }
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal values: full double toString made the 127-query line ~3x
+    // longer and the driver's stdout capture truncated the tail of prior
+    // rounds' maps; 0.1 ms resolution loses nothing a bench at this
+    // granularity can claim
+    def jnum(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else f"$v%.4f"
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val loadsJson = loads.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadsJson = loads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val retriedJson = retried.map { case (k, v) => s"\"" + k + "\":" + v }
+    val extsJson = exts.map { case (k, v) => s"\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val retriedJson = retried.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     // escape ALL control chars (<0x20), not just \n\r\t: an exception
     // message carrying a raw control byte would otherwise emit invalid JSON
@@ -141,7 +224,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val loadAfter = loadAvg()
     val cpusAvail = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"loads":$loadsJson,"retried":$retriedJson,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
     println(line)
     // also land the line on disk: log-capture pipelines truncate long stdout
     // lines (BENCH_r06 lost half its per-query numbers that way); the file
