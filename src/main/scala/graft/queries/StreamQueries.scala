@@ -532,6 +532,41 @@ object StreamQueries {
       s.read.parquet(s"$tmp/result")
     }),
 
+    // streamJoinW with DIFFERING per-side window lengths — the reference's
+    // flagship shape (Taxi Q2 joins a 15-min window against a 30-min window,
+    // Taxi.hs:299-305): 15-min click counts re-bucketed into the 30-min grid
+    // by a nested time window, joined against 30-min purchase sums. A pair
+    // emits once the watermark passes the COARSE window's end (which implies
+    // every contained fine window has closed); the oracle excludes later
+    // windows identically.
+    "q_streaming_join_w2" -> ((s, dir) => {
+      val base = Tables.streamEventsChunked(s, dir)
+      val joined = graft.streaming.StreamJoins.windowAggJoin(
+        base.filter(col("event_type") === "click"),
+        base.filter(col("event_type") === "purchase"),
+        tsLeft = "ts", tsRight = "ts",
+        durationLeft = "15 minutes", durationRight = "30 minutes",
+        watermark = "1 minute",
+        leftAggs = Seq(count(lit(1)).as("n_clicks")),
+        rightAggs = Seq(roundp(sum(col("value")), 2).as("purchase_total")))
+        .select(col("w.start").as("window_start"), col("wl.start").as("sub_start"),
+          col("n_clicks"), col("purchase_total"))
+      val tmp = graft.core.TempDirs.create("graft_stream_wj2_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // STREAMING session windows — Spark's native session_window aggregate
     // (merging-window state) through the replay; complete mode flushes
     // every session of the finite stream, so the batch q_session_window
@@ -1243,6 +1278,25 @@ object StreamQueries {
         |SELECT h AS window_start, n_clicks, purchase_total
         |FROM c JOIN p USING (h), m
         |WHERE h + INTERVAL 1 HOUR <= mx - INTERVAL 1 MINUTE""".stripMargin,
+
+    // differing-duration streamJoinW: 15-min click buckets joined to the
+    // 30-min purchase bucket containing them (epoch-aligned flooring =
+    // Spark's tumbling window), minus coarse windows the final watermark
+    // has not passed
+    "q_streaming_join_w2" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |c AS (
+        |  SELECT make_timestamp(epoch_us(ts) // 900000000 * 900000000) AS w15,
+        |         count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT make_timestamp(epoch_us(ts) // 1800000000 * 1800000000) AS w30,
+        |         floor(sum(value) * 100 + 0.5) / 100 AS purchase_total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT w30 AS window_start, w15 AS sub_start, n_clicks, purchase_total
+        |FROM c JOIN p
+        |  ON make_timestamp(epoch_us(w15) // 1800000000 * 1800000000) = w30, m
+        |WHERE w30 + INTERVAL 30 MINUTE <= mx - INTERVAL 1 MINUTE""".stripMargin,
 
     // the buffered-state inner join must emit exactly the relational
     // interval join, no pair lost across micro-batch/watermark boundaries

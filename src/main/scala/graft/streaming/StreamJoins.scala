@@ -55,17 +55,60 @@ object StreamJoins {
 
   /** `streamJoinW`-shaped streaming join: aggregate both sides per tumbling
     * window, then join the window aggregates (window-level combination,
-    * `FunctionalProcessing.hs:175-178`). */
+    * `FunctionalProcessing.hs:175-178`). Equal-duration convenience form of
+    * the two-duration overload below. */
   def windowAggJoin(left: DataFrame, right: DataFrame,
                     tsLeft: String, tsRight: String,
                     duration: String, watermark: String,
+                    leftAggs: Seq[Column], rightAggs: Seq[Column]): DataFrame =
+    windowAggJoin(left, right, tsLeft, tsRight, duration, duration, watermark,
+      leftAggs, rightAggs)
+
+  /** `streamJoinW` with DIFFERING per-side window lengths — the reference's
+    * flagship use joins a 15-min window against a 30-min window (Taxi Q2,
+    * `examples/taxi/Taxi.hs:299-305`). Each side aggregates on its OWN
+    * tumbling grid; the finer side is then re-bucketed into the coarser grid
+    * with a nested time window (`window` over a window column buckets by
+    * `window_time` = end − 1µs, so a fine window maps to the unique coarse
+    * window containing it — exact because the coarser duration must be a
+    * multiple of the finer). The join key is the COARSE window, which both
+    * carries the event-time metadata Spark needs to bound join state by the
+    * watermark and is the pairing the reference's window-level combination
+    * produces. Output keeps `w` (the coarse window) plus the finer side's
+    * own window (`wl`/`wr`) for callers to project.
+    *
+    * Scale note: both aggregates are partial (map-side combine) before their
+    * window shuffle, and the join's state is one row per closed window per
+    * side — O(windows in the watermark horizon), not O(events). */
+  def windowAggJoin(left: DataFrame, right: DataFrame,
+                    tsLeft: String, tsRight: String,
+                    durationLeft: String, durationRight: String,
+                    watermark: String,
                     leftAggs: Seq[Column], rightAggs: Seq[Column]): DataFrame = {
-    val la = left.withWatermark(tsLeft, watermark)
-      .groupBy(window(col(tsLeft), duration).as("w"))
+    val lMs = durationMs(durationLeft)
+    val rMs = durationMs(durationRight)
+    val coarse = if (lMs >= rMs) durationLeft else durationRight
+    require(math.max(lMs, rMs) % math.min(lMs, rMs) == 0,
+      s"finer window must align into the coarser grid (got $durationLeft vs $durationRight)")
+    val la0 = left.withWatermark(tsLeft, watermark)
+      .groupBy(window(col(tsLeft), durationLeft).as("wl"))
       .agg(leftAggs.head, leftAggs.tail: _*)
-    val ra = right.withWatermark(tsRight, watermark)
-      .groupBy(window(col(tsRight), duration).as("w"))
+    val ra0 = right.withWatermark(tsRight, watermark)
+      .groupBy(window(col(tsRight), durationRight).as("wr"))
       .agg(rightAggs.head, rightAggs.tail: _*)
+    val la = if (lMs < rMs) la0.withColumn("w", window(col("wl"), coarse))
+             else la0.withColumnRenamed("wl", "w")
+    val ra = if (rMs < lMs) ra0.withColumn("w", window(col("wr"), coarse))
+             else ra0.withColumnRenamed("wr", "w")
     la.join(ra, "w")
+  }
+
+  /** Fixed-length interval string ("15 minutes") → milliseconds. Month-based
+    * units are rejected: a tumbling grid needs a fixed length. */
+  private[streaming] def durationMs(d: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    require(iv.months == 0, s"month-based window duration not supported: $d")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 }

@@ -51,4 +51,53 @@ class WindowAggJoinStreamSpec extends SparkSuite {
       s"windows provably closed by the watermark did not emit: ${mustEmit -- got}")
     assert(got.nonEmpty)
   }
+
+  test("windowAggJoin with differing durations pairs each fine window with its containing coarse window") {
+    val eventsBatch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val replayDir = Files.createTempDirectory("graft-waj2").toString
+    eventsBatch.write.mode("overwrite").parquet(replayDir)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(replayDir)
+    // left = FINE (30 min), right = COARSE (1 hour): the Taxi Q2 shape
+    val joined = StreamJoins.windowAggJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"),
+      tsLeft = "ts", tsRight = "ts",
+      durationLeft = "30 minutes", durationRight = "1 hour",
+      watermark = "1 minute",
+      leftAggs = Seq(count(lit(1)).as("n_clicks")),
+      rightAggs = Seq(count(lit(1)).as("n_purchases")))
+    val q = joined
+      .select(col("w.start").as("coarse_start"), col("wl.start").as("fine_start"),
+        col("n_clicks"), col("n_purchases"))
+      .writeStream.format("memory").queryName("waj2_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("waj2_test").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+
+    // every emitted fine window must start inside its coarse partner
+    got.foreach { case (cs, fs, _, _) =>
+      assert(fs.getTime >= cs.getTime && fs.getTime < cs.getTime + 3600000L,
+        s"fine window $fs not contained in coarse window starting $cs")
+    }
+    // batch truth: 30-min click counts joined to the hour bucket's purchase count
+    val c = eventsBatch.filter(col("event_type") === "click")
+      .groupBy(window(col("ts"), "30 minutes").as("wl")).agg(count(lit(1)).as("n_clicks"))
+      .withColumn("h", window(col("wl"), "1 hour"))
+    val p = eventsBatch.filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour").as("h")).agg(count(lit(1)).as("n_purchases"))
+    val all = c.join(p, "h")
+      .select(col("h.start"), col("h.end"), col("wl.start"), col("n_clicks"), col("n_purchases"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4)))
+    val maxTs = eventsBatch.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val horizon = maxTs.getTime - 60000L
+    val batchAll = all.map(t => (t._1, t._3, t._4, t._5)).toSet
+    // closing the COARSE window implies every contained fine window closed
+    val mustEmit = all.filter(_._2.getTime <= horizon).map(t => (t._1, t._3, t._4, t._5)).toSet
+    assert(got.subsetOf(batchAll), s"streaming emitted pairs absent from batch: ${got -- batchAll}")
+    assert(mustEmit.subsetOf(got),
+      s"pairs provably closed by the watermark did not emit: ${mustEmit -- got}")
+    assert(got.nonEmpty)
+  }
 }
