@@ -25,7 +25,7 @@ object TaxiQueries {
   /** Deterministic synthetic geo: fractional part of `value` spreads
     * ±0.5° around the grid centre; user_id/props.k give the other axes.
     * Mirrored verbatim in the oracle SQL. */
-  private def withGeo(df: DataFrame): DataFrame = {
+  private[queries] def withGeo(df: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("int")
     df.withColumn("p_lat", lit(Taxi.Centre11Lat) + (col("value") - floor(col("value"))) - 0.5)
       .withColumn("p_lon", lit(Taxi.Centre11Lon) + ((col("user_id") % 200) / 200.0) - 0.5)
@@ -114,6 +114,56 @@ object TaxiQueries {
           roundp(coalesce(col("profit"), lit(0.0)) / col("n_empty"), 4))
         .select(col("window_start"), col("clat"), col("clon"), col("n_empty"),
           roundp(coalesce(col("profit"), lit(0.0)), 2).as("profit"), col("profitability"))
+    }),
+
+    // COMPOSED STREAMING FLAGSHIP — the full Q1 pipeline (Taxi.hs:172-178:
+    // cell-map → range filter → window → per-route counts → exact top-10)
+    // through ONE watermarked streaming query, proving the operators compose
+    // under watermarks rather than only gating individually. The stateless
+    // geo/cell projections and the range filter fuse into the streaming
+    // scan; the 30-min tumbling per-route count is the single stateful
+    // aggregate (append mode — a window's counts emit exactly once, when the
+    // watermark passes its end); the exact top-10 rank runs per FINALIZED
+    // window in the sink, which is sound because the watermark closes a
+    // window for EVERY route key at the same batch — all rows of a window
+    // arrive together. Oracle = the batch q_taxi_q1 oracle minus windows the
+    // final replay watermark (max ts − 1 min) has not closed.
+    "q_streaming_taxi_q1" -> ((s, dir) => {
+      // The watermark horizon is driven by IN-GRID JOURNEYS, not the raw
+      // stream: Catalyst pushes any non-event-time predicate below the
+      // EventTimeWatermark node (PushPredicateThroughNonJoin), so even a
+      // watermark declared on the raw stream tracks post-filter rows —
+      // measured: both placements yield the identical final watermark. The
+      // oracle therefore keys its closed-window horizon on max(journey ts),
+      // the semantics Spark actually executes.
+      val journeys = withGeo(Tables.streamEventsChunked(s, dir))
+        .select(col("ts"),
+          Taxi.cellLatQ1(col("p_lat")).as("s_clat"), Taxi.cellLonQ1(col("p_lon")).as("s_clon"),
+          Taxi.cellLatQ1(col("d_lat")).as("e_clat"), Taxi.cellLonQ1(col("d_lon")).as("e_clon"))
+        .filter(Taxi.inRangeQ1(col("s_clat"), col("s_clon")) &&
+                Taxi.inRangeQ1(col("e_clat"), col("e_clon")))
+      val counts = journeys.withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "30 minutes").as("w"),
+          col("s_clat"), col("s_clon"), col("e_clat"), col("e_clon"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("s_clat"), col("s_clon"),
+          col("e_clat"), col("e_clon"), col("n"))
+      val tmp = graft.core.TempDirs.create("graft_stream_taxi1_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        counts.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            Relational.topKPerGroup(b.toDF(), 10, Seq(col("window_start")),
+              Seq(col("n").desc, col("s_clat"), col("s_clon"), col("e_clat"), col("e_clon")))
+              .write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
     })
   )
 
@@ -168,6 +218,39 @@ object TaxiQueries {
          |              ORDER BY n DESC, s_clat, s_clon, e_clat, e_clon) AS INT) AS rank
          |  FROM counts)
          |WHERE rank <= 10""".stripMargin,
+
+    // the batch Q1 oracle minus windows the final streaming watermark has
+    // not closed. The horizon is max(IN-GRID JOURNEY ts) − 1 minute, not the
+    // raw-stream max: Catalyst pushes the range filter below the
+    // EventTimeWatermark node, so the stats the watermark advances on are
+    // post-filter rows (see the query comment).
+    "q_streaming_taxi_q1" ->
+      s"""WITH geo AS (
+         |  SELECT ts, $Geo,
+         |         41.474937 + ((CAST(json_extract_string(props, '$$.k') AS INT) % 100) / 100.0) - 0.5 AS d_lat,
+         |         -74.913585 + (((user_id * 13 + CAST(json_extract_string(props, '$$.k') AS INT)) % 400) / 400.0) - 0.5 AS d_lon
+         |  FROM events),
+         |journeys AS (
+         |  SELECT ts,
+         |    ${cellSql("p_lat", "p_lon", "0.004491556", "0.005986", "s_clat", "s_clon")},
+         |    ${cellSql("d_lat", "d_lon", "0.004491556", "0.005986", "e_clat", "e_clon")}
+         |  FROM geo),
+         |inr AS (
+         |  SELECT * FROM journeys
+         |  WHERE s_clat BETWEEN 1 AND 300 AND s_clon BETWEEN 1 AND 300
+         |    AND e_clat BETWEEN 1 AND 300 AND e_clon BETWEEN 1 AND 300),
+         |m AS (SELECT max(ts) AS mx FROM inr),
+         |counts AS (
+         |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start,
+         |         s_clat, s_clon, e_clat, e_clon, count(*) AS n
+         |  FROM inr
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT window_start, s_clat, s_clon, e_clat, e_clon, n, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+         |              ORDER BY n DESC, s_clat, s_clon, e_clat, e_clon) AS INT) AS rank
+         |  FROM counts), m
+         |WHERE rank <= 10
+         |  AND window_start + INTERVAL 30 MINUTE <= mx - INTERVAL 1 MINUTE""".stripMargin,
 
     "q_taxi_empty" ->
       s"""WITH geo AS (
