@@ -1023,6 +1023,65 @@ object StreamQueries {
       steps.groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_steps"))
         .select(col("window.start").as("window_start"), col("n_steps"))
+    }),
+
+    // COMPOSED STREAMING FLAGSHIP #2 — the wearable pipeline
+    // (WearableExample.hs:66-96) end-to-end in ONE streaming query: the
+    // vibe filter and norm map fuse into the streaming scan; the keyed
+    // falling-edge runs as filterAccByKey (one Option[norm] of state per
+    // user); the emitted steps then feed a SECOND stateful operator — a
+    // watermarked hourly tumbling count — in the same query (Spark 4
+    // chained stateful operators: flatMapGroupsWithState → windowed agg,
+    // append mode). This is the composition the 21 individual gates don't
+    // prove: custom keyed state flowing into a watermark-closed window.
+    // The downstream watermark advances on STEP events (the rows that
+    // reach it), so the closed-window horizon is max(step ts) − 1 minute —
+    // mirrored in the oracle exactly like q_streaming_taxi_q1's post-filter
+    // horizon.
+    "q_streaming_wearable" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      type P = (Long, Double) // (event_id, norm)
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .filter(col("event_type") =!= "error")                  // vibe == 0
+        .withColumn("norm", roundp(sqrt(col("value") * col("value") + 1), 4)) // ed
+        .select(col("user_id"), col("ts"), col("event_id"), col("norm"))
+        .as[(Long, java.sql.Timestamp, Long, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.scalaDouble))
+        .map { case (u, ts, id, n) => (u, Event(Some(ts), Some((id, n)): Option[P])) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[P]]))
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Event[P])] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[P]])
+      implicit val encState: org.apache.spark.sql.Encoder[Option[Double]] =
+        Encoders.kryo[Option[Double]]
+      val steps = graft.streaming.StreamingOps.filterAccByKey[Long, P, Option[Double]](
+        keyed, (_, v) => Some(v._2), None,
+        (v, prev) => prev.exists(_ > 50.0) && v._2 <= 50.0)  // stepEvent
+      val stepRows = steps.flatMap { case (_, e) =>
+        e.value.flatMap(v => e.time.map(t => (t, v._1)))
+      }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong))
+        .toDF("ts", "event_id")
+      val counts = stepRows
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "1 hour"))                   // stepCount
+        .agg(count(lit(1)).as("n_steps"))
+        .select(col("window.start").as("window_start"), col("n_steps"))
+      val tmp = graft.core.TempDirs.create("graft_stream_wear_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        counts.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
     })
   )
 
@@ -1493,6 +1552,27 @@ object StreamQueries {
         |    FROM signal)
         |  WHERE prev > 50.0 AND norm <= 50.0)
         |SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_steps
-        |FROM edges GROUP BY 1""".stripMargin
+        |FROM edges GROUP BY 1""".stripMargin,
+
+    // the batch wearable oracle minus hourly windows the final streaming
+    // watermark has not closed; the horizon is max(STEP ts) − 1 minute
+    // because the downstream watermark advances on the rows that reach it
+    // (the falling-edge emissions), not the raw stream
+    "q_streaming_wearable" ->
+      """WITH signal AS (
+        |  SELECT event_id, user_id, ts,
+        |         floor(sqrt(value * value + 1) * 10000 + 0.5) / 10000 AS norm
+        |  FROM events WHERE event_type <> 'error'),
+        |edges AS (
+        |  SELECT ts FROM (
+        |    SELECT ts, norm,
+        |           lag(norm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM signal)
+        |  WHERE prev > 50.0 AND norm <= 50.0),
+        |m AS (SELECT max(ts) AS mx FROM edges)
+        |SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_steps
+        |FROM edges, m
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 MINUTE
+        |GROUP BY 1""".stripMargin
   )
 }
