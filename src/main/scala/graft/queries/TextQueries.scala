@@ -42,6 +42,30 @@ object TextQueries {
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
         TextAnalysis.bpeishFertility(col("text")).as("fertility"))),
 
+    // TRAINED BPE with the training loop itself under the oracle (the
+    // q_kmeans move applied to tokenization): 8 merges learned from the
+    // corpus's ASCII-letter word-frequency table (count DESC, pair ASC
+    // tiebreak; greedy left-to-right application), then per-doc post-merge
+    // token counts. The DuckDB oracle replays all 8 training iterations as
+    // generated CTE chains (pair-count → argmax → list_reduce merge) and
+    // the application via the same per-distinct-word replay. 8 keeps the
+    // oracle statement tractable; graft.text.Bpe trains arbitrary merge
+    // counts (spec covers 64, local/distributed equality, determinism).
+    // The corpus is touched exactly twice (freq table; per-doc word
+    // explode + broadcast join) — the vocab-sized loop never scans docs.
+    "q_bpe_trained" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val merges = graft.text.Bpe.train(s, words, nMerges = 8)
+      val lens = graft.text.Bpe.wordTokenCounts(s, words.select("word"), merges)
+      docs(s, dir)
+        .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("word"))
+        .join(broadcast(lens), "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_bpe"))
+    }),
+
     "q_quality" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
@@ -478,7 +502,51 @@ object TextQueries {
   // DuckDB-side token expression shared by the oracles below.
   private val Toks = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
 
+  /** Generated CTE chain replaying `n` BPE training iterations (the
+    * q_kmeans unrolled-training move): `w0` = ASCII-letter word freq +
+    * char list; each iteration k = pair counts over adjacent positions
+    * (`p_k`), the winning pair by (count DESC, left, right) (`b_k`), and
+    * the greedy left-to-right merge via an accumulating `list_reduce`
+    * (`w_k`). `[1:len(x)-1]` is DuckDB's "drop last" (its negative-stop
+    * slice does NOT drop); the lambda captures the cross-joined 1-row
+    * winner's columns. */
+  private def bpeTrainCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS (
+             |  SELECT word, count(*) AS freq,
+             |         list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+             |  FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word FROM documents)
+             |  GROUP BY word)""".stripMargin
+    for (k <- 1 to n) {
+      sb ++= s""",
+               |p$k AS (
+               |  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS c FROM (
+               |    SELECT freq, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+               |    FROM w${k - 1})
+               |  GROUP BY 1, 2),
+               |b$k AS (SELECT l, r FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+               |w$k AS (
+               |  SELECT word, freq,
+               |    list_reduce(list_transform(syms, s -> [s]),
+               |      (acc, x) -> CASE WHEN acc[-1] = b$k.l AND x[1] = b$k.r
+               |                       THEN acc[1:len(acc)-1] || [acc[-1] || x[1]]
+               |                       ELSE acc || x END) AS syms
+               |  FROM w${k - 1}, b$k)""".stripMargin
+    }
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_trained" ->
+      s"""WITH ${bpeTrainCtes(8)},
+         |lens AS (SELECT word, len(syms) AS n_tok FROM w8),
+         |docw AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS word
+         |  FROM documents)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe
+         |FROM docw JOIN lens USING (word)
+         |GROUP BY doc_id""".stripMargin,
+
     "q_expand_words" ->
       s"""SELECT doc_id, word FROM (
          |  SELECT doc_id, unnest($Toks) AS word FROM documents)
