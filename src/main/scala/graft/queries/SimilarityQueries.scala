@@ -116,16 +116,22 @@ object SimilarityQueries {
     }),
 
     // SemDeDup-style semantic dedup (cluster-then-dedup-within-cluster):
-    // the same deterministic seed-point codebook as q_knn_ivf_portable
-    // (embeddings of vec_id 0..7) buckets the corpus in one map pass;
-    // near-dup cosine pairs are formed WITHIN cells only (one shuffle on
-    // the cell key — the shape that survives 100 TB, vs q_embedding_dedup's
-    // corpus-wide triangle join); the lowest-id member of each neighborhood
-    // survives. Same 0.42 threshold as q_embedding_dedup, so the cross-cell
-    // recall gap is measurable (SemanticDedupSpec).
+    // a deterministic seed-point codebook (embeddings of the k lowest ids)
+    // buckets the corpus in one map pass; near-dup cosine pairs are formed
+    // WITHIN cells only (one shuffle on the cell key — the shape that
+    // survives 100 TB, vs q_embedding_dedup's corpus-wide triangle join);
+    // the lowest-id member of each neighborhood survives. Same 0.42
+    // threshold as q_embedding_dedup, so the cross-cell recall gap is
+    // measurable (SemanticDedupSpec). The cell count SCALES with the
+    // corpus (autoNlist: constant ~256-vector target cells, floor 8 —
+    // fixed k made within-cell pairing quadratic, 13.7× wall-time at 10×
+    // rows; with k∝n it re-measured linear). At the oracled SFs (≤2000
+    // vectors) autoNlist floors to exactly 8, and the oracle computes the
+    // same greatest(8, ceil(n/256)) itself so the two can never drift.
     "q_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = graft.similarity.Ivf.seedCentroids(e, "vec_id", "embedding", k = 8)
+      val k = graft.similarity.Ivf.autoNlist(e.count())
+      val centroids = graft.similarity.Ivf.seedCentroids(e, "vec_id", "embedding", k)
       Similarity.semanticDedup(e, centroids, threshold = 0.42)
     }),
 
@@ -618,7 +624,9 @@ object SimilarityQueries {
       """WITH c AS (
         |  SELECT vec_id AS cell_id,
         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM embeddings
+        |  WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                  FROM embeddings)),
         |d AS (
         |  SELECT e.vec_id, e.embedding, c.cell_id,
         |         list_sum(list_transform(range(1, len(e.embedding) + 1),

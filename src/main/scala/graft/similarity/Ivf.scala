@@ -88,6 +88,19 @@ object Ivf {
     cs
   }
 
+  /** Cell count scaled to the corpus: ceil(n / targetCellSize), floored at
+    * `minK`. A FIXED nlist makes every within-cell operation quadratic in
+    * corpus size (cells grow as n/k, so per-cell pair work grows as
+    * (n/k)² — measured 13.7× wall-time for 10× rows on semantic dedup at
+    * k=8); holding the TARGET CELL SIZE constant instead keeps per-cell
+    * work constant and total work linear, which is how SemDeDup/IVF run at
+    * scale. */
+  def autoNlist(n: Long, targetCellSize: Int = 256, minK: Int = 8): Int = {
+    require(targetCellSize >= 1 && minK >= 1)
+    math.max(minK.toLong, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue).toInt
+  }
+
   /** The embeddings of the k lowest ids as a codebook — the deterministic
     * seed-point init every oracled clustering path shares (lloydTrain
     * iteration 0, the q_knn_ivf_portable quantizer, semantic dedup's
