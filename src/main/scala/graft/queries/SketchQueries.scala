@@ -93,6 +93,33 @@ object SketchQueries {
       top10.join(est, col("user_id") === col("item"))
         .select(col("user_id"), col("n"), col("cms_est"),
           (col("cms_est") >= col("n")).as("no_undercount"))
+    }),
+
+    // Frequent words two-pass: a Misra-Gries summary (k=200 counters,
+    // mergeable under Spark's partial aggregation — see MisraGriesAgg)
+    // proposes ≤k candidates from ONE token scan, a second exact pass
+    // keeps those with true frequency > total/(k+1). The MG containment
+    // guarantee makes the output EXACTLY the above-threshold set — a
+    // candidate miss would drop a row and fail the hash compare — and
+    // mg_ok asserts the per-item bound (never overcounts, undercounts by
+    // ≤ total/(k+1)). At 100 TB the first pass moves O(k) state per
+    // partition instead of shuffling every distinct token; the second
+    // pass is a broadcast semi-join of ≤k words against the token scan.
+    "q_frequent_words" -> ((s, dir) => {
+      val k = 200
+      val words = Tables.documents(s, dir)
+        .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w0"))
+        .select(lower(col("w0")).as("word"))
+      val mg = udaf(new graft.functions.MisraGriesAgg(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val summary = words.agg(mg(col("word")).as("mg"), count(lit(1)).as("total"))
+        .select(col("total"), explode(col("mg")).as(Seq("word", "mg_est")))
+      val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      exact.join(broadcast(summary), "word")
+        .filter(col("n") > col("total") / (k + 1))
+        .select(col("word"), col("n"), col("total"),
+          (col("mg_est") <= col("n") &&
+            col("n") - col("mg_est") <= col("total") / (k + 1)).as("mg_ok"))
     })
   )
 
@@ -132,6 +159,18 @@ object SketchQueries {
         |  JOIN counters c USING (j, bucket)
         |  GROUP BY 1)
         |SELECT t.user_id, t.n, e.cms_est, e.cms_est >= t.n AS no_undercount
-        |FROM top10 t JOIN est e USING (user_id)""".stripMargin
+        |FROM top10 t JOIN est e USING (user_id)""".stripMargin,
+
+    // exact above-threshold set (MG guarantees candidate containment, so
+    // the Spark side provably emits the same rows); the MG bound lands as
+    // an asserted boolean, the sketch counters stay Spark-side
+    "q_frequent_words" ->
+      """WITH w AS (
+        |  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+        |  FROM documents),
+        |t AS (SELECT count(*) AS total FROM w),
+        |c AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+        |SELECT word, n, total, TRUE AS mg_ok
+        |FROM c, t WHERE n > total / 201.0""".stripMargin
   )
 }

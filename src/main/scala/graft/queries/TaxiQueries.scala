@@ -164,6 +164,64 @@ object TaxiQueries {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
       s.read.parquet(s"$tmp/result")
+    }),
+
+    // COMPOSED STREAMING FLAGSHIP #2 — the full Q2 pipeline (Taxi.hs:
+    // 269-305: per-cell 15-min profit median vs per-cell 30-min empty-taxi
+    // counts, window-level combination, profitability rank inputs) through
+    // ONE watermarked streaming query: TWO keyed windowed aggregates of
+    // DIFFERENT durations chained into a stream-stream join (Spark 4
+    // multi-stateful-operator support), exercising the keyed
+    // `windowAggJoin`. A (coarse-window, cell) pair emits once the
+    // watermark passes the coarse window's end — which implies every
+    // contained fine window closed too. Inner join (cells with both a
+    // profit and an empty-taxi reading — the cells Q2 actually ranks); the
+    // oracle mirrors the pairing and subtracts windows the final replay
+    // watermark (min of the two sides' max post-filter ts − 1 min, the min
+    // over per-side watermark nodes Spark takes) has not closed.
+    //
+    // DEBS Q2 pairs profit and empty-taxis in the SAME cell (a taxi whose
+    // last drop-off was in the cell trips now start from), so both sides
+    // key on the p_lat/p_lon-derived cell: the synthetic d_* coordinates
+    // are drawn from a spatially DISJOINT distribution (measured: 0
+    // same-cell pairs at sf0.01) and stand in for dropoffs only in the
+    // single-sided q_taxi_empty/q_taxi_q2 aggregates.
+    "q_streaming_taxi_q2" -> ((s, dir) => {
+      val g = withGeo(Tables.streamEventsChunked(s, dir))
+      val profitSide = g
+        .select(col("ts"), col("value"),
+          Taxi.cellLatQ2(col("p_lat")).as("clat"), Taxi.cellLonQ2(col("p_lon")).as("clon"))
+        .filter(Taxi.inRangeQ2(col("clat"), col("clon")))
+      val emptySide = g
+        .filter(col("event_type") === "error") // stand-in for empty taxis
+        .select(col("ts"),
+          Taxi.cellLatQ2(col("p_lat")).as("clat"), Taxi.cellLonQ2(col("p_lon")).as("clon"))
+        .filter(Taxi.inRangeQ2(col("clat"), col("clon")))
+      val joined = graft.streaming.StreamJoins.windowAggJoin(
+        profitSide, emptySide, tsLeft = "ts", tsRight = "ts",
+        durationLeft = "15 minutes", durationRight = "30 minutes",
+        watermark = "1 minute",
+        leftAggs = Seq(Relational.medianUpper(col("value")).as("profit")),
+        rightAggs = Seq(count(lit(1)).as("n_empty")),
+        keys = Seq("clat", "clon"))
+        .withColumn("profitability", roundp(col("profit") / col("n_empty"), 4))
+        .select(col("w.start").as("window_start"), col("wl.start").as("sub_start"),
+          col("clat"), col("clon"), col("n_empty"),
+          roundp(col("profit"), 2).as("profit"), col("profitability"))
+      val tmp = graft.core.TempDirs.create("graft_stream_taxi2_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        joined.writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
     })
   )
 
@@ -251,6 +309,44 @@ object TaxiQueries {
          |  FROM counts), m
          |WHERE rank <= 10
          |  AND window_start + INTERVAL 30 MINUTE <= mx - INTERVAL 1 MINUTE""".stripMargin,
+
+    // the Q2 pairing replayed relationally: per-cell 15-min profit medians
+    // joined to the 30-min empty-taxi bucket containing them, minus coarse
+    // windows the final watermark has not closed. The watermark horizon is
+    // the MIN of the two sides' max post-filter ts (one EventTimeWatermark
+    // node per side; Spark takes the min across nodes), − the 1-min delay.
+    "q_streaming_taxi_q2" ->
+      s"""WITH geo AS (
+         |  SELECT ts, value, event_type, $Geo
+         |  FROM events),
+         |pr AS (
+         |  SELECT ts, value, clat, clon FROM (
+         |    SELECT ts, value,
+         |      ${cellSql("p_lat", "p_lon", "(0.004491556/2)", "(0.005986/2)", "clat", "clon")}
+         |    FROM geo)
+         |  WHERE clat BETWEEN 1 AND 600 AND clon BETWEEN 1 AND 600),
+         |er AS (
+         |  SELECT ts, clat, clon FROM (
+         |    SELECT ts,
+         |      ${cellSql("p_lat", "p_lon", "(0.004491556/2)", "(0.005986/2)", "clat", "clon")}
+         |    FROM geo WHERE event_type = 'error')
+         |  WHERE clat BETWEEN 1 AND 600 AND clon BETWEEN 1 AND 600),
+         |m AS (SELECT least((SELECT max(ts) FROM pr), (SELECT max(ts) FROM er)) AS wm),
+         |profit AS (
+         |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS TIMESTAMP) AS sub_start, clat, clon,
+         |         list_sort(list(value))[CAST(floor(count(*) / 2) AS INT) + 1] AS profit
+         |  FROM pr GROUP BY 1, 2, 3),
+         |empty AS (
+         |  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) AS window_start, clat, clon,
+         |         count(*) AS n_empty
+         |  FROM er GROUP BY 1, 2, 3)
+         |SELECT e.window_start, p.sub_start, e.clat, e.clon, e.n_empty,
+         |       floor(p.profit * 100 + 0.5) / 100 AS profit,
+         |       floor(p.profit / e.n_empty * 10000 + 0.5) / 10000 AS profitability
+         |FROM empty e JOIN profit p
+         |  ON CAST(to_timestamp(CAST(floor(epoch(p.sub_start) / 1800) * 1800 AS BIGINT)) AS TIMESTAMP) = e.window_start
+         |  AND e.clat = p.clat AND e.clon = p.clon, m
+         |WHERE e.window_start + INTERVAL 30 MINUTE <= wm - INTERVAL 1 MINUTE""".stripMargin,
 
     "q_taxi_empty" ->
       s"""WITH geo AS (

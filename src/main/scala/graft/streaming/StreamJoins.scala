@@ -79,28 +79,34 @@ object StreamJoins {
     *
     * Scale note: both aggregates are partial (map-side combine) before their
     * window shuffle, and the join's state is one row per closed window per
-    * side — O(windows in the watermark horizon), not O(events). */
+    * side — O(windows in the watermark horizon), not O(events).
+    *
+    * `keys` adds per-key grouping (Taxi Q2 aggregates per CELL per window,
+    * `Taxi.hs:269-305`): both sides group on (window, keys…) and the join
+    * pairs on (coarse window, keys…). The window stays in the join key, so
+    * the watermark state bound is unchanged; keys only refine the pairing. */
   def windowAggJoin(left: DataFrame, right: DataFrame,
                     tsLeft: String, tsRight: String,
                     durationLeft: String, durationRight: String,
                     watermark: String,
-                    leftAggs: Seq[Column], rightAggs: Seq[Column]): DataFrame = {
+                    leftAggs: Seq[Column], rightAggs: Seq[Column],
+                    keys: Seq[String] = Nil): DataFrame = {
     val lMs = durationMs(durationLeft)
     val rMs = durationMs(durationRight)
     val coarse = if (lMs >= rMs) durationLeft else durationRight
     require(math.max(lMs, rMs) % math.min(lMs, rMs) == 0,
       s"finer window must align into the coarser grid (got $durationLeft vs $durationRight)")
     val la0 = left.withWatermark(tsLeft, watermark)
-      .groupBy(window(col(tsLeft), durationLeft).as("wl"))
+      .groupBy(window(col(tsLeft), durationLeft).as("wl") +: keys.map(col): _*)
       .agg(leftAggs.head, leftAggs.tail: _*)
     val ra0 = right.withWatermark(tsRight, watermark)
-      .groupBy(window(col(tsRight), durationRight).as("wr"))
+      .groupBy(window(col(tsRight), durationRight).as("wr") +: keys.map(col): _*)
       .agg(rightAggs.head, rightAggs.tail: _*)
     val la = if (lMs < rMs) la0.withColumn("w", window(col("wl"), coarse))
              else la0.withColumnRenamed("wl", "w")
     val ra = if (rMs < lMs) ra0.withColumn("w", window(col("wr"), coarse))
              else ra0.withColumnRenamed("wr", "w")
-    la.join(ra, "w")
+    la.join(ra, "w" +: keys)
   }
 
   /** Fixed-length interval string ("15 minutes") → milliseconds. Month-based

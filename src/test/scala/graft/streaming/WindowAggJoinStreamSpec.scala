@@ -100,4 +100,52 @@ class WindowAggJoinStreamSpec extends SparkSuite {
       s"pairs provably closed by the watermark did not emit: ${mustEmit -- got}")
     assert(got.nonEmpty)
   }
+
+  test("keyed windowAggJoin groups each side per (window, key) and pairs on (coarse window, key)") {
+    val eventsBatch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val replayDir = Files.createTempDirectory("graft-waj3").toString
+    eventsBatch.write.mode("overwrite").parquet(replayDir)
+    val stream = spark.readStream.schema(eventsBatch.schema).parquet(replayDir)
+      .withColumn("seg", pmod(col("user_id"), lit(3)))
+    val joined = StreamJoins.windowAggJoin(
+      stream.filter(col("event_type") === "click"),
+      stream.filter(col("event_type") === "purchase"),
+      tsLeft = "ts", tsRight = "ts",
+      durationLeft = "30 minutes", durationRight = "1 hour",
+      watermark = "1 minute",
+      leftAggs = Seq(count(lit(1)).as("n_clicks")),
+      rightAggs = Seq(count(lit(1)).as("n_purchases")),
+      keys = Seq("seg"))
+    val q = joined
+      .select(col("w.start").as("coarse_start"), col("wl.start").as("fine_start"),
+        col("seg"), col("n_clicks"), col("n_purchases"))
+      .writeStream.format("memory").queryName("waj3_test").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("waj3_test").collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+
+    val eb = eventsBatch.withColumn("seg", pmod(col("user_id"), lit(3)))
+    val c = eb.filter(col("event_type") === "click")
+      .groupBy(window(col("ts"), "30 minutes").as("wl"), col("seg"))
+      .agg(count(lit(1)).as("n_clicks"))
+      .withColumn("h", window(col("wl"), "1 hour"))
+    val p = eb.filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour").as("h"), col("seg"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val all = c.join(p, Seq("h", "seg"))
+      .select(col("h.start"), col("h.end"), col("wl.start"), col("seg"),
+        col("n_clicks"), col("n_purchases"))
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val maxTs = eventsBatch.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    val horizon = maxTs.getTime - 60000L
+    val batchAll = all.map(t => (t._1, t._3, t._4, t._5, t._6)).toSet
+    val mustEmit = all.filter(_._2.getTime <= horizon).map(t => (t._1, t._3, t._4, t._5, t._6)).toSet
+    assert(got.subsetOf(batchAll), s"streaming emitted keyed pairs absent from batch: ${got -- batchAll}")
+    assert(mustEmit.subsetOf(got),
+      s"keyed pairs provably closed by the watermark did not emit: ${mustEmit -- got}")
+    // the key must actually split the pairing: at least two distinct segs emitted
+    assert(got.map(_._3).size >= 2, s"expected multiple segments, got ${got.map(_._3)}")
+  }
 }
