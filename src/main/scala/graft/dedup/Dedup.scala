@@ -668,4 +668,81 @@ object Dedup {
         roundp(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 4)
           .as("jaccard"))
   }
+
+  /** Robust winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every `gram`-token shingle, then
+    * in each sliding window of `window` consecutive shingle hashes select
+    * the minimum (RIGHTMOST position on ties — the "robust" rule, which
+    * makes the selected set a function of local content only). Guarantees:
+    * any shared run of ≥ window+gram−1 tokens between two documents yields
+    * at least one shared selected fingerprint, while only ~2/(window+1) of
+    * positions are kept — the standard density/guarantee trade plagiarism
+    * and near-dup detectors use to shrink the fingerprint index ~w-fold
+    * before any join.
+    *
+    * Returns struct(n_fp, digest): the count of selected positions and an
+    * order-independent digest (sum of selected hashes mod 1e9+7). Pure
+    * column expressions over the [[graft.functions.PortableHash]] family —
+    * O(tokens·window) per document fused into the scan, no shuffle, no
+    * UDF, and bit-for-bit replayable by a SQL oracle (unlike the xxhash64
+    * production kernels). A full index variant would explode the selected
+    * (hash, doc) pairs and bucket-join on hash — same downstream shape as
+    * [[minhashLshCandidates]]. */
+  /** The shingle-hash array winnowing selects over: polyhash of every
+    * `gram`-token shingle. MATERIALIZE this with `.withColumn` before
+    * passing it to [[winnowFromHashes]] — expression evaluation has no
+    * common-subexpression elimination across higher-order-function
+    * lambdas, so an inline (non-attribute) hash array would be recomputed
+    * for every window element: O(m²) per document instead of O(m). */
+  def gramPolyHashes(text: Column, gram: Int): Column = {
+    require(gram >= 1, s"shingle size must be >= 1 token (got $gram)")
+    val toks = TextAnalysis.tokens(text)
+    val gramArr = when(size(toks) < gram, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - gram),
+        i => concat_ws(" ", slice(toks, i + 1, lit(gram)))))
+    transform(gramArr, g => graft.functions.PortableHash.polyHash(g))
+  }
+
+  /** Robust winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    * — the MOSS fingerprinting algorithm) over an ALREADY-MATERIALIZED
+    * hash array (see [[gramPolyHashes]]): in each sliding window of
+    * `window` consecutive hashes select the minimum, RIGHTMOST position
+    * on ties — the "robust" rule that makes the selected set a function
+    * of local content only. Guarantees: any shared token run of length ≥
+    * window+gram−1 between two documents yields a shared selected
+    * fingerprint, while only ~2/(window+1) of positions are kept — the
+    * density/guarantee trade that shrinks a near-dup fingerprint index
+    * ~window-fold before any join. Returns struct(n_fp, digest): the
+    * count of selected
+    * positions and an order-independent digest (sum of selected hashes
+    * mod 1e9+7). O(m·window²) column arithmetic per document, fused into
+    * the scan — no shuffle, no UDF. */
+  def winnowFromHashes(gh: Column, window: Int): Column = {
+    val M = 1000000007L
+    val m = size(gh)
+    val sel = winnowSelectedPositions(gh, window)
+    val digest = pmod(aggregate(sel, lit(0L),
+      (acc, p) => pmod(acc + element_at(gh, p), lit(M))), lit(M))
+    when(m <= 0, struct(lit(0).as("n_fp"), lit(0L).as("digest")))
+      .otherwise(struct(size(sel).as("n_fp"), digest.as("digest")))
+  }
+
+  /** The distinct 1-based positions robust winnowing selects from a
+    * MATERIALIZED hash array — the index-building primitive (explode
+    * (doc, gh[p]) pairs and bucket-join on the hash for the full MOSS
+    * match path). Empty input yields a null/any result guarded by callers
+    * ([[winnowFromHashes]] gates on size ≤ 0). */
+  def winnowSelectedPositions(gh: Column, window: Int): Column = {
+    require(window >= 1, s"winnow window must be >= 1 (got $window)")
+    val m = size(gh)
+    // window starts 1..max(m-window+1, 1); a short doc (m < window) is one
+    // truncated window — its minimum is still selected
+    val starts = sequence(lit(1), greatest(m - (window - 1), lit(1)))
+    array_distinct(transform(starts, j => {
+      val wEnd = least(j + (window - 1), m)
+      val minv = array_min(slice(gh, j, wEnd - j + 1))
+      // rightmost minimal position in the window (robust winnowing)
+      array_max(filter(sequence(j, wEnd), i => element_at(gh, i) === minv))
+    }))
+  }
 }

@@ -330,6 +330,21 @@ object TextQueries {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingPrefixFingerprint(col("text"), maxTokens = 64).as("fp"))),
 
+    // Robust winnowing (MOSS, Schleimer et al. SIGMOD'03): per-document
+    // selected-fingerprint count and order-independent digest over
+    // 3-token shingles in windows of 4 — the density-guaranteed
+    // fingerprint selection that shrinks a near-dup index ~w-fold before
+    // any join (Dedup.winnowFingerprints). Portable-hash family, so the
+    // oracle replays selection position for position.
+    // the hash array MUST be a materialized column before the selection
+    // pass — HOF lambdas have no cross-reference CSE, so an inline array
+    // would recompute every gram hash per window element (O(m²) per doc)
+    "q_winnowing" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("gh", Dedup.gramPolyHashes(col("text"), gram = 3))
+        .withColumn("w", Dedup.winnowFromHashes(col("gh"), window = 4))
+        .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.digest").as("digest"))),
+
     // Per-group top-k through the map-side-combinable aggregator
     // (functions.TopKByScoreAgg): partial state is <= k pairs per group
     // per task, so the shuffle moves k-sized combiners, not every row —
@@ -445,6 +460,36 @@ object TextQueries {
           coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
         .filter(col("cum_before") < budget)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+    }),
+
+    // Temperature-weighted mixture quotas — the multilingual/multi-source
+    // sampling rule (XLM-R, mBERT: source weight ∝ n^α with α=1/2 damping
+    // the big sources so small ones aren't drowned): quota_i =
+    // T·⌊√n_i⌋ div Σ⌊√n⌋ docs from each source, taken in the
+    // deterministic Lehmer shuffle order. All arithmetic is INTEGER
+    // (isqrt = floor of the IEEE-correctly-rounded sqrt; integer div), so
+    // the kept set is engine-exact with no FP boundary to flip. The
+    // per-source counts are a |sources|-row collect (the Ivf-centroid
+    // class — a handful of rows, never corpus-sized); the per-doc rank is
+    // a KEYED window on source, one hash exchange at any scale.
+    "q_mixture_temperature" -> ((s, dir) => {
+      import s.implicits._
+      val T = 400L
+      val cRows = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_source"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val wgts = cRows.map { case (src, n) => (src, n, math.sqrt(n.toDouble).toLong) }
+      val tw = wgts.map(_._3).sum
+      val qdf = wgts.toSeq.map { case (src, n, wg) => (src, n, T * wg / tw) }
+        .toDF("source", "n_source", "quota")
+      val skey = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("skey"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("source"), skey.as("skey"))
+        .withColumn("rk", row_number().over(w))
+        .join(broadcast(qdf), "source")
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("n_source"), col("quota"), col("rk"))
     }),
 
     // Deterministic sharded training-order shuffle: a Lehmer permutation
@@ -999,6 +1044,45 @@ object TextQueries {
          |FROM d""".stripMargin
     },
 
+    // the same winnowing replayed list-for-list: 3-gram polyhashes, each
+    // window-of-4's rightmost minimal position, distinct positions summed
+    "q_winnowing" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) < 3 THEN []
+         |              ELSE list_transform(range(1, len(t) - 1),
+         |                   i -> array_to_string(t[i:i+2], ' ')) END AS grams
+         |  FROM toks),
+         |h AS (
+         |  SELECT doc_id, len(grams) AS m,
+         |         list_transform(grams, s ->
+         |           CASE WHEN length(s) = 0 THEN 0
+         |                ELSE CAST(list_sum(list_transform(
+         |                       range(1, least(length(s), 48) + 1),
+         |                       c -> CAST(ord(substr(s, CAST(c AS INT), 1)) AS BIGINT)
+         |                            * ([$pow31])[CAST(c AS INT)]))
+         |                     % 2147483647 AS BIGINT) END) AS gh
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id, m, gh,
+         |         CASE WHEN m <= 0 THEN []
+         |              ELSE list_distinct(list_transform(range(1, greatest(m - 3, 1) + 1),
+         |                j -> list_max(list_filter(range(j, least(j + 3, m) + 1),
+         |                       i -> gh[CAST(i AS INT)]
+         |                            = list_min(gh[CAST(j AS INT):CAST(least(j + 3, m) AS INT)])))))
+         |              END AS ps
+         |  FROM h)
+         |SELECT doc_id,
+         |       CAST(CASE WHEN m <= 0 THEN 0 ELSE len(ps) END AS INT) AS n_fp,
+         |       CAST(CASE WHEN m <= 0 THEN 0
+         |                 ELSE list_sum(list_transform(ps, p -> gh[CAST(p AS INT)]))
+         |                      % 1000000007 END AS BIGINT) AS digest
+         |FROM sel""".stripMargin
+    },
+
     // the row_number formulation of the same top-3: identical quality
     // arithmetic to q_quality, ranked per lang with the standard tiebreak
     "q_topk_agg" ->
@@ -1143,6 +1227,25 @@ object TextQueries {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_before
          |FROM c WHERE cum_before < 600""".stripMargin,
+
+    // integer-exact replay: isqrt weights, integer-div quotas, the same
+    // Lehmer rank per source
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_source,
+        |             CAST(floor(sqrt(n_source)) AS BIGINT) AS wgt FROM c),
+        |t AS (SELECT sum(wgt) AS tw FROM w),
+        |q AS (SELECT source, n_source,
+        |             CAST((400 * wgt) // tw AS BIGINT) AS quota FROM w, t),
+        |r AS (SELECT doc_id, source,
+        |             ((doc_id % 2147483647) * 48271) % 2147483647 AS skey
+        |      FROM documents),
+        |rk AS (SELECT doc_id, source, skey,
+        |              row_number() OVER (PARTITION BY source
+        |                                 ORDER BY skey, doc_id) AS rk
+        |       FROM r)
+        |SELECT rk.doc_id, rk.source, q.n_source, q.quota, CAST(rk.rk AS INT) AS rk
+        |FROM rk JOIN q USING (source) WHERE rk.rk <= q.quota""".stripMargin,
 
     // Lehmer key (doc_id * 48271 mod 2^31-1), shard = key mod 16,
     // pos = rank within shard by (key, doc_id)
