@@ -745,4 +745,43 @@ object Dedup {
       array_max(filter(sequence(j, wEnd), i => element_at(gh, i) === minv))
     }))
   }
+
+  /** The MOSS match path: candidate near-dup pairs from the winnowed
+    * fingerprint index. Each document contributes only its SELECTED
+    * fingerprints (~2/(window+1) of its shingles — the ~window-fold index
+    * shrink that is winnowing's whole point vs the all-shingles join in
+    * [[ngramJaccardPairs]]); pairs sharing ≥ `minShared` fingerprints
+    * surface, with the winnowing guarantee that any shared token run of
+    * ≥ window+gram−1 tokens is caught.
+    *
+    * Scale shape: one scan computes the per-doc selection (no shuffle —
+    * gh is a materialized projection, see [[gramPolyHashes]]); the
+    * (doc, fp) index is distinct-aggregated map-side; hot boilerplate
+    * fingerprints are df-pruned (df > maxDf — a fingerprint shared by k
+    * docs fans out to k² pair partials, same guard as every candidate
+    * builder here); the pair counts combine map-side before the one
+    * (id_a, id_b) exchange. No all-pairs join exists at any scale. */
+  def winnowCandidatePairs(df: DataFrame, id: Column, text: Column,
+                           gram: Int = 3, window: Int = 4,
+                           maxDf: Int = 10, minShared: Int = 2): DataFrame = {
+    require(maxDf >= 1 && minShared >= 1,
+      s"need maxDf >= 1 and minShared >= 1 (got maxDf=$maxDf, minShared=$minShared)")
+    val fps = widen(df)
+      .withColumn("gh", gramPolyHashes(text, gram))
+      .withColumn("ps", winnowSelectedPositions(col("gh"), window))
+      .select(id.as("doc_id"),
+        explode(when(size(col("gh")) <= 0, array().cast("array<bigint>"))
+          .otherwise(transform(col("ps"), p => element_at(col("gh"), p)))).as("fp"))
+      .distinct()
+    val rare = fps.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("fp"))
+    rare.select(col("doc_id").as("id_a"), col("fp"))
+      .join(rare.select(col("doc_id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -342,6 +342,39 @@ object SimilarityQueries {
         array_min(col("q")).as("min_q"),
         array_max(col("q")).as("max_q"),
         aggregate(col("q"), lit(0L), (a, x) => a + x.cast("bigint") * x).as("qnorm2"))
+    }),
+
+    // Covariance statistics for PCA over the int8-quantized codes: ONE
+    // scan accumulates the 64×64 co-moment matrix + per-dim sums + n in a
+    // single mergeable integer aggregate (functions.OuterProductAgg —
+    // O(d²) state per task, merged elementwise; the explode formulation
+    // would shuffle d²·N rows). Integer accumulation makes the result
+    // independent of partitioning, so the derived covariance is
+    // oracle-exact: cov_ij = (Σqᵢqⱼ − ΣqᵢΣqⱼ/n)/n with the identical
+    // single-IEEE-op order on both engines.
+    "q_embedding_covariance" -> ((s, dir) => {
+      val d = 64
+      val codes = Similarity.quantizeInt8(emb(s, dir), col("embedding"))
+        .select(col("q").cast("array<int>").as("q"))
+      val op = udaf(new graft.functions.OuterProductAgg(d),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      val m = codes.agg(op(col("q")).as("m"))
+      val n = element_at(col("m"), d * d + d + 1)
+      val cells = transform(sequence(lit(0), lit(d * d - 1)), k => {
+        val i = (k / d).cast("int")
+        val j = pmod(k, lit(d)).cast("int")
+        val sp = element_at(col("m"), k + 1)
+        val si = element_at(col("m"), lit(d * d) + i + 1)
+        val sj = element_at(col("m"), lit(d * d) + j + 1)
+        struct(i.as("i"), j.as("j"), sp.as("sum_prod"),
+          si.as("sum_i"), sj.as("sum_j"))
+      })
+      m.select(explode(cells).as("c"), n.as("n"))
+        .select(col("c.i"), col("c.j"), col("c.sum_prod"),
+          col("c.sum_i"), col("c.sum_j"), col("n"),
+          roundp((col("c.sum_prod").cast("double")
+            - col("c.sum_i").cast("double") * col("c.sum_j") / col("n")) / col("n"), 6)
+            .as("cov"))
     })
   )
 
@@ -883,6 +916,38 @@ object SimilarityQueries {
         |       list_min(qv) AS min_q,
         |       list_max(qv) AS max_q,
         |       CAST(list_sum(list_transform(qv, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS qnorm2
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // the co-moment matrix rebuilt by brute unnest (the oracle can afford
+    // d²·N rows); covariance derived with the identical IEEE-op order
+    "q_embedding_covariance" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS sc
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT)) AS qv
+        |  FROM s),
+        |idx AS (SELECT unnest(range(0, 64)) AS i),
+        |nn AS (SELECT count(*) AS n FROM q),
+        |sums AS (
+        |  SELECT i.i AS i, CAST(sum(CAST(qv[CAST(i.i + 1 AS INT)] AS BIGINT)) AS BIGINT) AS s
+        |  FROM q, idx i GROUP BY 1),
+        |prods AS (
+        |  SELECT i.i AS i, j.i AS j,
+        |         CAST(sum(CAST(qv[CAST(i.i + 1 AS INT)] AS BIGINT)
+        |                  * qv[CAST(j.i + 1 AS INT)]) AS BIGINT) AS sum_prod
+        |  FROM q, idx i, idx j GROUP BY 1, 2)
+        |SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, p.sum_prod,
+        |       si.s AS sum_i, sj.s AS sum_j, nn.n,
+        |       floor((CAST(p.sum_prod AS DOUBLE)
+        |              - CAST(si.s AS DOUBLE) * sj.s / nn.n) / nn.n
+        |             * 1000000.0 + 0.5) / 1000000.0 AS cov
+        |FROM prods p
+        |JOIN sums si ON p.i = si.i
+        |JOIN sums sj ON p.j = sj.i, nn""".stripMargin
   )
 }

@@ -151,6 +151,22 @@ object TextQueries {
           .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "val")
           .otherwise("test").as("split"))),
 
+    // Leakage-safe CONTENT-keyed split: the fold is a pure function of
+    // md5(text), so byte-identical duplicates can never straddle
+    // train/test (the q_split id-hash split would scatter a duplicated
+    // document across folds — the classic eval-contamination bug).
+    // 80/10/10 by the first 6 hex digits as an integer mod 100; stateless
+    // per-row arithmetic fused into the scan, no shuffle, no group join —
+    // the dedup is implicit in the key.
+    "q_split_grouped" -> ((s, dir) => {
+      val pct = (conv(substring(md5(col("text")), 1, 6), 16, 10)
+        .cast("long") % 100).cast("int")
+      docs(s, dir).select(col("doc_id"), pct.as("pct"))
+        .select(col("doc_id"), col("pct"),
+          when(col("pct") < 80, "train").when(col("pct") < 90, "val")
+            .otherwise("test").as("split"))
+    }),
+
     // Sequence packing for training: concatenate documents in a stable
     // order and cut at a token budget (contiguous greedy packing — the
     // streaming form used when assembling fixed-length training
@@ -345,6 +361,14 @@ object TextQueries {
         .withColumn("w", Dedup.winnowFromHashes(col("gh"), window = 4))
         .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.digest").as("digest"))),
 
+    // the MOSS match path over the winnowed index: near-dup candidate
+    // pairs sharing >= 2 selected fingerprints, df-pruned — the
+    // ~window-fold-smaller-index complement of q_ngram_jaccard's
+    // all-shingles join (Dedup.winnowCandidatePairs)
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowCandidatePairs(docs(s, dir), col("doc_id"), col("text"),
+        gram = 3, window = 4, maxDf = 10, minShared = 2)),
+
     // Per-group top-k through the map-side-combinable aggregator
     // (functions.TopKByScoreAgg): partial state is <= k pairs per group
     // per task, so the shuffle moves k-sized combiners, not every row —
@@ -523,6 +547,26 @@ object TextQueries {
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
           size(col("c.toks")).as("n_tokens"),
           md5(array_join(col("c.toks"), " ")).as("chunk_md5"))),
+
+    // CHUNK-level dedup — boilerplate detection at training-window
+    // granularity (document dedup misses a duplicated passage inside
+    // otherwise-distinct docs; this is the q_span_dedup signal at the
+    // granularity the packer actually emits): non-overlapping 64-token
+    // chunks, content-hashed, groups with >1 occurrence reported with the
+    // canonical keeper. One explode + one map-side-combined hash
+    // aggregate — exactly the exact-dedup plan, applied post-chunking.
+    "q_chunk_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokenChunks(col("text"), window = 64, stride = 64)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          md5(array_join(col("c.toks"), " ")).as("chunk_md5"))
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(struct(col("doc_id"), col("chunk_idx"))).as("keep"))
+        .filter(col("n_copies") >= 2)
+        .select(col("chunk_md5"), col("n_copies"),
+          col("keep.doc_id").as("keeper_doc"), col("keep.chunk_idx").as("keeper_chunk"))),
 
     // PII redaction: the corpus carries no PII (word-salad synthetic), so
     // a deterministic fake email + phone is appended per document, then
@@ -813,6 +857,19 @@ object TextQueries {
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin,
 
+    // identical content-hash arithmetic: '0x'-prefixed hex cast = Spark's
+    // conv(_, 16, 10)
+    "q_split_grouped" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(CAST('0x' || substr(md5(text), 1, 6) AS BIGINT) % 100 AS INT) AS pct
+        |  FROM documents)
+        |SELECT doc_id, pct,
+        |       CASE WHEN pct < 80 THEN 'train'
+        |            WHEN pct < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM p""".stripMargin,
+
     "q_pack" ->
       s"""SELECT doc_id, source, CAST(len($Toks) AS INT) AS n_tokens,
          |       CAST(COALESCE(sum(CAST(len($Toks) AS INT)) OVER (
@@ -1083,6 +1140,46 @@ object TextQueries {
          |FROM sel""".stripMargin
     },
 
+    // the winnowed index replayed, then the same df-prune and pair count
+    "q_winnow_pairs" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) < 3 THEN []
+         |              ELSE list_transform(range(1, len(t) - 1),
+         |                   i -> array_to_string(t[i:i+2], ' ')) END AS grams
+         |  FROM toks),
+         |h AS (
+         |  SELECT doc_id, len(grams) AS m,
+         |         list_transform(grams, s ->
+         |           CASE WHEN length(s) = 0 THEN 0
+         |                ELSE CAST(list_sum(list_transform(
+         |                       range(1, least(length(s), 48) + 1),
+         |                       c -> CAST(ord(substr(s, CAST(c AS INT), 1)) AS BIGINT)
+         |                            * ([$pow31])[CAST(c AS INT)]))
+         |                     % 2147483647 AS BIGINT) END) AS gh
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id, m, gh,
+         |         CASE WHEN m <= 0 THEN []
+         |              ELSE list_distinct(list_transform(range(1, greatest(m - 3, 1) + 1),
+         |                j -> list_max(list_filter(range(j, least(j + 3, m) + 1),
+         |                       i -> gh[CAST(i AS INT)]
+         |                            = list_min(gh[CAST(j AS INT):CAST(least(j + 3, m) AS INT)])))))
+         |              END AS ps
+         |  FROM h),
+         |f AS (
+         |  SELECT DISTINCT doc_id, gh[CAST(p AS INT)] AS fp
+         |  FROM (SELECT doc_id, gh, unnest(ps) AS p FROM sel)),
+         |d AS (SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM f),
+         |r AS (SELECT doc_id, fp FROM d WHERE df <= 10)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM r a JOIN r b USING (fp) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
+
     // the row_number formulation of the same top-3: identical quality
     // arithmetic to q_quality, ranked per lang with the standard tiebreak
     "q_topk_agg" ->
@@ -1272,6 +1369,29 @@ object TextQueries {
          |         t[CAST(k * 48 + 1 AS INT):CAST(least(k * 48 + 64, n) AS INT)],
          |         ' ')) AS chunk_md5
          |FROM c""".stripMargin,
+
+    // same non-overlapping chunking, grouped by content hash; the keeper
+    // (Spark's lexicographic min(struct)) is the rank-1 row by
+    // (doc_id, chunk_idx)
+    "q_chunk_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS t FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, t, n,
+         |             unnest(range(0, CAST(ceil(n / 64.0) AS INT))) AS k
+         |      FROM d),
+         |h AS (SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+         |             md5(array_to_string(
+         |               t[CAST(k * 64 + 1 AS INT):CAST(least(k * 64 + 64, n) AS INT)],
+         |               ' ')) AS chunk_md5
+         |      FROM c),
+         |r AS (SELECT chunk_md5, doc_id, chunk_idx,
+         |             count(*) OVER (PARTITION BY chunk_md5) AS n_copies,
+         |             row_number() OVER (PARTITION BY chunk_md5
+         |                                ORDER BY doc_id, chunk_idx) AS rn
+         |      FROM h)
+         |SELECT chunk_md5, CAST(n_copies AS BIGINT) AS n_copies,
+         |       doc_id AS keeper_doc, chunk_idx AS keeper_chunk
+         |FROM r WHERE rn = 1 AND n_copies >= 2""".stripMargin,
 
     // the same injected fake PII, counted and redacted through DuckDB's
     // independent (RE2) regex engine — the patterns are chosen to mean the

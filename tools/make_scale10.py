@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Build the 10x scale-step dataset (dev-side tool, like compare_oracle.py).
+
+Writes /tmp/graft_sf1/{documents,embeddings}.parquet from sf0.1:
+
+- documents: 10 DISJOINT ISOMORPHIC copies. Each copy Caesar-rotates
+  letters (a-z and A-Z by the copy index), so per-copy word/shingle
+  STATISTICS are preserved exactly while the shingle universes are
+  disjoint across copies — candidate-pair volume in the dedup family
+  scales exactly linearly, the honest 10x for near-dup plans.
+- embeddings: per-copy circular dimension rotation (orthogonal map:
+  within-copy cosine/centroid structure preserved exactly; across
+  copies the vectors decorrelate), ids offset per copy.
+
+Usage: python3 tools/make_scale10.py [sfDir] [outDir] [copies]
+"""
+import string
+import sys
+
+import duckdb
+
+
+def main(sf_dir: str, out_dir: str, copies: int) -> None:
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW docs AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    con.sql(f"CREATE VIEW embs AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    n_docs = con.sql("SELECT count(*) FROM docs").fetchone()[0]
+    id_stride = 10 ** len(str(n_docs * 10))  # decimal stride keeps ids readable
+
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    doc_parts = []
+    for c in range(copies):
+        rl = lower[c:] + lower[:c]
+        ru = upper[c:] + upper[:c]
+        # translate() with from/to alphabets = per-copy Caesar rotation
+        doc_parts.append(
+            f"SELECT doc_id + {c * id_stride} AS doc_id, "
+            f"translate(text, '{lower + upper}', '{rl + ru}') AS text, "
+            f"lang, source || '_c{c}' AS source, n_chars "
+            f"FROM docs")
+    con.sql(f"COPY ({' UNION ALL '.join(doc_parts)}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+
+    dim = con.sql("SELECT len(embedding) FROM embs LIMIT 1").fetchone()[0]
+    emb_parts = []
+    for c in range(copies):
+        rot = c % dim
+        emb_parts.append(
+            f"SELECT vec_id + {c * id_stride} AS vec_id, "
+            f"(embedding[{rot + 1}:{dim}] || embedding[1:{rot}]) AS embedding"
+            f", label FROM embs")
+    con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out_dir}: documents x{copies} (id stride {id_stride}), "
+          f"embeddings dim={dim} rotated per copy")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    import os
+    os.makedirs(out, exist_ok=True)
+    main(sf, out, k)
