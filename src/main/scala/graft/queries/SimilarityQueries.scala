@@ -375,7 +375,20 @@ object SimilarityQueries {
           roundp((col("c.sum_prod").cast("double")
             - col("c.sum_i").cast("double") * col("c.sum_j") / col("n")) / col("n"), 6)
             .as("cov"))
-    })
+    }),
+
+    // Johnson-Lindenstrauss dimensionality reduction 64→16 through the
+    // Achlioptas {−1,0,+1} sparse projection (Similarity.projectSparse):
+    // an all-INTEGER matvec over the int8 codes — no training pass, no
+    // eigensolve, row-parallel at any scale, and exact on both engines
+    // (the matrix is a frozen Lehmer function of the flat index, so the
+    // oracle re-derives it entry for entry). Exploded to (vec_id, j, y)
+    // rows so the hash compare sees scalars.
+    "q_embedding_project" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), col("embedding"))
+        .select(col("vec_id"), Similarity.projectSparse(col("q"), 16, 64).as("y"))
+        .select(col("vec_id"), posexplode(col("y")).as(Seq("j", "y")))
+        .select(col("vec_id"), col("j").cast("int").as("j"), col("y")))
   )
 
   // the portable minhash pipeline rebuilt in SQL: 3-gram string shingles,
@@ -948,6 +961,28 @@ object SimilarityQueries {
         |             * 1000000.0 + 0.5) / 1000000.0 AS cov
         |FROM prods p
         |JOIN sums si ON p.i = si.i
-        |JOIN sums sj ON p.j = sj.i, nn""".stripMargin
+        |JOIN sums sj ON p.j = sj.i, nn""".stripMargin,
+
+    // the projection matrix re-derived entry for entry from the Lehmer
+    // formula; identical integer matvec
+    "q_embedding_project" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding,
+        |                    x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS sc
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT)) AS qv
+        |  FROM s),
+        |idx AS (SELECT unnest(range(0, 16)) AS j)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |       CAST(list_sum(list_transform(range(0, 64), i ->
+        |         CAST(qv[CAST(i + 1 AS INT)] AS BIGINT)
+        |         * (CASE (j * 64 + i) * 48271 % 2147483647 % 6
+        |            WHEN 0 THEN -1 WHEN 5 THEN 1 ELSE 0 END)))
+        |            AS BIGINT) AS y
+        |FROM q, idx""".stripMargin
   )
 }

@@ -54,6 +54,44 @@ object Similarity {
         transform(emb, x => floor(x.cast("double") / col("q_scale") + 0.5).cast("int")))
   }
 
+  /** Achlioptas sparse random-projection matrix (JMLR/JCSS 2003,
+    * "Database-friendly random projections"): entries ∈ {−1, 0, +1} with
+    * probabilities {1/6, 2/3, 1/6}, which satisfies the Johnson-
+    * Lindenstrauss lemma while keeping the projection a sparse INTEGER
+    * matvec — the practical dimensionality-reduction path at corpus scale
+    * (no training pass, no eigensolve, embarrassingly row-parallel; the
+    * PCA alternative's covariance input is [[graft.functions.
+    * OuterProductAgg]]). Entries derive from the frozen Lehmer sequence
+    * ((flat index × 48271) mod P mod 6 → sign), so the matrix is a pure
+    * deterministic function of (kOut, dIn) that any engine re-derives. */
+  def achlioptasMatrix(kOut: Int, dIn: Int): Seq[Seq[Int]] = {
+    val P = graft.functions.PortableHash.P
+    Seq.tabulate(kOut, dIn) { (j, i) =>
+      ((j.toLong * dIn + i) * 48271L % P % 6L) match {
+        case 0L => -1
+        case 5L => 1
+        case _ => 0
+      }
+    }
+  }
+
+  /** Project an int-code vector column through [[achlioptasMatrix]]:
+    * y_j = Σᵢ qᵢ·m(j,i), all-integer (order-independent, oracle-exact).
+    * The matrix rides along as a literal array-of-arrays (kOut·dIn ints —
+    * bytes, constant-folded into the plan). Formulated as one `zip_with`
+    * per OUTPUT dim (not an `element_at(q, i)` per input dim): `q` is
+    * then evaluated kOut times per row instead of kOut·dIn — immune to
+    * CollapseProject inlining a singly-referenced quantization expression
+    * under the lambda (the HOF-no-CSE trap; the element_at form went
+    * quadratic and hung the sf0.1 verify). */
+  def projectSparse(q: Column, kOut: Int, dIn: Int): Column = {
+    val m = achlioptasMatrix(kOut, dIn)
+    val rows = array(m.map(r => array(r.map(lit): _*)): _*)
+    transform(rows, row =>
+      aggregate(zip_with(q, row, (a, b) => a.cast("bigint") * b),
+        lit(0L), (acc, v) => acc + v))
+  }
+
   /** Exact top-k cosine neighbors for each query vector: broadcast the query
     * set, scan the corpus once, rank per query with a deterministic
     * tiebreak. */
