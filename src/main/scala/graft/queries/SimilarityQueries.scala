@@ -7,7 +7,7 @@ import graft.operators.Relational.roundp
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Pca, Similarity}
 import graft.text.TextAnalysis
 
 /** Similarity search over `embeddings` (vec_id, embedding array<float>,
@@ -388,7 +388,22 @@ object SimilarityQueries {
       Similarity.quantizeInt8(emb(s, dir), col("embedding"))
         .select(col("vec_id"), Similarity.projectSparse(col("q"), 16, 64).as("y"))
         .select(col("vec_id"), posexplode(col("y")).as(Seq("j", "y")))
-        .select(col("vec_id"), col("j").cast("int").as("j"), col("y")))
+        .select(col("vec_id"), col("j").cast("int").as("j"), col("y"))),
+
+    // PCA top component by ALL-INTEGER power iteration (similarity.Pca)
+    // — the third training loop fully under the oracle (trained BPE,
+    // Lloyd k-means, now the eigensolve): distributed O(d²)-state
+    // co-moment aggregate, 12 driver-side integer iterations (the d×d
+    // solve is corpus-size-independent), distributed integer principal
+    // scores. The oracle replays the ENTIRE optimization as 12 unrolled
+    // matvec+renormalize CTE rounds over (i, val) rows — integer sums,
+    // so no FP accumulation order exists to diverge.
+    "q_pca_power" -> ((s, dir) =>
+      Pca.principalScores(
+        Similarity.quantizeInt8(emb(s, dir), col("embedding"))
+          .select(col("vec_id"), col("q")),
+        col("q"), d = 64, iters = 12)
+        .select(col("vec_id"), col("score")))
   )
 
   // the portable minhash pipeline rebuilt in SQL: 3-gram string shingles,
@@ -983,6 +998,54 @@ object SimilarityQueries {
         |         * (CASE (j * 64 + i) * 48271 % 2147483647 % 6
         |            WHEN 0 THEN -1 WHEN 5 THEN 1 ELSE 0 END)))
         |            AS BIGINT) AS y
-        |FROM q, idx""".stripMargin
+        |FROM q, idx""".stripMargin,
+
+    // the whole power iteration unrolled: quantize → integer scatter
+    // matrix n·Σqq − SS → 12 (matvec, max|u|, renormalize) CTE rounds
+    // over (i, val) rows → integer principal scores. Sign-split floor
+    // division matches the Scala driver loop exactly.
+    "q_pca_power" -> {
+      val rounds = (1 to 12).map { t =>
+        s"""u$t AS MATERIALIZED (
+           |  SELECT m.i AS i, CAST(sum(m.mij * v${t - 1}.val) AS BIGINT) AS val
+           |  FROM m JOIN v${t - 1} ON m.j = v${t - 1}.i GROUP BY 1),
+           |x$t AS (SELECT max(abs(val)) AS mx FROM u$t),
+           |v$t AS MATERIALIZED (
+           |  SELECT i, CAST(CASE WHEN mx = 0 THEN val
+           |                      WHEN val < 0 THEN -((-val) * 1000 // mx)
+           |                      ELSE (val * 1000 // mx) END AS BIGINT) AS val
+           |  FROM u$t, x$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |         greatest(list_max(list_transform(embedding,
+         |                    x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS sc
+         |  FROM embeddings),
+         |q AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS INT)) AS qv
+         |  FROM s),
+         |idx AS (SELECT unnest(range(0, 64)) AS i),
+         |nn AS (SELECT count(*) AS n FROM q),
+         |sums AS MATERIALIZED (
+         |  SELECT i.i AS i, CAST(sum(CAST(qv[CAST(i.i + 1 AS INT)] AS BIGINT)) AS BIGINT) AS s
+         |  FROM q, idx i GROUP BY 1),
+         |prods AS MATERIALIZED (
+         |  SELECT i.i AS i, j.i AS j,
+         |         CAST(sum(CAST(qv[CAST(i.i + 1 AS INT)] AS BIGINT)
+         |                  * qv[CAST(j.i + 1 AS INT)]) AS BIGINT) AS sp
+         |  FROM q, idx i, idx j GROUP BY 1, 2),
+         |m AS MATERIALIZED (
+         |  SELECT p.i, p.j, CAST(nn.n * p.sp - si.s * sj.s AS BIGINT) AS mij
+         |  FROM prods p
+         |  JOIN sums si ON p.i = si.i
+         |  JOIN sums sj ON p.j = sj.i, nn),
+         |v0 AS (SELECT i.i AS i, CAST(1000 AS BIGINT) AS val FROM idx i),
+         |$rounds
+         |SELECT q.vec_id,
+         |       CAST(sum(CAST(qv[CAST(v.i + 1 AS INT)] AS BIGINT) * v.val) AS BIGINT) AS score
+         |FROM q, v12 v GROUP BY 1""".stripMargin
+    }
   )
 }
