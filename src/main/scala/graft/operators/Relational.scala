@@ -147,6 +147,36 @@ object Relational {
         "window")
   }
 
+  /** N-stage ordered funnel: per `key`, stage i's entry time is the
+    * MINIMUM event time among events matching `stages(i)` strictly AFTER
+    * that key's stage-(i−1) entry time (stage 0 is unconditioned) — the
+    * classic product-analytics sequence operator, a `streamFilterAcc`
+    * whose accumulator is the per-stage entry times (reference
+    * `docs/Operators.md:60-80`'s accumulating filter, keyed). Returns one
+    * row per key with columns `m1..mN` (null from the first unreached
+    * stage on).
+    *
+    * Scale shape: the chained per-key window minimums share ONE partition
+    * spec, so Spark plans a single hash Exchange on `key` followed by N
+    * in-partition Window passes (no per-stage re-shuffle — asserted by
+    * FunnelSpec), then a per-key reduction that combines map-side.
+    * Per-key event counts are bounded in any real funnel, so the window
+    * partitions stay small at any corpus size. */
+  def funnelStages(df: DataFrame, key: Column, time: Column, stageOf: Column,
+                   stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
+    val w = Window.partitionBy(key)
+    val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
+      val cond =
+        if (i == 0) stageOf === stage
+        else stageOf === stage && time > col(s"m$i")
+      acc.withColumn(s"m${i + 1}", min(when(cond, time)).over(w))
+    }
+    staged.groupBy(key)
+      .agg(min(col("m1")).as("m1"),
+        stages.indices.tail.map(i => min(col(s"m${i + 1}")).as(s"m${i + 1}")): _*)
+  }
+
   /** Exact top-k rows per group by an ordering, with a deterministic
     * tiebreak — the reference's per-window `topk` (frequency ranking,
     * `examples/taxi/Taxi.hs:160-169`). `row_number` (not `rank`) so exactly

@@ -55,6 +55,28 @@ object ExtraQueries {
       graft.operators.Profile.numericProfile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // Ordered 3-stage funnel (view → click → purchase) — the classic
+    // product-analytics operator over an event stream: a user advances to
+    // a stage only via an event strictly AFTER their previous stage's
+    // first event. ONE hash-partition by user_id serves all three chained
+    // per-user window minimums (identical partition spec — Spark plans a
+    // single Exchange; per-user event counts are bounded, the standard
+    // funnel assumption), then a per-user reduction and one tiny global
+    // rollup: per-stage user counts plus the mean view→purchase seconds
+    // for converters, kept engine-exact with all-integer epoch sums and
+    // integer division.
+    "q_funnel" -> ((s, dir) => {
+      graft.operators.Relational.funnelStages(Tables.events(s, dir),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("m1")).as("n_view"),
+          count(col("m2")).as("n_click"),
+          count(col("m3")).as("n_purchase"),
+          expr("sum(unix_seconds(m3) - unix_seconds(m1)) div count(m3)")
+            .as("convert_secs_avg"))
+    }),
+
     // Semi-structured payloads: the events table's JSON `props` column
     // parsed with a typed schema (from_json stays inside codegen — no
     // UDF) and aggregated. The shape every telemetry pipeline has: typed
@@ -80,6 +102,32 @@ object ExtraQueries {
        |FROM lineitem""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same chained-window formulation: each stage's first-event time
+    // is a per-user window MIN over a predicate referencing the previous
+    // stage; integer epoch-second sums + integer division keep the mean
+    // engine-exact
+    "q_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS m1
+        |  FROM events),
+        |y AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > m1 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS m2
+        |  FROM x),
+        |z AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > m2 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS m3
+        |  FROM y),
+        |u AS (SELECT user_id, min(m1) AS m1, min(m2) AS m2, min(m3) AS m3
+        |      FROM z GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(m1) AS n_view, count(m2) AS n_click,
+        |       count(m3) AS n_purchase,
+        |       CAST(sum(date_diff('second', m1, m3)) // count(m3) AS BIGINT)
+        |         AS convert_secs_avg
+        |FROM u""".stripMargin,
+
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(profileBranch).mkString("\nUNION ALL\n"),

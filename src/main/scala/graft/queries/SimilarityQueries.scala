@@ -329,6 +329,23 @@ object SimilarityQueries {
       Similarity.quantizedKnn(e, e.filter(col("vec_id") < 10), k = 5, shortlist = 20)
     }),
 
+    // Product-quantization ADC search (similarity.Pq — Jégou TPAMI'11):
+    // the corpus encoded ONCE to 4 codes of 3 bits (4 seed-point
+    // sub-codebooks over 16-dim slices, the NearestCell kernel per
+    // subspace), then ranked per query ENTIRELY in the compressed domain
+    // — a 10×4×8-entry exact-subdistance LUT folded into the expression,
+    // approximate distance = 4 table lookups summed in fixed order. The
+    // compressed-scan tier between q_knn_quantized (int8 + exact rerank)
+    // and q_knn_ivf (cell pruning); at 100 TB the persisted codes table
+    // is ~128× smaller than the vectors, which is the scan that
+    // dominates ANN cost. Every code, LUT entry (6dp-rounded), and rank
+    // is replayed value-for-value by the oracle.
+    "q_knn_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cbs = graft.similarity.Pq.seedCodebooks(e, "vec_id", "embedding", m = 4, ksub = 8)
+      graft.similarity.Pq.adcKnn(e, e.filter(col("vec_id") < 10), cbs, k = 5)
+    }),
+
     // Int8 embedding quantization (the 4× ANN-corpus compression): per
     // vector the scale and the full integer code statistics, all
     // reproduced bit-for-bit by the DuckDB oracle from the same double
@@ -923,6 +940,53 @@ object SimilarityQueries {
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
         |  FROM rer)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the PQ pipeline replayed end to end: per-subspace seed codebooks
+    // (vec_id < 8 sliced 16-wide), code assignment = squared-L2 argmin
+    // with lowest-code tiebreak (the NearestCell contract), LUT entries
+    // floor-rounded at 6dp, adc = the four lookups summed left-to-right
+    "q_knn_pq" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS j, CAST(mm.m AS INT) AS m,
+        |         list_transform(embedding[CAST(mm.m*16+1 AS INT) : CAST(mm.m*16+16 AS INT)],
+        |                        x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings, range(0, 4) mm(m) WHERE vec_id < 8),
+        |codes AS (
+        |  SELECT vec_id AS n_id, m, j AS code FROM (
+        |    SELECT e.vec_id, cb.m, cb.j,
+        |           row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
+        |                    * (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)]))),
+        |             cb.j) AS rnk
+        |    FROM embeddings e, cb) WHERE rnk = 1),
+        |cw AS (
+        |  SELECT n_id,
+        |         max(CASE WHEN m = 0 THEN code END) AS c0,
+        |         max(CASE WHEN m = 1 THEN code END) AS c1,
+        |         max(CASE WHEN m = 2 THEN code END) AS c2,
+        |         max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY n_id),
+        |lut AS (
+        |  SELECT q.vec_id AS q_id, cb.m, cb.j,
+        |         floor(list_sum(list_transform(range(1, 17),
+        |           i -> (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
+        |                * (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])))
+        |           * 1000000 + 0.5) / 1000000 AS d2
+        |  FROM embeddings q, cb WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT l0.q_id, cw.n_id, l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+        |  FROM cw
+        |  JOIN lut l0 ON l0.m = 0 AND l0.j = cw.c0
+        |  JOIN lut l1 ON l1.m = 1 AND l1.j = cw.c1 AND l1.q_id = l0.q_id
+        |  JOIN lut l2 ON l2.m = 2 AND l2.j = cw.c2 AND l2.q_id = l0.q_id
+        |  JOIN lut l3 ON l3.m = 3 AND l3.j = cw.c3 AND l3.q_id = l0.q_id
+        |  WHERE cw.n_id <> l0.q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, adc,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank
+        |  FROM adc)
+        |SELECT q_id, n_id, adc, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     // identical double arithmetic to the Spark side: scale = max|x|/127
     // (floored at 1e-12), q_i = floor(x/scale + 0.5) — every int agrees

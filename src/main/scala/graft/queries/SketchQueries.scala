@@ -120,6 +120,52 @@ object SketchQueries {
         .select(col("word"), col("n"), col("total"),
           (col("mg_est") <= col("n") &&
             col("n") - col("mg_est") <= col("total") / (k + 1)).as("mg_ok"))
+    }),
+
+    // STREAMING Misra-Gries — the same summary built INCREMENTALLY: the
+    // corpus replayed as 4 doc_id-contiguous micro-batches
+    // (Tables.streamDocsChunked), the k=200 MG summary living as
+    // streaming-aggregation state (complete mode — O(k) state TOTAL, the
+    // whole point of the sketch) merged batch by batch by Spark's partial
+    // aggregation. Each trigger the sink replays the exact verify pass
+    // against the static corpus and overwrites the result, so the
+    // surviving artifact is the final batch's — the full corpus — and
+    // must hash-equal the batch q_frequent_words above-threshold set:
+    // the MG merge rule (Agarwal et al., PODS'12) keeps candidate
+    // containment and the total/(k+1) deficit bound under ANY merge
+    // order, including this incremental one.
+    "q_streaming_frequent" -> ((s, dir) => {
+      val k = 200
+      def toWords(df: DataFrame): DataFrame = df
+        .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("w0"))
+        .select(lower(col("w0")).as("word"))
+      val mg = udaf(new graft.functions.MisraGriesAgg(k),
+        org.apache.spark.sql.Encoders.STRING)
+      val summary = toWords(Tables.streamDocsChunked(s, dir))
+        .agg(mg(col("word")).as("mg"), count(lit(1)).as("total"))
+      val exact = toWords(Tables.documents(s, dir))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val tmp = graft.core.TempDirs.create("graft_stream_freq_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        summary.writeStream.outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val sm = b.select(col("total"),
+              explode(col("mg")).as(Seq("word", "mg_est")))
+            exact.join(broadcast(sm), "word")
+              .filter(col("n") > col("total") / (k + 1))
+              .select(col("word"), col("n"), col("total"),
+                (col("mg_est") <= col("n") &&
+                  col("n") - col("mg_est") <= col("total") / (k + 1)).as("mg_ok"))
+              .write.mode("overwrite").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
     })
   )
 
@@ -165,6 +211,17 @@ object SketchQueries {
     // the Spark side provably emits the same rows); the MG bound lands as
     // an asserted boolean, the sketch counters stay Spark-side
     "q_frequent_words" ->
+      """WITH w AS (
+        |  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+        |  FROM documents),
+        |t AS (SELECT count(*) AS total FROM w),
+        |c AS (SELECT word, count(*) AS n FROM w GROUP BY 1)
+        |SELECT word, n, total, TRUE AS mg_ok
+        |FROM c, t WHERE n > total / 201.0""".stripMargin,
+
+    // the incremental build must converge to the SAME above-threshold set
+    // as the batch pass — the oracle is identical by construction
+    "q_streaming_frequent" ->
       """WITH w AS (
         |  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
         |  FROM documents),

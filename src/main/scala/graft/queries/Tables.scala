@@ -122,6 +122,45 @@ object Tables {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
+  private val docsChunkedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** The documents table split into (at most) `nChunks` doc_id-contiguous
+    * parquet files with strictly increasing mtimes, replayed with
+    * `maxFilesPerTrigger=1` — the corpus arriving incrementally, as a
+    * crawl or ingest feed would deliver it. The documents analog of
+    * [[streamEventsChunked]] (same mtime-ordering and caching contract),
+    * used by gates that must prove a summary/state merges correctly
+    * across micro-batch increments rather than in one big batch. */
+  def streamDocsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    val (dir, schema) = docsChunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
+      val docs = table(spark, sfDir, "documents")
+      val cuts = docs.stat
+        .approxQuantile("doc_id", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+        .map(_.toLong).distinct.sorted
+      val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+      val d = graft.core.TempDirs.create("graft_docs_chunks_")
+      val base = System.currentTimeMillis() - 3600000L
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val sub = graft.core.TempDirs.create("graft_chunk_build_")
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+        val part = java.nio.file.Files.list(sub).iterator().asScala
+          .find { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }
+          .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
+        val target = d.resolve(f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+      }
+      (d.toString, docs.schema)
+    })
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "customer")

@@ -68,4 +68,19 @@ class SketchesSpec extends SparkSuite {
     assert(plan.contains("partial_approx_count_distinct") ||
       plan.toLowerCase.contains("partial"), s"no map-side combine:\n$plan")
   }
+
+  test("streaming MG over chunked micro-batches equals the batch above-threshold set") {
+    // sf0.001 so the replay is cheap; the gate's complete-mode state must
+    // merge the k=200 summary across 4 separate doc_id micro-batches and
+    // still emit EXACTLY the batch pipeline's rows (containment under
+    // arbitrary merge order — the PODS'12 MG merge guarantee)
+    val dir = "/root/testdata/sf0.001"
+    val streaming = SketchQueries.queries("q_streaming_frequent")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    val batch = SketchQueries.queries("q_frequent_words")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).sorted
+    assert(streaming.nonEmpty)
+    assert(streaming.toSeq == batch.toSeq)
+    assert(streaming.forall(_._4), "MG deficit bound violated")
+  }
 }
