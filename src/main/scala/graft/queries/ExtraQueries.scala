@@ -77,6 +77,34 @@ object ExtraQueries {
             .as("convert_secs_avg"))
     }),
 
+    // Cohort retention — the second classic event-analytics operator
+    // (funnel's sibling): users grouped by their signup day (epoch-day of
+    // the first 'signup' event), and for each (cohort, day-offset) the
+    // count of cohort members active that day. Scale shape: one distinct
+    // (user, day) projection and one per-user min — both single shuffles
+    // on user_id, co-keyed with their join — feeding a matrix aggregate
+    // whose cardinality is days², corpus-size-independent. The activity
+    // set is already distinct per (user, day), so the matrix cell is a
+    // plain count — no count-distinct expand. All-integer epoch-day
+    // arithmetic; the retained fraction is one IEEE divide + roundp, so
+    // every cell is engine-exact.
+    "q_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("d", expr("unix_micros(ts) div 86400000000"))
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("d")).as("cd"))
+      val active = ev.select(col("user_id"), col("d")).distinct()
+      val cells = active.join(cohort, "user_id")
+        .filter(col("d") >= col("cd"))
+        .groupBy(col("cd"), (col("d") - col("cd")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cohort.groupBy(col("cd")).agg(count(lit(1)).as("n_cohort"))
+      cells.join(sizes, "cd")
+        .select(col("cd").as("cohort_day"), col("day_offset"),
+          col("n_active"), col("n_cohort"),
+          roundp(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+    }),
+
     // Semi-structured payloads: the events table's JSON `props` column
     // parsed with a typed schema (from_json stays inside codegen — no
     // UDF) and aggregated. The shape every telemetry pipeline has: typed
@@ -127,6 +155,26 @@ object ExtraQueries {
         |       CAST(sum(date_diff('second', m1, m3)) // count(m3) AS BIGINT)
         |         AS convert_secs_avg
         |FROM u""".stripMargin,
+
+    // same integer epoch-day arithmetic; activity is DISTINCT (user, day)
+    // so matrix cells are plain counts; one IEEE divide + floor-round
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS d
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(d) AS cd FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, d FROM ev),
+        |cells AS (
+        |  SELECT c.cd, a.d - c.cd AS day_offset, count(*) AS n_active
+        |  FROM active a JOIN cohort c USING (user_id)
+        |  WHERE a.d >= c.cd GROUP BY 1, 2),
+        |sizes AS (SELECT cd, count(*) AS n_cohort FROM cohort GROUP BY cd)
+        |SELECT m.cd AS cohort_day, m.day_offset, m.n_active, s.n_cohort,
+        |       floor(CAST(m.n_active AS DOUBLE) / s.n_cohort * 1000000 + 0.5) / 1000000
+        |         AS retention
+        |FROM cells m JOIN sizes s USING (cd)""".stripMargin,
 
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -346,6 +346,21 @@ object SimilarityQueries {
       graft.similarity.Pq.adcKnn(e, e.filter(col("vec_id") < 10), cbs, k = 5)
     }),
 
+    // IVF-PQ — the two pruning levers COMPOSED (FAISS IndexIVFPQ, the
+    // production 100 TB ANN): the seed-point coarse index bounds WHICH
+    // rows a query touches (nprobe=2 of 8 cells) and PQ codes bound WHAT
+    // each touched row costs (4 LUT lookups, no float vector). Corpus
+    // side is one map pass (cell + 4 codes) persisted bucketed by cell;
+    // probe side is a queries×nprobe broadcast. Non-residual codes keep
+    // cells, codes, LUT entries, and ranks all oracle-replayable.
+    "q_knn_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = graft.similarity.Ivf.seedCentroids(e, "vec_id", "embedding", 8)
+      val cbs = graft.similarity.Pq.seedCodebooks(e, "vec_id", "embedding", m = 4, ksub = 8)
+      graft.similarity.Pq.ivfpqKnn(e, e.filter(col("vec_id") < 10), centroids, cbs,
+        k = 5, nprobe = 2)
+    }),
+
     // Int8 embedding quantization (the 4× ANN-corpus compression): per
     // vector the scale and the full integer code statistics, all
     // reproduced bit-for-bit by the DuckDB oracle from the same double
@@ -982,6 +997,71 @@ object SimilarityQueries {
         |  JOIN lut l2 ON l2.m = 2 AND l2.j = cw.c2 AND l2.q_id = l0.q_id
         |  JOIN lut l3 ON l3.m = 3 AND l3.j = cw.c3 AND l3.q_id = l0.q_id
         |  WHERE cw.n_id <> l0.q_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, adc,
+        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank
+        |  FROM adc)
+        |SELECT q_id, n_id, adc, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the IVF probe CTEs (full-width seed centroids, squared-L2 argmin,
+    // nprobe=2) composed with the PQ CTEs (sub-codebooks, codes, 6dp LUT)
+    // — cell pruning bounds the pair set, ADC ranks it
+    "q_knn_ivfpq" ->
+      """WITH cfull AS (
+        |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |d AS (
+        |  SELECT e.vec_id, cfull.cell,
+        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |           i -> (CAST(e.embedding[i] AS DOUBLE) - cfull.c_emb[i])
+        |                * (CAST(e.embedding[i] AS DOUBLE) - cfull.c_emb[i]))) AS d2
+        |  FROM embeddings e, cfull),
+        |assign AS (
+        |  SELECT vec_id AS n_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d) WHERE rnk = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+        |    FROM d WHERE vec_id < 10) WHERE rnk <= 2),
+        |cb AS (
+        |  SELECT vec_id AS j, CAST(mm.m AS INT) AS m,
+        |         list_transform(embedding[CAST(mm.m*16+1 AS INT) : CAST(mm.m*16+16 AS INT)],
+        |                        x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings, range(0, 4) mm(m) WHERE vec_id < 8),
+        |codes AS (
+        |  SELECT vec_id AS n_id, m, j AS code FROM (
+        |    SELECT e.vec_id, cb.m, cb.j,
+        |           row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
+        |                    * (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)]))),
+        |             cb.j) AS rnk
+        |    FROM embeddings e, cb) WHERE rnk = 1),
+        |cw AS (
+        |  SELECT n_id,
+        |         max(CASE WHEN m = 0 THEN code END) AS c0,
+        |         max(CASE WHEN m = 1 THEN code END) AS c1,
+        |         max(CASE WHEN m = 2 THEN code END) AS c2,
+        |         max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM codes GROUP BY n_id),
+        |lut AS (
+        |  SELECT q.vec_id AS q_id, cb.m, cb.j,
+        |         floor(list_sum(list_transform(range(1, 17),
+        |           i -> (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
+        |                * (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])))
+        |           * 1000000 + 0.5) / 1000000 AS d2
+        |  FROM embeddings q, cb WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT p.q_id, a.n_id, l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+        |  FROM probe p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN cw ON cw.n_id = a.n_id
+        |  JOIN lut l0 ON l0.q_id = p.q_id AND l0.m = 0 AND l0.j = cw.c0
+        |  JOIN lut l1 ON l1.q_id = p.q_id AND l1.m = 1 AND l1.j = cw.c1
+        |  JOIN lut l2 ON l2.q_id = p.q_id AND l2.m = 2 AND l2.j = cw.c2
+        |  JOIN lut l3 ON l3.q_id = p.q_id AND l3.m = 3 AND l3.j = cw.c3
+        |  WHERE a.n_id <> p.q_id),
         |ranked AS (
         |  SELECT q_id, n_id, adc,
         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank

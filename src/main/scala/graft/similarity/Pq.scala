@@ -58,25 +58,18 @@ object Pq {
       Ivf.cellOf(slice(emb, sub * dsub + 1, dsub), codebooks(sub)).as(s"c$sub"))
   }
 
-  /** ADC top-k: `queries` (a small query set — collected to build the
-    * per-query LUTs, the PQ analog of the whitelisted broadcast query
-    * set) ranked against the ENCODED corpus only. Approximate distance =
-    * sum over subspaces of the query's exact distance to the centroid the
-    * corpus vector's code names; each LUT entry is rounded at 6dp and the
-    * per-row sum adds the `m` terms in fixed subspace order, so the
-    * emitted `adc` doubles are engine-portable. */
-  def adcKnn(corpus: DataFrame, queries: DataFrame,
-             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val m = codebooks.length
+  /** One struct literal per query: `(q_id, l0..l(m-1))` where `l(sub)(j)`
+    * is the exact squared L2 between the query's subvector and codeword
+    * `j`, accumulated left-to-right like NearestCell/list_sum and
+    * floor-rounded at 6dp (the roundp formula) for portability. */
+  private def lutRows(queries: DataFrame,
+                      codebooks: Array[Array[Array[Double]]]): Array[Column] = {
     val dsub = codebooks.head.head.length
     val qs: Array[(Long, Array[Double])] = queries
       .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // lut(q)(sub)(j): exact squared L2 between the query's subvector and
-    // codeword j, accumulated left-to-right like NearestCell/list_sum,
-    // floor-rounded at 6dp (the roundp formula) for portability
     def subDist(q: Array[Double], sub: Int, w: Array[Double]): Double = {
       var s = 0.0
       var i = 0
@@ -88,21 +81,74 @@ object Pq {
       }
       math.floor(s * 1e6 + 0.5) / 1e6
     }
-    val lutRows = qs.map { case (qid, q) =>
+    qs.map { case (qid, q) =>
       struct(
         lit(qid).as("q_id") +:
           codebooks.indices.map(sub =>
             array(codebooks(sub).map(w => lit(subDist(q, sub, w))): _*).as(s"l$sub")): _*)
     }
+  }
+
+  /** `m` table lookups summed in fixed subspace order — the ADC distance.
+    * `lutCol(sub)`/`codeCol(sub)` name the LUT array and code columns. */
+  private def adcExpr(codebooks: Array[Array[Array[Double]]],
+                      lutCol: Int => Column, codeCol: Int => Column): Column =
+    codebooks.indices
+      .map(sub => element_at(lutCol(sub), codeCol(sub) + 1))
+      .reduceLeft(_ + _)
+
+  /** ADC top-k: `queries` (a small query set — collected to build the
+    * per-query LUTs, the PQ analog of the whitelisted broadcast query
+    * set) ranked against the ENCODED corpus only. Approximate distance =
+    * sum over subspaces of the query's exact distance to the centroid the
+    * corpus vector's code names; each LUT entry is rounded at 6dp and the
+    * per-row sum adds the `m` terms in fixed subspace order, so the
+    * emitted `adc` doubles are engine-portable. */
+  def adcKnn(corpus: DataFrame, queries: DataFrame,
+             codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
     val codes = corpus.select(
       col("vec_id").cast("long").as("n_id") +: encodeCols(col("embedding"), codebooks): _*)
-    val withQ = codes.select(col("*"), explode(array(lutRows: _*)).as("q"))
-    val adc = codebooks.indices
-      .map(sub => element_at(col(s"q.l$sub"), col(s"c$sub") + 1))
-      .reduceLeft(_ + _)
+    val withQ = codes.select(col("*"),
+      explode(array(lutRows(queries, codebooks): _*)).as("q"))
+    val adc = adcExpr(codebooks, sub => col(s"q.l$sub"), sub => col(s"c$sub"))
     val pairs = withQ
       .filter(col("q.q_id") =!= col("n_id"))
       .select(col("q.q_id").as("q_id"), col("n_id"), adc.as("adc"))
+    Relational.topKPerGroup(pairs, k, Seq(col("q_id")), Seq(col("adc"), col("n_id")))
+      .select("q_id", "n_id", "adc", "rank")
+  }
+
+  /** IVF-PQ: the coarse cell index prunes the scan (each query probes its
+    * `nprobe` nearest cells) and PQ ADC ranks WITHIN the probed cells —
+    * the FAISS IndexIVFPQ composition, and the shape a 100 TB deployment
+    * actually runs: the corpus is persisted bucketed by `cell` carrying
+    * only its `m` PQ codes, so a query touches nprobe/nlist of the data
+    * AND reads codes instead of vectors (both pruning levers compound).
+    * This is the non-residual variant — codes quantize the raw vectors,
+    * not the cell residuals — trading a little precision to keep every
+    * stage (cells, codes, LUT, ranks) oracle-replayable; the residual
+    * refinement is a codebook-training concern, not a plan-shape one. */
+  def ivfpqKnn(corpus: DataFrame, queries: DataFrame,
+               centroids: Array[Array[Double]],
+               codebooks: Array[Array[Array[Double]]],
+               k: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cb = corpus.select(
+      col("vec_id").cast("long").as("n_id") +:
+        Ivf.cellOf(col("embedding"), centroids).as("cell") +:
+        encodeCols(col("embedding"), codebooks): _*)
+    val qb = queries.select(col("vec_id").cast("long").as("q_id"),
+      explode(Ivf.cellsOf(col("embedding"), centroids, nprobe)).as("cell"))
+    val lutDf = spark.range(1)
+      .select(explode(array(lutRows(queries, codebooks): _*)).as("q"))
+      .select(col("q.*"))
+    val adc = adcExpr(codebooks, sub => col(s"l$sub"), sub => col(s"c$sub"))
+    // probe×LUT is queries×nprobe rows — broadcast against the bucketed
+    // codes; a neighbor lives in exactly ONE cell, so probing several
+    // cells cannot duplicate a (q_id, n_id) pair
+    val pairs = broadcast(qb.join(lutDf, "q_id")).join(cb, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), adc.as("adc"))
     Relational.topKPerGroup(pairs, k, Seq(col("q_id")), Seq(col("adc"), col("n_id")))
       .select("q_id", "n_id", "adc", "rank")
   }

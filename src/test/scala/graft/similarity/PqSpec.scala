@@ -51,6 +51,32 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("ivfpqKnn returns only neighbors from probed cells, adc consistent with the full scan") {
+    val cbs = Pq.seedCodebooks(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val centroids = Ivf.seedCentroids(emb, "vec_id", "embedding", 8)
+    val cells = emb.select(col("vec_id"),
+        Ivf.cellOf(col("embedding"), centroids).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id"), Ivf.cellsOf(col("embedding"), centroids, 2).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    val out = Pq.ivfpqKnn(emb, emb.filter(col("vec_id") < 10), centroids, cbs,
+      k = 5, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(probes(q).contains(cells(n)),
+        s"neighbor $n (cell ${cells(n)}) outside query $q's probed cells ${probes(q)}")
+    }
+    // the adc of a surviving pair must equal the full-scan path's adc —
+    // cell pruning changes WHICH pairs exist, never their distance
+    val full = Pq.adcKnn(emb, emb.filter(col("vec_id") < 10), cbs, k = Int.MaxValue - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("ADC ranking recovers exact-squared-L2 neighbors better than chance") {
     // PQ is approximate; with seed-point codebooks we only assert the
     // compressed-domain ranking carries real signal: mean recall@5 vs the
