@@ -338,6 +338,34 @@ object StreamQueries {
           (col("p_us") - col("c_us")).as("gap_us"))
     }),
 
+    // Streaming ordered funnel through StreamingOps.funnelByKey: per-user
+    // stage entry times as N-long state, each advancement emitted ONCE as
+    // an append-only (user, stage, ts) transition — rows are final at
+    // emission, no watermark needed. On the time-contiguous chunk replay
+    // the greedy online rule reaches exactly the batch funnelStages
+    // minima, so the oracle is the batch funnel CTE chain unpivoted.
+    "q_streaming_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut: org.apache.spark.sql.Encoder[(Long, Int, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+      implicit val encState: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.STRING))
+        .map { case (u, ts, t) => (u, Event(Some(ts), Some(t))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[String]]))
+      val trans = graft.streaming.StreamingOps.funnelByKey[Long](keyed,
+        Seq("view", "click", "purchase"))
+      runLoweredToDf(s, trans.toDF("user_id", "stage", "us"),
+        "graft_stream_funnel_", statePartitions = 4)
+        .select(col("user_id"), col("stage"),
+          timestamp_micros(col("us")).as("ts"))
+    }),
+
     // Per-user count-tumbling windows through StreamingOps.chopByKey (the
     // keyed chop(5) state machine — open windows carry across micro-batch
     // boundaries per key). Emits (user_id, window_start, n, sum_value) for
@@ -1311,6 +1339,30 @@ object StreamQueries {
         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    // the batch funnel CTE chain (q_funnel) unpivoted to the transition
+    // log the streaming state machine emits: one row per entered stage
+    "q_streaming_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |         min(CASE WHEN event_type = 'view' THEN ts END)
+        |           OVER (PARTITION BY user_id) AS m1
+        |  FROM events),
+        |y AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > m1 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS m2
+        |  FROM x),
+        |z AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > m2 THEN ts END)
+        |              OVER (PARTITION BY user_id) AS m3
+        |  FROM y),
+        |u AS (SELECT user_id, min(m1) AS m1, min(m2) AS m2, min(m3) AS m3
+        |      FROM z GROUP BY user_id)
+        |SELECT user_id, 1 AS stage, m1 AS ts FROM u WHERE m1 IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, 2 AS stage, m2 AS ts FROM u WHERE m2 IS NOT NULL
+        |UNION ALL
+        |SELECT user_id, 3 AS stage, m3 AS ts FROM u WHERE m3 IS NOT NULL""".stripMargin,
 
     // identical to the batch q_asof_join oracle: DuckDB's native ASOF
     // JOIN independently re-derives "the greatest click ts <= purchase

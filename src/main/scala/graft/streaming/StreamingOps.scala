@@ -246,6 +246,53 @@ object StreamingOps {
           }
       }
 
+  /** Streaming ordered funnel per key — the incremental twin of
+    * [[graft.operators.Relational.funnelStages]]: state is the per-stage
+    * entry times (µs; −1 = not entered, N longs per key regardless of
+    * stream length) and each advancement emits ONE `(key, stage, µs)`
+    * transition — an append-only log whose rows are final the moment
+    * they're emitted (no window to close). An event advances its key iff
+    * it matches the next unentered stage's name and is strictly later
+    * than the previous stage's entry; on a time-ordered replay this
+    * greedy online rule reaches exactly the batch operator's stage
+    * minima, so the emitted log unpivots to `funnelStages`' m1..mN (the
+    * q_streaming_funnel gate's oracle). Untimed or value-less events
+    * cannot advance a funnel (nothing to order on) and are dropped.
+    * `idleTimeoutMs` as in [[scanByKey]]. */
+  def funnelByKey[K](ds: Dataset[(K, Event[String])], stages: Seq[String],
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K], encOut: Encoder[(K, Int, Long)],
+      encState: Encoder[Array[Long]]): Dataset[(K, Int, Long)] = {
+    require(stages.nonEmpty, "funnelByKey needs at least one stage")
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (K, Int, Long)](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[String])], state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val entered = state.getOption.getOrElse(Array.fill(stages.length)(-1L))
+            val sorted = it.map(_._2).toIndexedSeq.sortBy(Event.orderKey)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(K, Int, Long)]
+            sorted.foreach { e =>
+              (e.time, e.value) match {
+                case (Some(t), Some(v)) =>
+                  val us = Event.micros(t)
+                  val i = stages.indexOf(v)
+                  if (i >= 0 && entered(i) < 0 &&
+                      (i == 0 || (entered(i - 1) >= 0 && us > entered(i - 1)))) {
+                    entered(i) = us
+                    out += ((k, i + 1, us))
+                  }
+                case _ => ()
+              }
+            }
+            state.update(entered)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming `chopTimeAligned` per key: stamp each timed event with the
     * FIRST-EVENT-aligned window start for its key (the reference's
     * chopTime alignment, `FunctionalProcessing.hs:118-129`) — the

@@ -498,4 +498,66 @@ class StreamingOpsSpec extends SparkSuite {
       (1L, 20L, 10L), (1L, 21L, 10L), (1L, 22L, 11L), (2L, 30L, -1L),
       (3L, 60L, 50L), (3L, 61L, -1L)))
   }
+
+  test("funnelByKey: stage state carries ACROSS micro-batches, pre-stage events " +
+       "never count, equal-ts does not advance, stages emit at most once") {
+    import org.apache.spark.sql.Encoders
+    implicit val encOut: org.apache.spark.sql.Encoder[(Long, Int, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaLong)
+    // Array[Long] state encoder comes from the imported spark implicits
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val dir = Files.createTempDirectory("graft-funnel")
+    val batches = Seq(
+      Seq( // batch 0
+        (1L, ts(10), "view"),
+        (2L, ts(10), "click"),   // click BEFORE any view: never a stage entry
+        (3L, ts(10), "view"),
+        (3L, ts(10), "click")),  // same-µs click: strictly-after blocks it
+      Seq( // batch 1 — user 1's click must read batch 0's view state
+        (1L, ts(20), "click"),
+        (1L, ts(21), "view"),    // second view: stage already entered, no re-emit
+        (2L, ts(20), "view"),
+        (3L, ts(12), "purchase")), // stage 2 never entered → blocked
+      Seq( // batch 2
+        (1L, ts(30), "purchase"),
+        (2L, ts(25), "click")))  // click after batch 1's view → stage 2
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val sub = Files.createTempDirectory("graft-funnel-build")
+      rows.toDF("user_id", "ts", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = java.nio.file.Files.list(sub).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet")) found = p
+      }
+      assert(found != null, s"no part file under $sub")
+      val target = dir.resolve(f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(found, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600000L + i * 10000L))
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[(Long, java.sql.Timestamp, String)]
+      .map { case (u, t, e) => (u, Event(Some(t), Some(e))) }(
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[String]]))
+    val trans = StreamingOps.funnelByKey[Long](stream, Seq("view", "click", "purchase"))
+    val q = trans.toDF("user_id", "stage", "us").writeStream.format("memory")
+      .queryName("funnel_test").outputMode("append").start()
+    q.processAllAvailable()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      s"expected 3 data micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    q.stop()
+    def us(sec: Int) = Event.micros(ts(sec))
+    val got = spark.table("funnel_test")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1, us(10)), (1L, 2, us(20)), (1L, 3, us(30)),
+      (2L, 1, us(20)), (2L, 2, us(25)),
+      (3L, 1, us(10))))
+  }
 }
