@@ -310,6 +310,23 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.hashedLinearScore(col("text")).as("quality_prob"))),
 
+    // Distributed batch-perceptron TRAINING under the oracle (text.
+    // Perceptron — the fourth training loop after trained BPE, Lloyd
+    // k-means, and the PCA power iteration): 5 full-batch epochs of the
+    // all-integer Rosenblatt update — one filtered, map-side-combined
+    // aggregate per epoch, d longs of driver state — then the per-doc
+    // final margins/predictions for the lang='en' target. Integer
+    // arithmetic end to end, so the oracle unrolls every epoch as CTEs
+    // and must agree weight-for-weight and margin-for-margin.
+    "q_perceptron" -> ((s, dir) => {
+      val f = graft.text.Perceptron.features(docs(s, dir))
+      val w = graft.text.Perceptron.train(f, epochs = 5)
+      f.select(col("doc_id"), col("y"),
+          graft.text.Perceptron.margin(w).as("margin"))
+        .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+        .withColumn("correct", col("pred") === col("y"))
+    }),
+
     // BM25 ranked retrieval (graft.text.Bm25): top-25 docs for a 3-term
     // query spanning the df spectrum (rare family token + two mid-df
     // terms). Scan-fused tf columns, one corpus-stats row broadcast back,
@@ -989,6 +1006,47 @@ object TextQueries {
          |            ELSE floor(1.0 / (1.0 + exp(-(CAST(raw AS DOUBLE) / n / 500.0)))
          |                 * 10000 + 0.5) / 10000 END AS quality_prob
          |FROM s""".stripMargin
+    },
+
+    // every epoch unrolled: u_e = the misclassified-sum update under the
+    // previous weights (y·(w·x) <= 0, ties = errors), w_e = w_{e-1} + u_e;
+    // all-BIGINT so there is no accumulation order to diverge
+    "q_perceptron" -> {
+      val d = 5
+      def marginSql = (0 until d).map(i => s"w.a$i * x$i").mkString(" + ")
+      val fCte =
+        """f AS (
+          |  SELECT doc_id,
+          |         CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT)
+          |              ELSE CAST(-1 AS BIGINT) END AS y,
+          |         CAST(1 AS BIGINT) AS x0,
+          |         CAST(length(text) AS BIGINT) AS x1,
+          |         CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS x2,
+          |         CAST(len(list_filter(regexp_extract_all(text, '[a-z]+'),
+          |                              tk -> tk IN ('the', 'a'))) AS BIGINT) AS x3,
+          |         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x4
+          |  FROM documents)""".stripMargin
+      val w0 = s"w0 AS (SELECT ${(0 until d).map(i => s"CAST(0 AS BIGINT) AS a$i").mkString(", ")})"
+      val epochCtes = (1 to 5).map { e =>
+        // CAST: DuckDB's sum(BIGINT) widens to HUGEINT, which would
+        // propagate through every later weight and the emitted margin
+        val upd = (0 until d).map(i =>
+          s"CAST(coalesce(sum(CASE WHEN y * ($marginSql) <= 0 THEN y * x$i ELSE 0 END), 0) AS BIGINT) AS d$i")
+          .mkString(",\n         ")
+        s"""u$e AS (
+           |  SELECT $upd
+           |  FROM f, w${e - 1} w),
+           |w$e AS (SELECT ${(0 until d).map(i => s"w.a$i + u.d$i AS a$i").mkString(", ")}
+           |        FROM w${e - 1} w, u$e u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $fCte,
+         |$w0,
+         |$epochCtes
+         |SELECT doc_id, y, margin, pred, pred = y AS correct FROM (
+         |  SELECT doc_id, y, $marginSql AS margin,
+         |         CASE WHEN $marginSql > 0 THEN CAST(1 AS BIGINT)
+         |              ELSE CAST(-1 AS BIGINT) END AS pred
+         |  FROM f, w5 w)""".stripMargin
     },
 
     // BM25 re-derived term by term with the IDENTICAL operation order
