@@ -50,8 +50,24 @@ def main(sf_dir: str, out_dir: str, copies: int) -> None:
             f"(embedding[{rot + 1}:{dim}] || embedding[1:{rot}]) AS embedding"
             f", label FROM embs")
     con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+
+    # events: 10 disjoint user populations with the SAME per-user event
+    # streams and timeline (user/event ids offset per copy, ts unchanged) —
+    # funnel/retention/keyed-state operators see 10x the keys with
+    # identical per-key behavior, the honest 10x for user-keyed plans.
+    con.sql(f"CREATE VIEW evs AS SELECT * FROM '{sf_dir}/events.parquet'")
+    n_users = con.sql("SELECT max(user_id) FROM evs").fetchone()[0]
+    u_stride = 10 ** len(str(n_users * 10))
+    ev_parts = []
+    for c in range(copies):
+        ev_parts.append(
+            f"SELECT event_id + {c * id_stride} AS event_id, ts, "
+            f"user_id + {c * u_stride} AS user_id, event_type, value, props "
+            f"FROM evs")
+    con.sql(f"COPY ({' UNION ALL '.join(ev_parts)}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)")
     print(f"wrote {out_dir}: documents x{copies} (id stride {id_stride}), "
-          f"embeddings dim={dim} rotated per copy")
+          f"embeddings dim={dim} rotated per copy, "
+          f"events x{copies} (user stride {u_stride})")
 
 
 if __name__ == "__main__":
