@@ -105,6 +105,33 @@ object ExtraQueries {
           roundp(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
     }),
 
+    // Rolling z-score anomaly flags — trailing-window outlier detection
+    // per key (the online form of the wearable threshold detector, over a
+    // moving baseline instead of a constant): each event scored against
+    // the mean/variance of its user's last 10 values. ONE hash exchange
+    // on user_id + an in-partition sort serves all three frame aggregates.
+    // Exactness: values are recovered as integer cents
+    // (floor(v·100 + 0.5) — the raw doubles are not exactly 2-decimal),
+    // so the frame sums are integer and the z²>3² test is the all-integer
+    // cross-multiplied form (n·c − s)²·n > 9·(n·q − s²) — no division, no
+    // sqrt, no accumulation-order exposure (DuckDB's segment-tree frame
+    // sums reorder additions, which only integer arithmetic makes safe).
+    "q_rolling_zscore" -> ((s, dir) => {
+      val fr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, 0)
+      Tables.events(s, dir)
+        .withColumn("cents", floor(col("value") * 100 + 0.5).cast("bigint"))
+        .select(col("event_id"), col("user_id"), col("cents"),
+          count(lit(1)).over(fr).as("n_win"),
+          sum(col("cents")).over(fr).as("s"),
+          sum(col("cents") * col("cents")).over(fr).as("q"))
+        .withColumn("anomaly",
+          (col("n_win") * col("cents") - col("s"))
+            * (col("n_win") * col("cents") - col("s")) * col("n_win")
+            > lit(9) * (col("n_win") * col("q") - col("s") * col("s")))
+    }),
+
     // Semi-structured payloads: the events table's JSON `props` column
     // parsed with a typed schema (from_json stays inside codegen — no
     // UDF) and aggregated. The shape every telemetry pipeline has: typed
@@ -155,6 +182,26 @@ object ExtraQueries {
         |       CAST(sum(date_diff('second', m1, m3)) // count(m3) AS BIGINT)
         |         AS convert_secs_avg
         |FROM u""".stripMargin,
+
+    // integer cents + BIGINT-cast frame sums (DuckDB widens sum() to
+    // HUGEINT), then the identical cross-multiplied integer test
+    "q_rolling_zscore" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, cents,
+        |         CAST(count(*) OVER fr AS BIGINT) AS n_win,
+        |         CAST(sum(cents) OVER fr AS BIGINT) AS s,
+        |         CAST(sum(cents * cents) OVER fr AS BIGINT) AS q
+        |  FROM c
+        |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, cents, n_win, s, q,
+        |       (n_win * cents - s) * (n_win * cents - s) * n_win
+        |         > 9 * (n_win * q - s * s) AS anomaly
+        |FROM w""".stripMargin,
 
     // same integer epoch-day arithmetic; activity is DISTINCT (user, day)
     // so matrix cells are plain counts; one IEEE divide + floor-round
