@@ -419,7 +419,13 @@ object SimilarityQueries {
     "q_embedding_project" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir), col("embedding"))
         .select(col("vec_id"), Similarity.projectSparse(col("q"), 16, 64).as("y"))
-        .select(col("vec_id"), posexplode(col("y")).as(Seq("j", "y")))
+        // posexplode_OUTER: the non-outer form makes InferFiltersFromGenerate
+        // push a `size(y) > 0` filter below the projections with the WHOLE
+        // quantize+project chain inlined — a second full interpreted
+        // evaluation per row (measured: 22 s of the 28.7 s pathology at
+        // sf0.1). y is never null/empty here (kOut=16 literals), so outer
+        // emits identical rows without the inferred filter.
+        .select(col("vec_id"), posexplode_outer(col("y")).as(Seq("j", "y")))
         .select(col("vec_id"), col("j").cast("int").as("j"), col("y"))),
 
     // PCA top component by ALL-INTEGER power iteration (similarity.Pca)

@@ -50,8 +50,15 @@ object Similarity {
     val absmax = aggregate(transform(emb, x => abs(x.cast("double"))),
       lit(0.0), (acc, v) => greatest(acc, v))
     df.withColumn("q_scale", greatest(absmax / 127.0, lit(1e-12)))
+      // the q_scale > 0 guard is always true (the scale floors at 1e-12);
+      // it exists to reference q_scale a SECOND time outside the lambda,
+      // which stops CollapseProject from inlining the O(d) scale aggregate
+      // under `transform` when a caller prunes the q_scale column away —
+      // inlined, the scale is re-evaluated for every element (d× per row;
+      // the HOF-no-CSE trap, see Dedup.gramPolyHashes)
       .withColumn("q",
-        transform(emb, x => floor(x.cast("double") / col("q_scale") + 0.5).cast("int")))
+        when(col("q_scale") > 0,
+          transform(emb, x => floor(x.cast("double") / col("q_scale") + 0.5).cast("int"))))
   }
 
   /** Achlioptas sparse random-projection matrix (JMLR/JCSS 2003,
@@ -87,9 +94,15 @@ object Similarity {
   def projectSparse(q: Column, kOut: Int, dIn: Int): Column = {
     val m = achlioptasMatrix(kOut, dIn)
     val rows = array(m.map(r => array(r.map(lit): _*)): _*)
-    transform(rows, row =>
+    val y = transform(rows, row =>
       aggregate(zip_with(q, row, (a, b) => a.cast("bigint") * b),
         lit(0L), (acc, v) => acc + v))
+    // size(q) >= 0 is always true for non-null q; the second reference to
+    // q OUTSIDE the lambda stops CollapseProject from inlining a non-cheap
+    // q definition (e.g. the whole quantizeInt8 expression) under the
+    // kOut-element transform, where it would re-evaluate per OUTPUT dim —
+    // measured 28.7 s → 0.4 s on q_embedding_project at sf0.1
+    when(size(q) >= 0, y)
   }
 
   /** Exact top-k cosine neighbors for each query vector: broadcast the query

@@ -60,12 +60,15 @@ class RocksDBStateStoreSpec extends SparkSuite {
     }
   }
 
-  // The four gates the round-8 verdict names: flatMapGroupsWithState scan,
-  // keyed FIFO sliding windows, dropDuplicates state, merging session
-  // windows — each exercises a different state layout (single accumulator,
-  // queue, key-set, merging ranges).
+  // One gate per distinct state layout: flatMapGroupsWithState scan
+  // (single accumulator), keyed FIFO sliding windows (queue),
+  // dropDuplicates (key-set), merging session windows (ranges),
+  // complete-mode Misra-Gries (a TypedImperativeAggregate BINARY buffer in
+  // streaming-aggregation state — serialization path the others never
+  // touch), and the funnel transition machine (fixed-width array state).
   for (gate <- Seq("q_streaming_scan_bykey", "q_streaming_sliding_bykey",
-                   "q_streaming_dedup", "q_streaming_session")) {
+                   "q_streaming_dedup", "q_streaming_session",
+                   "q_streaming_frequent", "q_streaming_funnel")) {
     test(s"$gate produces identical results on the RocksDB provider") {
       val onDefault = rows(gate)
       val onRocks = withProvider(StateStores.RocksDBProvider) { rows(gate) }
