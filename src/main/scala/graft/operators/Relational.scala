@@ -334,4 +334,32 @@ object Relational {
     // null, not an error.
     try_element_at(sorted, (floor(size(sorted) / 2) + 1).cast("int"))
   }
+
+  /** CDC merge / upsert — apply a changeset to a base table (the corpus-
+    * refresh operator every training-data pipeline runs between crawls):
+    * `changes` carries the key, an `op` column (`'U'` = insert-or-update,
+    * `'D'` = delete) and the base's payload columns; the result is base
+    * rows untouched or replaced, minus deleted keys, plus inserted ones
+    * (a delete of an absent key is a no-op). Expressed as ONE full outer
+    * join co-keyed on `key` — both sides shuffle once on the key (zero
+    * shuffles when base is bucketed by it, see `sources.BucketedIO`),
+    * which is the SQL MERGE / Delta-style upsert shape left declarative
+    * so Catalyst/AQE pick broadcast vs sort-merge from the changeset
+    * size. Cardinality contract as in SQL MERGE: at most one change row
+    * per key (dedupe by version upstream, e.g. [[topKPerGroup]]);
+    * violations surface as duplicated keys rather than silent picks. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+                  op: String = "op"): DataFrame = {
+    val payload = base.columns.filterNot(_ == key).toIndexedSeq
+    require(payload.nonEmpty, "mergeUpsert needs at least one payload column")
+    val b = base.select(col(key).as("__k"),
+      struct(payload.map(col): _*).as("__b"))
+    val c = changes.select(col(key).as("__k"), col(op).as("__op"),
+      struct(payload.map(col): _*).as("__c"))
+    b.join(c, Seq("__k"), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col("__k").as(key),
+        when(col("__op") === "U", col("__c")).otherwise(col("__b")).as("__row"))
+      .select(col(key) +: payload.map(p => col(s"__row.$p").as(p)): _*)
+  }
 }

@@ -310,6 +310,27 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.hashedLinearScore(col("text")).as("quality_prob"))),
 
+    // CDC merge / corpus refresh (Relational.mergeUpsert): a derived
+    // changeset — updates (doc_id % 7 = 0, versioned text), deletes
+    // (doc_id % 13 = 0; the % 91 overlap excluded so the MERGE
+    // one-change-per-key cardinality holds), inserts (offset ids) —
+    // applied through ONE co-keyed full outer join. The refresh step a
+    // corpus runs between crawls; result is the full merged table.
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val updates = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [v2]")))
+        .withColumn("op", lit("U"))
+      val deletes = base.filter(col("doc_id") % 13 === 0)
+        .withColumn("op", lit("D"))
+      val inserts = base.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("op", lit("U"))
+      graft.operators.Relational.mergeUpsert(base,
+        updates.unionByName(deletes).unionByName(inserts), "doc_id")
+    }),
+
     // Distributed batch-perceptron TRAINING under the oracle (text.
     // Perceptron — the fourth training loop after trained BPE, Lloyd
     // k-means, and the PCA power iteration): 5 full-batch epochs of the
@@ -1007,6 +1028,26 @@ object TextQueries {
          |                 * 10000 + 0.5) / 10000 END AS quality_prob
          |FROM s""".stripMargin
     },
+
+    // the same changeset + full-outer-join application: updates replace,
+    // deletes drop, inserts survive the join with no base row
+    "q_merge_upsert" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text || ' [v2]' AS text, lang, source, n_chars, 'U' AS op
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, 'D' AS op
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source, n_chars, 'U' AS op
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN c.op = 'U' THEN c.text    ELSE b.text    END AS text,
+        |       CASE WHEN c.op = 'U' THEN c.lang    ELSE b.lang    END AS lang,
+        |       CASE WHEN c.op = 'U' THEN c.source  ELSE b.source  END AS source,
+        |       CASE WHEN c.op = 'U' THEN c.n_chars ELSE b.n_chars END AS n_chars
+        |FROM documents b FULL OUTER JOIN ch c ON b.doc_id = c.doc_id
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
 
     // every epoch unrolled: u_e = the misclassified-sum update under the
     // previous weights (y·(w·x) <= 0, ties = errors), w_e = w_{e-1} + u_e;
