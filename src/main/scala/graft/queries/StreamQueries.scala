@@ -366,6 +366,42 @@ object StreamQueries {
           timestamp_micros(col("us")).as("ts"))
     }),
 
+    // Streaming rolling z-score through StreamingOps.trailingStatsByKey:
+    // the batch q_rolling_zscore trailing-10 window as a keyed FIFO state
+    // machine — integer cents recovered identically, n/s/q emitted per
+    // event (partial leading windows included), the cross-multiplied
+    // integer anomaly test applied as the same column expression. Reuses
+    // the batch oracle verbatim: all-integer emissions are final at
+    // arrival, so the replayed stream must hash-match it exactly.
+    "q_streaming_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut
+          : org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Long, Long)] =
+        Encoders.product[(Long, Long, Long, Long, Long, Long)]
+      implicit val encState
+          : org.apache.spark.sql.Encoder[scala.collection.immutable.Queue[Long]] =
+        Encoders.kryo[scala.collection.immutable.Queue[Long]]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.scalaDouble))
+        .map { case (u, ts, id, v) =>
+          // identical IEEE ops to the batch floor(value*100 + 0.5) column
+          (u, Event(Some(ts), Some((id, math.floor(v * 100 + 0.5).toLong))))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, Long)]]))
+      val stats = graft.streaming.StreamingOps.trailingStatsByKey[Long](keyed, lookback = 10)
+      runLoweredToDf(s, stats.toDF("user_id", "event_id", "cents", "n_win", "s", "q"),
+        "graft_stream_zscore_", statePartitions = 4)
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("n_win"), col("s"), col("q"),
+          ((col("n_win") * col("cents") - col("s"))
+            * (col("n_win") * col("cents") - col("s")) * col("n_win")
+            > lit(9) * (col("n_win") * col("q") - col("s") * col("s"))).as("anomaly"))
+    }),
+
     // Per-user count-tumbling windows through StreamingOps.chopByKey (the
     // keyed chop(5) state machine — open windows carry across micro-batch
     // boundaries per key). Emits (user_id, window_start, n, sum_value) for
@@ -1339,6 +1375,10 @@ object StreamQueries {
         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    // identical to the batch q_rolling_zscore oracle: integer emissions
+    // are exact, so the streaming replay must reproduce every row
+    "q_streaming_zscore" -> ExtraQueries.oracles("q_rolling_zscore"),
 
     // the batch funnel CTE chain (q_funnel) unpivoted to the transition
     // log the streaming state machine emits: one row per entered stage

@@ -424,6 +424,55 @@ object StreamingOps {
       }
   }
 
+  /** Streaming trailing-window integer stats per key — the incremental
+    * twin of the batch rolling z-score window (`q_rolling_zscore`'s
+    * `ROWS BETWEEN lookback−1 PRECEDING AND CURRENT ROW`): per timed data
+    * event `(id, v)`, emits `(key, id, v, n, s, q)` where n/s/q are the
+    * count/sum/sum-of-squares of the trailing `lookback` values INCLUDING
+    * the event — PARTIAL leading windows emit too, unlike [[slidingByKey]]
+    * (whose reference `sliding n` semantics emit full windows only).
+    * All-integer state and sums, so emissions are exact and final at
+    * arrival (no watermark); state is a FIFO of ≤ lookback−1 longs per
+    * key. Within a micro-batch events fold in (time, id) order — exactly
+    * the batch window's (ts, event_id) ordering, so on an in-order replay
+    * the emitted stats hash-match the batch oracle. Untimed or value-less
+    * events are dropped (no window position). `idleTimeoutMs` as in
+    * [[scanByKey]]. */
+  def trailingStatsByKey[K](ds: Dataset[(K, Event[(Long, Long)])], lookback: Int,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K],
+      encOut: Encoder[(K, Long, Long, Long, Long, Long)],
+      encState: Encoder[scala.collection.immutable.Queue[Long]])
+      : Dataset[(K, Long, Long, Long, Long, Long)] = {
+    require(lookback >= 1, s"lookback must be >= 1 (got $lookback)")
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[scala.collection.immutable.Queue[Long],
+                              (K, Long, Long, Long, Long, Long)](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[(Long, Long)])],
+         state: GroupState[scala.collection.immutable.Queue[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption
+              .getOrElse(scala.collection.immutable.Queue.empty[Long])
+            val sorted = it.map(_._2).toIndexedSeq
+              .collect { case e if e.time.isDefined && e.value.isDefined =>
+                (Event.micros(e.time.get), e.value.get._1, e.value.get._2) }
+              .sortBy(t => (t._1, t._2))
+            val out = sorted.map { case (_, id, v) =>
+              buf = buf.enqueue(v)
+              if (buf.length > lookback) buf = buf.dequeue._2
+              var s = 0L; var q = 0L
+              buf.foreach { x => s += x; q += x * x }
+              (k, id, v, buf.length.toLong, s, q)
+            }
+            state.update(buf)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming `slidingTime ms` per key (reference
     * `FunctionalProcessing.hs:99-108` per-key): per timed event e of a
     * key, the window [e.time, e.time+ms); e's window closes when the
