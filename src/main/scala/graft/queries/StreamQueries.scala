@@ -366,6 +366,41 @@ object StreamQueries {
           timestamp_micros(col("us")).as("ts"))
     }),
 
+    // INCREMENTAL table maintenance — the CDC changeset replayed as 3
+    // key-contiguous micro-batches, each applied to the CURRENT table
+    // version with Relational.mergeUpsert and written as version v+1 (the
+    // Delta-style continuous-merge loop, with plain parquet versions as
+    // the transaction log stand-in). The changeset carries at most one
+    // change per key and chunks are key-disjoint, so sequential
+    // application provably commutes to the single batch merge — the gate
+    // reuses q_merge_upsert's oracle on the FINAL version.
+    "q_streaming_merge" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val (srcDir, schema) = Tables.writeChunkedReplay(
+        TextQueries.mergeChangeset(base), "doc_id", nChunks = 3, "graft_merge_src_")
+      val tableDir = graft.core.TempDirs.create("graft_merge_tbl_").toAbsolutePath
+      base.write.parquet(s"$tableDir/v0")
+      var version = 0
+      val ckpt = graft.core.TempDirs.create("graft_merge_ckpt_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val cur = s.read.parquet(s"$tableDir/v$version")
+            graft.operators.Relational.mergeUpsert(cur, b.toDF(), "doc_id")
+              .write.parquet(s"$tableDir/v${version + 1}")
+            version += 1
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tableDir/v$version")
+    }),
+
     // Streaming rolling z-score through StreamingOps.trailingStatsByKey:
     // the batch q_rolling_zscore trailing-10 window as a keyed FIFO state
     // machine — integer cents recovered identically, n/s/q emitted per
@@ -1379,6 +1414,10 @@ object StreamQueries {
     // identical to the batch q_rolling_zscore oracle: integer emissions
     // are exact, so the streaming replay must reproduce every row
     "q_streaming_zscore" -> ExtraQueries.oracles("q_rolling_zscore"),
+
+    // key-disjoint chunks + one-change-per-key ⇒ the sequential merges
+    // compose to exactly the batch merge — same oracle
+    "q_streaming_merge" -> TextQueries.oracles("q_merge_upsert"),
 
     // the batch funnel CTE chain (q_funnel) unpivoted to the transition
     // log the streaming state machine emits: one row per entered stage

@@ -134,31 +134,41 @@ object Tables {
     * across micro-batch increments rather than in one big batch. */
   def streamDocsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
     val (dir, schema) = docsChunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
-      val docs = table(spark, sfDir, "documents")
-      val cuts = docs.stat
-        .approxQuantile("doc_id", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
-        .map(_.toLong).distinct.sorted
-      val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
-      val d = graft.core.TempDirs.create("graft_docs_chunks_")
-      val base = System.currentTimeMillis() - 3600000L
-      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-        val sub = graft.core.TempDirs.create("graft_chunk_build_")
-        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-        val part = java.nio.file.Files.list(sub).iterator().asScala
-          .find { p =>
-            val n = p.getFileName.toString
-            n.startsWith("part-") && n.endsWith(".parquet")
-          }
-          .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
-        val target = d.resolve(f"chunk-$i%02d.parquet")
-        java.nio.file.Files.move(part, target)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-      }
-      (d.toString, docs.schema)
+      writeChunkedReplay(table(spark, sfDir, "documents"), "doc_id", nChunks,
+        "graft_docs_chunks_")
     })
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  /** Write `df` as (at most) `nChunks` key-contiguous parquet files with
+    * strictly increasing mtimes under a fresh temp dir — the raw material
+    * for a `maxFilesPerTrigger=1` micro-batch replay (mtime drives
+    * FileStreamSource order). Shared by [[streamDocsChunked]] and gates
+    * that replay a DERIVED frame (e.g. a CDC changeset) incrementally. */
+  private[queries] def writeChunkedReplay(df: DataFrame, keyCol: String, nChunks: Int,
+      prefix: String): (String, org.apache.spark.sql.types.StructType) = {
+    val cuts = df.stat
+      .approxQuantile(keyCol, (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+      .map(_.toLong).distinct.sorted
+    val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    val d = graft.core.TempDirs.create(prefix)
+    val base = System.currentTimeMillis() - 3600000L
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val sub = graft.core.TempDirs.create("graft_chunk_build_")
+      df.filter(col(keyCol) >= lo && col(keyCol) < hi)
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = java.nio.file.Files.list(sub).iterator().asScala
+        .find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
+      val target = d.resolve(f"chunk-$i%02d.parquet")
+      java.nio.file.Files.move(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+    }
+    (d.toString, df.schema)
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

@@ -16,6 +16,24 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** The deterministic CDC changeset q_merge_upsert and q_streaming_merge
+    * share: mod-7 updates (the mod-91 overlap excluded so the MERGE
+    * one-change-per-key cardinality holds), mod-13 deletes, offset-id
+    * inserts — at most ONE change per key, so chunked sequential
+    * application commutes to the single batch merge. */
+  private[queries] def mergeChangeset(base: DataFrame): DataFrame = {
+    val updates = base
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      .withColumn("text", concat(col("text"), lit(" [v2]")))
+      .withColumn("op", lit("U"))
+    val deletes = base.filter(col("doc_id") % 13 === 0)
+      .withColumn("op", lit("D"))
+    val inserts = base.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("op", lit("U"))
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // streamExpand (FunctionalProcessing.hs:206-210) as Catalyst Generate:
@@ -316,20 +334,9 @@ object TextQueries {
     // one-change-per-key cardinality holds), inserts (offset ids) —
     // applied through ONE co-keyed full outer join. The refresh step a
     // corpus runs between crawls; result is the full merged table.
-    "q_merge_upsert" -> ((s, dir) => {
-      val base = docs(s, dir)
-      val updates = base
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
-        .withColumn("text", concat(col("text"), lit(" [v2]")))
-        .withColumn("op", lit("U"))
-      val deletes = base.filter(col("doc_id") % 13 === 0)
-        .withColumn("op", lit("D"))
-      val inserts = base.filter(col("doc_id") % 11 === 0)
-        .withColumn("doc_id", col("doc_id") + 10000000L)
-        .withColumn("op", lit("U"))
-      graft.operators.Relational.mergeUpsert(base,
-        updates.unionByName(deletes).unionByName(inserts), "doc_id")
-    }),
+    "q_merge_upsert" -> ((s, dir) =>
+      graft.operators.Relational.mergeUpsert(docs(s, dir),
+        TextQueries.mergeChangeset(docs(s, dir)), "doc_id")),
 
     // Distributed batch-perceptron TRAINING under the oracle (text.
     // Perceptron — the fourth training loop after trained BPE, Lloyd
