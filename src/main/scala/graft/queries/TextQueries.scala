@@ -117,6 +117,26 @@ object TextQueries {
       Dedup.connectedComponents(pairs, "id_a", "id_b")
     }),
 
+    // Leakage-safe GROUP-AWARE split (sklearn's GroupShuffleSplit concern
+    // at corpus scale): a near-dup family straddling train/test leaks
+    // evaluation data into training, so the fold is assigned per
+    // connected COMPONENT (q_dedup_groups' machinery; singletons group as
+    // themselves) via the Lehmer hash of the group key — every member of
+    // a family provably lands in the same fold. 80/10/10 by hash mod 10.
+    "q_split_groupaware" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+        n = 3, maxDf = 10, minJaccard = 0.05)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+      val g = d.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("group_key"))
+      val fold = ((col("group_key") + 1) * 48271) % 2147483647L % 10
+      g.withColumn("split",
+        when(fold < 8, "train").when(fold === 8, "val").otherwise("test"))
+    }),
+
     // Quality-percentile curation: keep the top 80% of documents by
     // quality score WITHIN each language (ntile over a deterministic
     // (score desc, doc_id) order — per-lang keyed window, one exchange).
@@ -670,6 +690,42 @@ object TextQueries {
     sb.toString
   }
 
+  /** The near-dup connected-components chain (3-gram shingles, df-pruned
+    * candidates, Jaccard gate, transitive closure by recursive CTE) shared
+    * by the q_dedup_groups oracle and the group-aware-split oracle. Ends
+    * with the `reach` CTE; append a final SELECT (or more CTEs). */
+  private lazy val dedupGroupsCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $Toks AS t FROM documents),
+       |shingled AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |           unnest(CASE WHEN len(t) < 3 THEN []
+       |                  ELSE list_transform(range(1, len(t) - 1),
+       |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+       |    FROM toks)),
+       |rare AS (
+       |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
+       |pruned AS (
+       |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
+       |sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+       |cand AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |    FROM pruned a JOIN pruned b USING (shingle)
+       |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM cand
+       |  UNION SELECT id_b, id_a FROM cand),
+       |reach AS (
+       |  SELECT s AS id, d AS r FROM edges
+       |  UNION
+       |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_trained" ->
       s"""WITH ${bpeTrainCtes(8)},
@@ -785,37 +841,23 @@ object TextQueries {
          |WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05""".stripMargin,
 
     "q_dedup_groups" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, $Toks AS t FROM documents),
-         |shingled AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id,
-         |           unnest(CASE WHEN len(t) < 3 THEN []
-         |                  ELSE list_transform(range(1, len(t) - 1),
-         |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
-         |    FROM toks)),
-         |rare AS (
-         |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
-         |pruned AS (
-         |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
-         |sizes AS (
-         |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
-         |cand AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-         |    FROM pruned a JOIN pruned b USING (shingle)
-         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM cand
-         |  UNION SELECT id_b, id_a FROM cand),
-         |reach AS (
-         |  SELECT s AS id, d AS r FROM edges
-         |  UNION
-         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+      s"""WITH RECURSIVE $dedupGroupsCtes
          |SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id""".stripMargin,
+
+    // the dedup-groups CTEs + every document joined to its component
+    // (singletons group as themselves), fold = the Lehmer hash of the
+    // GROUP key — near-dup families land in one fold by construction
+    "q_split_groupaware" ->
+      s"""WITH RECURSIVE $dedupGroupsCtes,
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id),
+         |g AS (
+         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS group_key
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, group_key,
+         |       CASE WHEN ((group_key + 1) * 48271) % 2147483647 % 10 < 8 THEN 'train'
+         |            WHEN ((group_key + 1) * 48271) % 2147483647 % 10 = 8 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM g""".stripMargin,
 
     // same quality arithmetic as q_quality, then per-lang ntile
     "q_quality_filter" ->
