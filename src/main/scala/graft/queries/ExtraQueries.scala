@@ -105,6 +105,26 @@ object ExtraQueries {
           roundp(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
     }),
 
+    // First-order Markov transition matrix over per-user event sequences
+    // (the behavior model funnel/retention queries feed): P(next=b |
+    // cur=a) estimated from every consecutive pair in (ts, event_id)
+    // order. One hash exchange on user_id serves the lag window; the
+    // matrix aggregate is |types|² regardless of corpus size. Counts are
+    // exact integers; the probability is one IEEE divide + roundp.
+    "q_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+      val counts = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("cur")).agg(count(lit(1)).as("n_cur"))
+      counts.join(totals, "cur")
+        .select(col("cur"), col("nxt"), col("n"), col("n_cur"),
+          roundp(col("n").cast("double") / col("n_cur"), 6).as("p"))
+    }),
+
     // Rolling z-score anomaly flags — trailing-window outlier detection
     // per key (the online form of the wearable threshold detector, over a
     // moving baseline instead of a constant): each event scored against
@@ -182,6 +202,21 @@ object ExtraQueries {
         |       CAST(sum(date_diff('second', m1, m3)) // count(m3) AS BIGINT)
         |         AS convert_secs_avg
         |FROM u""".stripMargin,
+
+    // the identical lead-window pair extraction and integer counts; one
+    // IEEE divide + floor-round per matrix cell
+    "q_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (SELECT cur, nxt FROM p WHERE nxt IS NOT NULL),
+        |counts AS (SELECT cur, nxt, count(*) AS n FROM pairs GROUP BY 1, 2),
+        |totals AS (SELECT cur, count(*) AS n_cur FROM pairs GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n, t.n_cur,
+        |       floor(CAST(c.n AS DOUBLE) / t.n_cur * 1000000 + 0.5) / 1000000 AS p
+        |FROM counts c JOIN totals t USING (cur)""".stripMargin,
 
     // integer cents + BIGINT-cast frame sums (DuckDB widens sum() to
     // HUGEINT), then the identical cross-multiplied integer test
