@@ -133,9 +133,11 @@ object ExtraQueries {
     // Exactness: values are recovered as integer cents
     // (floor(v·100 + 0.5) — the raw doubles are not exactly 2-decimal),
     // so the frame sums are integer and the z²>3² test is the all-integer
-    // cross-multiplied form (n·c − s)²·n > 9·(n·q − s²) — no division, no
-    // sqrt, no accumulation-order exposure (DuckDB's segment-tree frame
-    // sums reorder additions, which only integer arithmetic makes safe).
+    // cross-multiplied form (n·c − s)² > 9·(n·q − s²) — with population
+    // variance var = (n·q − s²)/n², z² = (n·c − s)²/(n·q − s²) exactly.
+    // No division, no sqrt, no accumulation-order exposure (DuckDB's
+    // segment-tree frame sums reorder additions, which only integer
+    // arithmetic makes safe).
     "q_rolling_zscore" -> ((s, dir) => {
       val fr = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -148,7 +150,7 @@ object ExtraQueries {
           sum(col("cents") * col("cents")).over(fr).as("q"))
         .withColumn("anomaly",
           (col("n_win") * col("cents") - col("s"))
-            * (col("n_win") * col("cents") - col("s")) * col("n_win")
+            * (col("n_win") * col("cents") - col("s"))
             > lit(9) * (col("n_win") * col("q") - col("s") * col("s")))
     }),
 
@@ -234,7 +236,7 @@ object ExtraQueries {
         |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
         |                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, cents, n_win, s, q,
-        |       (n_win * cents - s) * (n_win * cents - s) * n_win
+        |       (n_win * cents - s) * (n_win * cents - s)
         |         > 9 * (n_win * q - s * s) AS anomaly
         |FROM w""".stripMargin,
 

@@ -380,7 +380,12 @@ object StreamQueries {
         TextQueries.mergeChangeset(base), "doc_id", nChunks = 3, "graft_merge_src_")
       val tableDir = graft.core.TempDirs.create("graft_merge_tbl_").toAbsolutePath
       base.write.parquet(s"$tableDir/v0")
-      var version = 0
+      // Version dirs are keyed by the micro-batch's batchId (version
+      // b+1 = v$b merged with batch b) and written with overwrite, so a
+      // micro-batch that Structured Streaming re-executes after a
+      // transient failure re-applies IDEMPOTENTLY — same input version,
+      // same output path — instead of crashing on errorifexists.
+      @volatile var lastVersion = 0L
       val ckpt = graft.core.TempDirs.create("graft_merge_ckpt_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
@@ -389,16 +394,16 @@ object StreamQueries {
           .writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$ckpt/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val cur = s.read.parquet(s"$tableDir/v$version")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val cur = s.read.parquet(s"$tableDir/v$batchId")
             graft.operators.Relational.mergeUpsert(cur, b.toDF(), "doc_id")
-              .write.parquet(s"$tableDir/v${version + 1}")
-            version += 1
+              .write.mode("overwrite").parquet(s"$tableDir/v${batchId + 1}")
+            lastVersion = batchId + 1
           }
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination()
-      s.read.parquet(s"$tableDir/v$version")
+      s.read.parquet(s"$tableDir/v$lastVersion")
     }),
 
     // Streaming rolling z-score through StreamingOps.trailingStatsByKey:
@@ -433,7 +438,7 @@ object StreamQueries {
         .select(col("event_id"), col("user_id"), col("cents"),
           col("n_win"), col("s"), col("q"),
           ((col("n_win") * col("cents") - col("s"))
-            * (col("n_win") * col("cents") - col("s")) * col("n_win")
+            * (col("n_win") * col("cents") - col("s"))
             > lit(9) * (col("n_win") * col("q") - col("s") * col("s"))).as("anomaly"))
     }),
 

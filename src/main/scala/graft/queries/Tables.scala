@@ -104,12 +104,7 @@ object Tables {
         val sub = graft.core.TempDirs.create("graft_chunk_build_")
         ev.filter(col("__us") >= lo && col("__us") < hi).drop("__us")
           .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-        val part = java.nio.file.Files.list(sub).iterator().asScala
-          .find { p =>
-            val n = p.getFileName.toString
-            n.startsWith("part-") && n.endsWith(".parquet")
-          }
-          .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
+        val part = findPartFile(sub)
         val target = d.resolve(f"chunk-$i%02d.parquet")
         java.nio.file.Files.move(part, target)
         // mtime drives FileStreamSource's processing order; 10s apart so
@@ -140,6 +135,19 @@ object Tables {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
+  /** Locate the single part file of a `coalesce(1)` parquet write.
+    * `Files.list` returns a Stream holding an open directory fd — close
+    * it deterministically (the unclosed form leaked one fd per chunk). */
+  private def findPartFile(sub: java.nio.file.Path): java.nio.file.Path =
+    scala.util.Using.resource(java.nio.file.Files.list(sub)) { st =>
+      st.iterator().asScala
+        .find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
+    }
+
   /** Write `df` as (at most) `nChunks` key-contiguous parquet files with
     * strictly increasing mtimes under a fresh temp dir — the raw material
     * for a `maxFilesPerTrigger=1` micro-batch replay (mtime drives
@@ -157,12 +165,7 @@ object Tables {
       val sub = graft.core.TempDirs.create("graft_chunk_build_")
       df.filter(col(keyCol) >= lo && col(keyCol) < hi)
         .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-      val part = java.nio.file.Files.list(sub).iterator().asScala
-        .find { p =>
-          val n = p.getFileName.toString
-          n.startsWith("part-") && n.endsWith(".parquet")
-        }
-        .getOrElse(throw new IllegalStateException(s"no part file written under $sub"))
+      val part = findPartFile(sub)
       val target = d.resolve(f"chunk-$i%02d.parquet")
       java.nio.file.Files.move(part, target)
       java.nio.file.Files.setLastModifiedTime(target,

@@ -16,12 +16,27 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** Insert-key offset shared (as a literal) with the merge oracle SQL. */
+  private val insertOffset = 10000000L
+
   /** The deterministic CDC changeset q_merge_upsert and q_streaming_merge
     * share: mod-7 updates (the mod-91 overlap excluded so the MERGE
     * one-change-per-key cardinality holds), mod-13 deletes, offset-id
     * inserts — at most ONE change per key, so chunked sequential
     * application commutes to the single batch merge. */
   private[queries] def mergeChangeset(base: DataFrame): DataFrame = {
+    // The insert-key offset is a shared constant with the DuckDB oracle
+    // (doc_id + 10000000), so it CANNOT be derived from max(doc_id) at
+    // runtime without desyncing the oracle SQL. Instead, enforce the
+    // no-collision precondition explicitly: if base ids ever reach the
+    // offset, an insert key would collide with a real id and silently
+    // break the one-change-per-key MERGE cardinality both merge gates'
+    // commutation proof rests on. Fail loudly instead.
+    val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < insertOffset,
+      s"mergeChangeset: max(doc_id)=$maxId >= insert offset $insertOffset — " +
+        "insert keys would collide with base ids; raise the offset (and the " +
+        "oracle SQL constant) before running at this scale")
     val updates = base
       .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
       .withColumn("text", concat(col("text"), lit(" [v2]")))
@@ -29,7 +44,7 @@ object TextQueries {
     val deletes = base.filter(col("doc_id") % 13 === 0)
       .withColumn("op", lit("D"))
     val inserts = base.filter(col("doc_id") % 11 === 0)
-      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("doc_id", col("doc_id") + insertOffset)
       .withColumn("op", lit("U"))
     updates.unionByName(deletes).unionByName(inserts)
   }

@@ -101,8 +101,13 @@ object Similarity {
     // q OUTSIDE the lambda stops CollapseProject from inlining a non-cheap
     // q definition (e.g. the whole quantizeInt8 expression) under the
     // kOut-element transform, where it would re-evaluate per OUTPUT dim —
-    // measured 28.7 s → 0.4 s on q_embedding_project at sf0.1
+    // measured 28.7 s → 0.4 s on q_embedding_project at sf0.1.
+    // size(null) is null, so the bare `when` would return NULL for a null
+    // q where the unguarded form returns a kOut-length array of nulls
+    // (posexplode_outer downstream: 1 row vs kOut rows). The `otherwise`
+    // restores the original null shape exactly.
     when(size(q) >= 0, y)
+      .otherwise(array((0 until kOut).map(_ => lit(null).cast("bigint")): _*))
   }
 
   /** Exact top-k cosine neighbors for each query vector: broadcast the query
