@@ -12,9 +12,11 @@ import graft.text.TextAnalysis
 
 /** Similarity search over `embeddings` (vec_id, embedding array<float>,
   * label) plus the hash-based near-dup pipelines and the multimodal decode
-  * plumbing. Queries whose arithmetic is not portable to DuckDB (xxhash64 /
-  * splitmix constants) ship without an oracle — they get the driver's
-  * rows-only check and are covered by NoOracleCrossCheckSpec instead.
+  * plumbing. The production xxhash64/splitmix pipelines carry FULL DuckDB
+  * oracles via [[XxhashOracleSql]] (XXH64 replayed in wraparound HUGEINT
+  * arithmetic); their portable-hash twins remain as the simpler
+  * cross-engine formulation, and NoOracleCrossCheckSpec still cross-checks
+  * the two families against each other.
   */
 object SimilarityQueries {
 
@@ -51,9 +53,11 @@ object SimilarityQueries {
       Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 10), k = 5)
     }),
 
-    // LSH (random-hyperplane) bucketed ANN — the scale path; approximate,
-    // rows-only check. 8 tables × 6 planes: ~tables/2^6 ≈ 12% of the corpus
-    // scanned per query, recall tuned by the OR-construction S-curve.
+    // LSH (random-hyperplane) bucketed ANN — the scale path. 8 tables ×
+    // 6 planes: ~tables/2^6 ≈ 12% of the corpus scanned per query, recall
+    // tuned by the OR-construction S-curve. Splitmix plane signs are
+    // position-computable (no RNG state), so the oracle replays them in
+    // closed form (XxhashOracleSql.knnLshOracle).
     "q_knn_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshKnn(e, e.filter(col("vec_id") < 10), dims = 64, numPlanes = 6, k = 5, tables = 8)
@@ -67,13 +71,20 @@ object SimilarityQueries {
         .groupBy(col("label"))
         .agg(roundp(avg(col("norm")), 4).as("avg_norm"), count(lit(1)).as("n"))),
 
-    // IVF ANN — coarse k-means codebook, per-cell probe (rows-only: the
-    // codebook is k-means-trained, not SQL-expressible).
+    // IVF ANN with a CONVERGED deterministic codebook: seed-point init +
+    // 10 Lloyd iterations (6dp-pinned means, the distributed training
+    // loop of Ivf.lloydTrain — one scan + one k×d-cell shuffle per step),
+    // then the nprobe=2 probe path. Previously this ran Spark-ML KMeans
+    // (rows-only checked: kmeans||'s RNG isn't replayable); the ML path
+    // stays available as Ivf.trainCentroids (IvfSpec covers its recall),
+    // while the driver query trains deterministically so the ENTIRE
+    // train→assign→probe→rerank lifecycle sits under the DuckDB oracle
+    // (10 chained Lloyd CTE pairs). q_knn_ivf_trained keeps the 2-step
+    // variant; 10 steps is past convergence on this corpus.
     "q_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val nlist = 8
-      val centroids = codebooks.computeIfAbsent(s"$dir#nlist=$nlist",
-        _ => graft.similarity.Ivf.trainCentroids(e, "embedding", nlist = nlist))
+      val centroids = codebooks.computeIfAbsent(s"$dir#lloyd10",
+        _ => graft.similarity.Ivf.lloydTrain(e, "vec_id", "embedding", k = 8, iters = 10))
       graft.similarity.Ivf.ivfKnn(e, e.filter(col("vec_id") < 10), centroids, k = 5, nprobe = 2)
     }),
 
@@ -82,8 +93,8 @@ object SimilarityQueries {
     // the classic random-point init, 8 driver-collected rows), leaving
     // every probe-side step — squared-L2 cell assignment, nprobe=2
     // probing, exact-cosine rerank, deterministic tiebreaks — exact
-    // arithmetic the oracle replays value-for-value. q_knn_ivf keeps the
-    // trained codebook (rows-only + IvfSpec recall checks).
+    // arithmetic the oracle replays value-for-value. q_knn_ivf runs the
+    // same path off the converged Lloyd-10 codebook.
     "q_knn_ivf_portable" -> ((s, dir) => {
       val e = emb(s, dir)
       val centroids = graft.similarity.Ivf.seedCentroids(e, "vec_id", "embedding", k = 8)
@@ -95,8 +106,7 @@ object SimilarityQueries {
     // the oracle: seed-point init (vec_id 0..7), two Lloyd steps whose
     // per-cell/dim means are rounded at 6dp (the q_embedding_centroids
     // move applied to training state), final assignment emitted. The
-    // DuckDB oracle replays both iterations as chained CTEs — unlike
-    // q_knn_ivf, whose Spark-ML codebook is rows-only-checked.
+    // DuckDB oracle replays both iterations as chained CTEs (lloydCtes).
     "q_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
       val cs = graft.similarity.Ivf.lloydTrain(e, "vec_id", "embedding", k = 8, iters = 2)
@@ -107,8 +117,8 @@ object SimilarityQueries {
     // (2 deterministic iterations) feeds the q_knn_ivf_portable probe path
     // (cell bucketing, nprobe=2, exact-cosine rerank) — training AND
     // search replayed value-for-value by the same chained CTEs. This is
-    // the full IVF lifecycle a production pipeline runs; q_knn_ivf keeps
-    // the Spark-ML codebook variant (rows-only + IvfSpec recall).
+    // the full IVF lifecycle a production pipeline runs; q_knn_ivf runs
+    // it to convergence (10 iterations).
     "q_knn_ivf_trained" -> ((s, dir) => {
       val e = emb(s, dir)
       val cs = graft.similarity.Ivf.lloydTrain(e, "vec_id", "embedding", k = 8, iters = 2)
@@ -139,14 +149,16 @@ object SimilarityQueries {
     // (one closed-form Lehmer multiplication per ±1 weight): every bucket
     // bit, candidate pair, and rank SQL-replayable — the PortableHash move
     // applied to hyperplanes. 4 tables × 4 planes; q_knn_lsh keeps the
-    // better-mixing splitmix planes (rows-only + recall cross-check).
+    // better-mixing splitmix planes (now also fully oracled).
     "q_knn_srp_portable" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshKnnPortable(e, e.filter(col("vec_id") < 10), dims = 64,
         planesPerTable = 4, tables = 4, k = 5)
     }),
 
-    // MinHash + LSH banding near-dup candidates (xxhash64-based; rows-only).
+    // MinHash + LSH banding near-dup candidates (xxhash64-based; the
+    // oracle replays every token/shingle/permutation/band hash —
+    // XxhashOracleSql.minhashLshOracle).
     "q_minhash_lsh" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(docs(s, dir), col("doc_id"), col("text"),
         n = 3, numPerms = 32)
@@ -173,7 +185,7 @@ object SimilarityQueries {
     "q_simhash_portable" -> ((s, dir) =>
       Dedup.simhashPortable(docs(s, dir), col("doc_id"), col("text"), bits = 32)),
 
-    // 64-bit SimHash fingerprints (xxhash64-based; rows-only).
+    // 64-bit SimHash fingerprints (xxhash64-based; fully oracled).
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))),
 
@@ -190,7 +202,8 @@ object SimilarityQueries {
         Dedup.simhashPortable(docs(s, dir), col("doc_id"), col("text"), bits = 32),
         bits = 32, maxHamming = 1)),
 
-    // Order-sensitive rolling-hash fingerprint (xxhash64-based; rows-only).
+    // Order-sensitive rolling-hash fingerprint (xxhash64-based; the
+    // oracle replays the fold in closed polynomial form).
     "q_rolling_fp" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.rollingHashFingerprint(col("text")).as("fp"))),
@@ -543,46 +556,80 @@ object SimilarityQueries {
     * keeping their previous centroid via LEFT JOIN + coalesce. Shared by
     * the q_kmeans oracle (final assignment) and the q_knn_ivf_trained
     * oracle (codebook feeding the probe CTEs). */
-  private val lloydC2Ctes: String =
-    """c0 AS (
-      |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-      |  FROM embeddings WHERE vec_id < 8),
-      |a1 AS (
-      |  SELECT vec_id, embedding, cell FROM (
-      |    SELECT e.vec_id, e.embedding, s.cell,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             list_sum(list_transform(range(1, len(e.embedding) + 1),
-      |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
-      |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
-      |    FROM embeddings e, c0 s) WHERE rnk = 1),
-      |m1 AS (
-      |  SELECT cell, d,
-      |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
-      |           / 1000000 AS m
-      |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a1)
-      |  GROUP BY cell, d),
-      |c1 AS (
-      |  SELECT s.cell, coalesce(m.c, s.c) AS c
-      |  FROM c0 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m1 GROUP BY cell) m
-      |    ON s.cell = m.cell),
-      |a2 AS (
-      |  SELECT vec_id, embedding, cell FROM (
-      |    SELECT e.vec_id, e.embedding, s.cell,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             list_sum(list_transform(range(1, len(e.embedding) + 1),
-      |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
-      |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
-      |    FROM embeddings e, c1 s) WHERE rnk = 1),
-      |m2 AS (
-      |  SELECT cell, d,
-      |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
-      |           / 1000000 AS m
-      |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a2)
-      |  GROUP BY cell, d),
-      |c2 AS (
-      |  SELECT s.cell, coalesce(m.c, s.c) AS c
-      |  FROM c1 s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m2 GROUP BY cell) m
-      |    ON s.cell = m.cell)""".stripMargin
+  /** `iters` chained Lloyd steps as CTEs c0..c{iters}: seed centroids
+    * (vec_id < 8), per-iteration squared-L2 assignment with lowest-cell
+    * tiebreak, 6dp-pinned per-(cell,dim) means, empty cells keeping the
+    * previous centroid — the SQL replay of [[graft.similarity.Ivf
+    * .lloydTrain]]. Generated so q_kmeans/q_knn_ivf_trained (2 steps)
+    * and q_knn_ivf (10 steps, converged) share one definition. */
+  private def lloydCtes(iters: Int): String = {
+    // MATERIALIZED is load-bearing: plain CTEs are textually inlined and
+    // c_i references c_{i-1} through BOTH the assignment and the
+    // empty-cell fallback, so a 10-iteration chain expands ~2^10 copies
+    // of the full assignment scan (measured ~10 MINUTES for q_knn_ivf at
+    // sf0.1; materialized: seconds).
+    val c0 =
+      """c0 AS MATERIALIZED (
+        |  SELECT vec_id AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+        |  FROM embeddings WHERE vec_id < 8)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, s.cell,
+         |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |             list_sum(list_transform(range(1, len(e.embedding) + 1),
+         |               i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+         |                    * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))), s.cell) AS rnk
+         |    FROM embeddings e, c${i - 1} s) WHERE rnk = 1),
+         |m$i AS MATERIALIZED (
+         |  SELECT cell, d,
+         |         floor(avg(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) * 1000000 + 0.5)
+         |           / 1000000 AS m
+         |  FROM (SELECT cell, embedding, unnest(range(0, len(embedding))) AS d FROM a$i)
+         |  GROUP BY cell, d),
+         |c$i AS MATERIALIZED (
+         |  SELECT s.cell, coalesce(m.c, s.c) AS c
+         |  FROM c${i - 1} s LEFT JOIN (SELECT cell, list(m ORDER BY d) AS c FROM m$i GROUP BY cell) m
+         |    ON s.cell = m.cell)""".stripMargin
+    }
+    (c0 +: steps).mkString(",\n")
+  }
+
+  private val lloydC2Ctes: String = lloydCtes(2)
+
+  /** The IVF probe path as trailing CTEs + final SELECT over a trained
+    * centroid CTE `(cell, c)`: squared-L2 distances to every centroid,
+    * lowest-cell-tiebreak assignment, nprobe=2 probing for the query set
+    * (vec_id < 10), exact-cosine rerank with 6dp floor-rounding. Shared
+    * by q_knn_ivf_trained (c2) and q_knn_ivf (c10). */
+  private def ivfProbeSql(centroidCte: String): String =
+    s"""d AS (
+       |  SELECT e.vec_id, e.embedding, s.cell,
+       |         list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |           i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
+       |                * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))) AS d2
+       |  FROM embeddings e, $centroidCte s),
+       |assign AS (
+       |  SELECT vec_id AS n_id, embedding AS n_emb, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+       |    FROM d) WHERE rnk = 1),
+       |probe AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
+       |    FROM d WHERE vec_id < 10) WHERE rnk <= 2),
+       |pairs AS (
+       |  SELECT q_id, n_id,
+       |         floor(list_cosine_similarity(
+       |           list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+       |           list_transform(n_emb, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+       |  FROM probe JOIN assign USING (cell) WHERE n_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+       |  FROM pairs)
+       |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_minhash_portable" -> minhashPortableOracle,
@@ -687,34 +734,21 @@ object SimilarityQueries {
     // the Lloyd training CTEs feeding the q_knn_ivf_portable probe CTEs:
     // one statement replays codebook training, cell bucketing, nprobe=2
     // probing, and the exact-cosine rerank
-    "q_knn_ivf_trained" -> s"""WITH $lloydC2Ctes,
-        |d AS (
-        |  SELECT e.vec_id, e.embedding, s.cell,
-        |         list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |           i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i])
-        |                * (CAST(e.embedding[i] AS DOUBLE) - s.c[i]))) AS d2
-        |  FROM embeddings e, c2 s),
-        |assign AS (
-        |  SELECT vec_id AS n_id, embedding AS n_emb, cell FROM (
-        |    SELECT vec_id, embedding, cell,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
-        |    FROM d) WHERE rnk = 1),
-        |probe AS (
-        |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
-        |    SELECT vec_id, embedding, cell,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rnk
-        |    FROM d WHERE vec_id < 10) WHERE rnk <= 2),
-        |pairs AS (
-        |  SELECT q_id, n_id,
-        |         floor(list_cosine_similarity(
-        |           list_transform(q_emb, x -> CAST(x AS DOUBLE)),
-        |           list_transform(n_emb, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
-        |  FROM probe JOIN assign USING (cell) WHERE n_id <> q_id),
-        |ranked AS (
-        |  SELECT q_id, n_id, cos,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
-        |  FROM pairs)
-        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_knn_ivf_trained" -> (s"WITH ${lloydCtes(2)},\n" + ivfProbeSql("c2")),
+
+    // q_knn_ivf: the converged-codebook variant — identical probe SQL
+    // over 10 chained Lloyd CTE pairs (the deterministic replay of
+    // Ivf.lloydTrain(k = 8, iters = 10))
+    "q_knn_ivf" -> (s"WITH ${lloydCtes(10)},\n" + ivfProbeSql("c10")),
+
+    // XXH64/splitmix production-hash pipelines replayed bit-for-bit
+    // (XxhashOracleSql: wraparound HUGEINT arithmetic + MATERIALIZED CTE
+    // chains) — the 4 formerly rows-only gates now under full oracles
+    "q_simhash" -> XxhashOracleSql.simhashOracle,
+    "q_rolling_fp" -> XxhashOracleSql.rollingFpOracle,
+    "q_minhash_lsh" -> XxhashOracleSql.minhashLshOracle(),
+    "q_knn_lsh" -> XxhashOracleSql.knnLshOracle(),
+
 
     // the q_knn_ivf_portable assignment CTE verbatim (seed centroids
     // vec_id 0..7, squared-L2, lowest-cell tiebreak), then within-cell
