@@ -28,6 +28,38 @@ object ExtraQueries {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), roundp(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Bucketed-storage join — the storage-layout half of the 100 TB
+    // story: lineitem and orders are CO-BUCKETED on the order key at
+    // write time (one shuffle at ingest, amortized over every later
+    // join), then joined AND aggregated on that key with ZERO exchanges —
+    // the whole plan is scan → sort-merge join → agg, all inheriting the
+    // bucket partitioning. The require() makes the exchange-free claim a
+    // correctness property of this query, not just a spec: if Spark ever
+    // plans a shuffle here the driver gate fails loudly. Broadcast is
+    // disabled during planning because at real scale neither side of a
+    // fact-fact join broadcasts — locally orders would otherwise be tiny
+    // enough to take the broadcast path and bypass the bucketed one.
+    "q_bucketed_join" -> ((s, dir) => {
+      val (liT, oT) = bucketedTables(s, dir)
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = graft.sources.BucketedIO.readTable(s, liT)
+          .join(graft.sources.BucketedIO.readTable(s, oT),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+            roundp(max(col("o_totalprice")), 2).as("total_price"))
+        val plan = j.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"q_bucketed_join planned a shuffle over co-bucketed tables:\n$plan")
+        require(plan.contains("Bucketed: true"),
+          s"q_bucketed_join scan did not use bucket metadata:\n$plan")
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // Set operations: customers appearing in both the open-order and
     // large-order populations (INTERSECT), and those with open orders but
     // no large ones (EXCEPT).
@@ -178,7 +210,46 @@ object ExtraQueries {
        |       floor(avg($c) * 10000 + 0.5) / 10000 AS mean
        |FROM lineitem""".stripMargin
 
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Write lineitem/orders as co-bucketed catalog tables (8 buckets on
+    * the order key) once per (session, sfDir); later calls reuse the
+    * catalog entries. The write is the one-time ingest shuffle the
+    * bucketed layout amortizes. */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.computeIfAbsent(s"${s.hashCode}#$dir", { _ =>
+      val suffix = java.lang.Integer.toHexString(dir.hashCode)
+      val (liT, oT) = (s"graft_li_bkt_$suffix", s"graft_o_bkt_$suffix")
+      // the warehouse directory outlives the in-memory catalog across
+      // JVMs: drop any stale catalog entry AND its on-disk location, or
+      // saveAsTable refuses with LOCATION_ALREADY_EXISTS
+      Seq(liT, oT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      graft.sources.BucketedIO.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_quantity"),
+        liT, buckets = 8, bucketCols = Seq("l_orderkey"))
+      graft.sources.BucketedIO.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        oT, buckets = 8, bucketCols = Seq("o_orderkey"))
+      (liT, oT)
+    })
+
   val oracles: Map[String, String] = Map(
+    // plain join+agg — the bucketed layout must be invisible to results
+    "q_bucketed_join" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       floor(max(o_totalprice) * 100 + 0.5) / 100 AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
     // the same chained-window formulation: each stage's first-event time
     // is a per-user window MIN over a predicate referencing the previous
     // stage; integer epoch-second sums + integer division keep the mean
