@@ -631,6 +631,57 @@ object SimilarityQueries {
        |  FROM pairs)
        |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
 
+  /** The full PQ ADC pipeline as one statement, parameterized by the
+    * query-set predicate (over alias `q`): per-subspace seed codebooks
+    * (vec_id < 8 sliced 16-wide), squared-L2 code assignment with
+    * lowest-code tiebreak, 6dp floor-rounded LUT entries, adc = the four
+    * lookups summed left-to-right. Shared by q_knn_pq (vec_id < 10) and
+    * q_streaming_knn (the streamed vec_id < 50 query set — per-query
+    * results are batch-independent, so the replayed stream must equal
+    * the batch ADC exactly). */
+  private[queries] def pqAdcOracle(queryPred: String): String =
+    s"""WITH cb AS (
+       |  SELECT vec_id AS j, CAST(mm.m AS INT) AS m,
+       |         list_transform(embedding[CAST(mm.m*16+1 AS INT) : CAST(mm.m*16+16 AS INT)],
+       |                        x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings, range(0, 4) mm(m) WHERE vec_id < 8),
+       |codes AS (
+       |  SELECT vec_id AS n_id, m, j AS code FROM (
+       |    SELECT e.vec_id, cb.m, cb.j,
+       |           row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+       |             list_sum(list_transform(range(1, 17),
+       |               i -> (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
+       |                    * (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)]))),
+       |             cb.j) AS rnk
+       |    FROM embeddings e, cb) WHERE rnk = 1),
+       |cw AS (
+       |  SELECT n_id,
+       |         max(CASE WHEN m = 0 THEN code END) AS c0,
+       |         max(CASE WHEN m = 1 THEN code END) AS c1,
+       |         max(CASE WHEN m = 2 THEN code END) AS c2,
+       |         max(CASE WHEN m = 3 THEN code END) AS c3
+       |  FROM codes GROUP BY n_id),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, cb.m, cb.j,
+       |         floor(list_sum(list_transform(range(1, 17),
+       |           i -> (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
+       |                * (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])))
+       |           * 1000000 + 0.5) / 1000000 AS d2
+       |  FROM embeddings q, cb WHERE $queryPred),
+       |adc AS (
+       |  SELECT l0.q_id, cw.n_id, l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
+       |  FROM cw
+       |  JOIN lut l0 ON l0.m = 0 AND l0.j = cw.c0
+       |  JOIN lut l1 ON l1.m = 1 AND l1.j = cw.c1 AND l1.q_id = l0.q_id
+       |  JOIN lut l2 ON l2.m = 2 AND l2.j = cw.c2 AND l2.q_id = l0.q_id
+       |  JOIN lut l3 ON l3.m = 3 AND l3.j = cw.c3 AND l3.q_id = l0.q_id
+       |  WHERE cw.n_id <> l0.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, adc,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT q_id, n_id, adc, rank FROM ranked WHERE rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_minhash_portable" -> minhashPortableOracle,
     "q_simhash_portable" -> simhashPortableOracle,
@@ -1000,48 +1051,7 @@ object SimilarityQueries {
     // (vec_id < 8 sliced 16-wide), code assignment = squared-L2 argmin
     // with lowest-code tiebreak (the NearestCell contract), LUT entries
     // floor-rounded at 6dp, adc = the four lookups summed left-to-right
-    "q_knn_pq" ->
-      """WITH cb AS (
-        |  SELECT vec_id AS j, CAST(mm.m AS INT) AS m,
-        |         list_transform(embedding[CAST(mm.m*16+1 AS INT) : CAST(mm.m*16+16 AS INT)],
-        |                        x -> CAST(x AS DOUBLE)) AS c
-        |  FROM embeddings, range(0, 4) mm(m) WHERE vec_id < 8),
-        |codes AS (
-        |  SELECT vec_id AS n_id, m, j AS code FROM (
-        |    SELECT e.vec_id, cb.m, cb.j,
-        |           row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
-        |             list_sum(list_transform(range(1, 17),
-        |               i -> (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
-        |                    * (CAST(e.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)]))),
-        |             cb.j) AS rnk
-        |    FROM embeddings e, cb) WHERE rnk = 1),
-        |cw AS (
-        |  SELECT n_id,
-        |         max(CASE WHEN m = 0 THEN code END) AS c0,
-        |         max(CASE WHEN m = 1 THEN code END) AS c1,
-        |         max(CASE WHEN m = 2 THEN code END) AS c2,
-        |         max(CASE WHEN m = 3 THEN code END) AS c3
-        |  FROM codes GROUP BY n_id),
-        |lut AS (
-        |  SELECT q.vec_id AS q_id, cb.m, cb.j,
-        |         floor(list_sum(list_transform(range(1, 17),
-        |           i -> (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])
-        |                * (CAST(q.embedding[CAST(cb.m*16 + i AS INT)] AS DOUBLE) - cb.c[CAST(i AS INT)])))
-        |           * 1000000 + 0.5) / 1000000 AS d2
-        |  FROM embeddings q, cb WHERE q.vec_id < 10),
-        |adc AS (
-        |  SELECT l0.q_id, cw.n_id, l0.d2 + l1.d2 + l2.d2 + l3.d2 AS adc
-        |  FROM cw
-        |  JOIN lut l0 ON l0.m = 0 AND l0.j = cw.c0
-        |  JOIN lut l1 ON l1.m = 1 AND l1.j = cw.c1 AND l1.q_id = l0.q_id
-        |  JOIN lut l2 ON l2.m = 2 AND l2.j = cw.c2 AND l2.q_id = l0.q_id
-        |  JOIN lut l3 ON l3.m = 3 AND l3.j = cw.c3 AND l3.q_id = l0.q_id
-        |  WHERE cw.n_id <> l0.q_id),
-        |ranked AS (
-        |  SELECT q_id, n_id, adc,
-        |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS INT) AS rank
-        |  FROM adc)
-        |SELECT q_id, n_id, adc, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "q_knn_pq" -> pqAdcOracle("q.vec_id < 10"),
 
     // the IVF probe CTEs (full-width seed centroids, squared-L2 argmin,
     // nprobe=2) composed with the PQ CTEs (sub-codebooks, codes, 6dp LUT)

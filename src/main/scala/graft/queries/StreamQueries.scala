@@ -338,6 +338,44 @@ object StreamQueries {
           (col("p_us") - col("c_us")).as("gap_us"))
     }),
 
+    // Streaming ANN SERVING — the online face of the PQ pipeline: query
+    // embeddings arrive as micro-batches (vec_id < 50 replayed in 3
+    // id-contiguous chunks) and each batch is enriched against the
+    // STATIC encoded corpus via Pq.adcKnn — per batch, the collected
+    // query set becomes the broadcast LUT literal and the corpus codes
+    // are scanned once (the stream-static serving join; at 100 TB the
+    // codes table is the persisted artifact and each micro-batch costs
+    // one code scan, never a re-encode). Top-k per query is independent
+    // across queries, so the replayed stream must equal the batch ADC
+    // bit-for-bit — the oracle is the q_knn_pq SQL over vec_id < 50.
+    // Per-batch output dirs are keyed by batchId and overwritten, so a
+    // retried micro-batch re-applies idempotently.
+    "q_streaming_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cbs = graft.similarity.Pq.seedCodebooks(e, "vec_id", "embedding", m = 4, ksub = 8)
+      val (srcDir, schema) = Tables.writeChunkedReplay(
+        e.filter(col("vec_id") < 50), "vec_id", nChunks = 3, "graft_knn_src_")
+      val outDir = graft.core.TempDirs.create("graft_knn_out_").toAbsolutePath
+      val ckpt = graft.core.TempDirs.create("graft_knn_ckpt_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+          .writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!b.isEmpty) {
+              graft.similarity.Pq.adcKnn(e, b.toDF(), cbs, k = 5)
+                .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            }
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/b*")
+    }),
+
     // Streaming ordered funnel through StreamingOps.funnelByKey: per-user
     // stage entry times as N-long state, each advancement emitted ONCE as
     // an append-only (user, stage, ts) transition — rows are final at
@@ -1423,6 +1461,8 @@ object StreamQueries {
     // key-disjoint chunks + one-change-per-key ⇒ the sequential merges
     // compose to exactly the batch merge — same oracle
     "q_streaming_merge" -> TextQueries.oracles("q_merge_upsert"),
+    // per-query ADC results are batch-independent: replayed stream ≡ batch
+    "q_streaming_knn" -> SimilarityQueries.pqAdcOracle("q.vec_id < 50"),
 
     // the batch funnel CTE chain (q_funnel) unpivoted to the transition
     // log the streaming state machine emits: one row per entered stage
