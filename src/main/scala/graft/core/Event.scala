@@ -32,6 +32,17 @@ object Event {
   def micros(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Inverse of [[micros]]: a µs-precise Timestamp. Re-stamping through
+    * `new Timestamp(getTime + delta)` silently drops the µs fraction
+    * (getTime is ms; nanos live in a separate field) — payload-derived
+    * re-stamping (the reference's `tripTimes` idiom) must round-trip
+    * through this instead. */
+  def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** THE stream-order sort key, shared by every order-sensitive fold
     * (batch lowering, streaming lowering, keyed streaming ops, typed
     * monoid scan): event time in µs, equal-time events tiebroken by a

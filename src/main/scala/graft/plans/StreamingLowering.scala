@@ -26,11 +26,16 @@ import graft.core.Event
   * partial windows of a finite replay stay pending, since an unbounded
   * stream never ends).
   *
-  * Unsupported (throws): Window with an ARBITRARY window-maker closure —
-  * an opaque `Stream a -> [Stream a]` function cannot be incrementalized;
-  * use the batch surface, or [[graft.streaming.StreamingOps]] watermarked
-  * aggregations / [[graft.streaming.StreamJoins]] for column-typed
-  * streaming-native forms.
+  * Window with an ARBITRARY window-maker closure (any
+  * `Stream a -> [Stream a]`, `FunctionalProcessing.hs:74-86`) lowers via
+  * [[genericWindowLower]] — a bounded-buffer fallback that re-applies the
+  * closure to the buffered stream prefix each micro-batch and emits every
+  * produced window but the last. It is faithful for prefix-monotone
+  * makers (checked at runtime, directed error otherwise) at O(prefix)
+  * state cost — which is why the recognized forms keep their dedicated
+  * O(window) lowerings. For column-typed pipelines prefer
+  * [[graft.streaming.StreamingOps]] watermarked aggregations /
+  * [[graft.streaming.StreamJoins]].
   */
 object StreamingLowering {
 
@@ -102,12 +107,19 @@ object StreamingLowering {
             case "sliding" :: AsPosInt(n) :: Nil        => slidingLower(in0, n)
             case "slidingTime" :: AsPosLong(ms) :: Nil  => slidingTimeLower(in0, ms)
             case _ =>
-              throw new UnsupportedOperationException(
-                "Window with an arbitrary window-maker has no streaming lowering " +
-                  "(recognized param forms: 'chop N', 'chopTime MS', 'sliding N', " +
-                  "'slidingTime MS', N/MS positive in-range integers); use " +
-                  "graft.streaming.StreamingOps watermarked aggregations for " +
-                  "column-typed pipelines")
+              v.params.head.fn match {
+                case maker: Function1[_, _] =>
+                  genericWindowLower(in0,
+                    maker.asInstanceOf[List[Event[Any]] => List[List[Event[Any]]]])
+                case _ =>
+                  throw new UnsupportedOperationException(
+                    "Window with a non-function window-maker parameter has no " +
+                      "streaming lowering (recognized param forms: 'chop N', " +
+                      "'chopTime MS', 'sliding N', 'slidingTime MS', or an " +
+                      "executable WindowMaker closure for the bounded-buffer " +
+                      "fallback); use graft.streaming.StreamingOps watermarked " +
+                      "aggregations for column-typed pipelines")
+              }
           }
         case OpJoin => zipJoinLower(ins(0), ins(1))
       }
@@ -283,6 +295,76 @@ object StreamingLowering {
         buf = buf.enqueue(e)
       }
       (out.result(), buf)
+    }
+
+  /** Cap on the generic window fallback's buffered stream prefix — the
+    * honest cost of an arbitrary closure: it must see the prefix it
+    * windows, so state is O(prefix), not O(window). Past this the
+    * lowering fails loudly instead of growing into an executor OOM. */
+  private[plans] val MaxGenericWindowBufferedEvents: Int = 1000000
+
+  private[plans] def decodeGenericWindowState(st: Any): (Int, Int, List[Event[Any]]) =
+    if (st == null) (0, 0, Nil)
+    else try {
+      val (n, h, rev) = st.asInstanceOf[(Int, Int, List[Event[Any]])]; (n, h, rev)
+    } catch {
+      case e: ClassCastException =>
+        throw badState("generic-window", "(Int, Int, List[Event])", st, e)
+    }
+
+  /** ARBITRARY `WindowMaker` closures (reference
+    * `FunctionalProcessing.hs:74-86` accepts any `Stream a -> [Stream a]`;
+    * custom makers e.g. `tripTimes`, `examples/taxi/Taxi.hs:400-402`) —
+    * the bounded-buffer fallback the recognized forms' O(window) lowerings
+    * deliberately avoid: state buffers the WHOLE stream prefix (capped at
+    * `maxBuffer`, directed error beyond — the zip-join precedent), each
+    * micro-batch re-applies the user closure to the prefix, and every
+    * produced window EXCEPT the last is emitted (the last may still grow;
+    * on a finite replay the output is exactly `maker(prefix).dropRight(1)`
+    * — the generic form of the recognized lowerings' "trailing pending
+    * window" contract, matching the batch interpreter on every closed
+    * window).
+    *
+    * Soundness is CHECKED, not assumed: the fallback is faithful only for
+    * prefix-monotone makers (appending events never rewrites an already
+    * produced non-final window — true of every reference maker, which
+    * consume the stream front-to-back). State carries a running hash of
+    * the emitted prefix; if re-application ever disagrees with what was
+    * already emitted, the lowering raises a directed error naming the
+    * contract instead of silently diverging from the batch semantics. */
+  private[plans] def genericWindowLower(ds: Dataset[Event[Any]],
+      maker: List[Event[Any]] => List[List[Event[Any]]],
+      maxBuffer: Int = MaxGenericWindowBufferedEvents): Dataset[Event[Any]] =
+    statefulLower(ds) { (events, st) =>
+      var (emitted, emittedHash, rev) = decodeGenericWindowState(st)
+      events.foreach { e => rev = e :: rev }
+      val buffered = rev.length
+      if (buffered > maxBuffer) {
+        throw new IllegalStateException(
+          s"generic window-maker state exceeded maxBuffer=$maxBuffer: an arbitrary " +
+            "closure must buffer the whole stream prefix (it may window any of it), " +
+            "so state grows with stream length. Use a recognized maker form " +
+            "('chop N', 'chopTime MS', 'sliding N', 'slidingTime MS' — O(window) " +
+            "state) or a graft.streaming.StreamingOps watermarked aggregation.")
+      }
+      val windows = maker(rev.reverse)
+      val closed = if (windows.isEmpty) Nil else windows.init
+      val replayHash = scala.util.hashing.MurmurHash3
+        .orderedHash(closed.take(emitted).map(windowEvent))
+      if (emitted > closed.length ||
+          (emitted > 0 && replayHash != emittedHash)) {
+        throw new IllegalStateException(
+          "generic window-maker is not prefix-monotone: re-applying the closure to " +
+            s"the grown prefix rewrote ${if (emitted > closed.length) "away" else "the content of"} " +
+            "already-emitted windows. An emitted streaming row cannot be retracted, " +
+            "so this maker has no faithful incremental lowering — run it on the " +
+            "batch surface (StreamOps.streamWindow) instead.")
+      }
+      val fresh = closed.drop(emitted).map(windowEvent).toIndexedSeq
+      emittedHash = scala.util.hashing.MurmurHash3
+        .orderedHash(closed.map(windowEvent))
+      emitted = closed.length
+      (fresh, (emitted, emittedHash, rev))
     }
 
   /** Cap on the zip-join's unpaired tail. The reference's `zip` buffers the

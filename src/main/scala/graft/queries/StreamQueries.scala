@@ -338,6 +338,52 @@ object StreamQueries {
           (col("p_us") - col("c_us")).as("gap_us"))
     }),
 
+    // ARBITRARY WindowMaker closure through the graph lowering's
+    // bounded-buffer fallback (StreamingLowering.genericWindowLower) —
+    // the one reference shape that previously threw in streaming. The
+    // maker is the reference's `tripTimes` idiom (Taxi.hs:400-402): one
+    // singleton window per event, RE-STAMPED from the payload (here the
+    // props `k` shift, the q_restamp field) — exactly the "fix the
+    // ingest-time stamp from the inner record" pattern, composed with
+    // streamExpand as the reference documents. The fallback re-applies
+    // the closure to the buffered prefix each micro-batch and emits every
+    // window but the last (still growable); on this replay that is all
+    // events except the unique max-ts one, which the oracle mirrors.
+    "q_streaming_custom_window" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.plans._
+      import graft.core.Event
+      val tripTimes = (st: List[Event[Any]]) => st.map { e =>
+        (e.time, e.value) match {
+          case (Some(t), Some(p)) =>
+            val (_, _, k) = p.asInstanceOf[(Long, Double, Long)]
+            List(Event(Some(Event.fromMicros(Event.micros(t) + k * 1000000L)), e.value))
+          case _ => List(e)
+        }
+      }
+      val g = StreamGraph.path(Seq(
+        StreamVertex(0, OpSource(1), Nil, "(Long,Double,Long)", "(Long,Double,Long)", 1),
+        StreamVertex(1, OpWindow, List(Param("tripTimes", tripTimes: Any)),
+          "(Long,Double,Long)", "[(Long,Double,Long)]", 1),
+        StreamVertex(2, OpExpand, Nil, "[(Long,Double,Long)]", "(Long,Double,Long)", 1),
+        StreamVertex(3, OpSink, Nil, "(Long,Double,Long)", "(Long,Double,Long)", 1)))
+      val src = Tables.streamEventsChunked(s, dir)
+        .select(col("ts"), col("event_id"), col("value"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
+        .as[(java.sql.Timestamp, Long, Double, Long)](
+          Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+            Encoders.scalaDouble, Encoders.scalaLong))
+        .map { case (ts, id, v, k) => Event(Some(ts), Some((id, v, k): Any)) }(
+          Encoders.kryo[Event[Any]])
+      val lowered = StreamingLowering.lower(s, g, Map(0 -> src))(3)
+      val typed = lowered.map { e =>
+        val (id, v, _) = e.value.get.asInstanceOf[(Long, Double, Long)]
+        (e.time.get, id, v)
+      }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
+      runLoweredToDf(s, typed.toDF("ts2", "event_id", "value"), "graft_stream_cw_")
+        .select(col("event_id"), col("ts2"), roundp(col("value"), 2).as("value"))
+    }),
+
     // Streaming ANN SERVING — the online face of the PQ pipeline: query
     // embeddings arrive as micro-batches (vec_id < 50 replayed in 3
     // id-contiguous chunks) and each batch is enriched against the
@@ -1463,6 +1509,18 @@ object StreamQueries {
     "q_streaming_merge" -> TextQueries.oracles("q_merge_upsert"),
     // per-query ADC results are batch-independent: replayed stream ≡ batch
     "q_streaming_knn" -> SimilarityQueries.pqAdcOracle("q.vec_id < 50"),
+
+    // every event re-stamped by its payload shift; the ONE pending last
+    // window of the fallback = the unique max-ts event, excluded here
+    "q_streaming_custom_window" ->
+      """WITH r AS (
+        |  SELECT event_id, ts,
+        |         make_timestamp(epoch_us(ts)
+        |           + CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 1000000) AS ts2,
+        |         floor(value * 100 + 0.5) / 100 AS value
+        |  FROM events)
+        |SELECT event_id, ts2, value FROM r
+        |WHERE ts <> (SELECT max(ts) FROM events)""".stripMargin,
 
     // the batch funnel CTE chain (q_funnel) unpivoted to the transition
     // log the streaming state machine emits: one row per entered stage

@@ -2,6 +2,8 @@ package graft.plans
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
@@ -200,19 +202,128 @@ class StreamingLoweringSpec extends SparkSuite {
     assert(got.find(_._2 != 0.0).get._2 == 3.0)
   }
 
-  test("arbitrary window makers report an explicit unsupported-lowering error") {
-    val g = StreamGraph.path(Seq(
-      StreamVertex(0, OpSource(1), Nil, "Int", "Int", 1),
-      StreamVertex(1, OpWindow, List(Param("complete",
-        (s: List[Event[Any]]) => graft.core.WindowMakers.complete[Any](s))), "Int", "[Int]", 1),
-      StreamVertex(2, OpSink, Nil, "[Int]", "[Int]", 1)))
-    val src = spark.readStream.format("rate").load()
-      .select(col("timestamp"), col("value"))
-      .as[(java.sql.Timestamp, Long)]
-      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
-    val ex = intercept[UnsupportedOperationException] {
-      StreamingLowering.lower(spark, g, Map(0 -> src))
+  test("Event.fromMicros round-trips microsecond-precise timestamps") {
+    for (us <- Seq(0L, 1L, 999999L, 1000000L, 1723600000123456L, -1L, -999999L, -1000001L))
+      assert(Event.micros(Event.fromMicros(us)) == us, s"us=$us")
+  }
+
+  /** Two time-ordered parquet files with strictly increasing mtimes so
+    * `maxFilesPerTrigger=1` replays them as TWO micro-batches — the
+    * generic fallback's cross-batch behavior (state carry, re-apply,
+    * prefix-monotonicity check) only exercises with ≥ 2 batches. */
+  private def twoBatchSource(rows1: Seq[(java.sql.Timestamp, Double)],
+                             rows2: Seq[(java.sql.Timestamp, Double)]): Dataset[Event[Any]] = {
+    val dir = Files.createTempDirectory("graft-slower-2b")
+    def writeOne(rows: Seq[(java.sql.Timestamp, Double)], name: String, mtime: Long): Unit = {
+      val sub = Files.createTempDirectory("graft-slower-2b-part")
+      rows.toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = scala.util.Using.resource(Files.list(sub)) {
+        _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val target = dir.resolve(name)
+      Files.move(part, target)
+      target.toFile.setLastModified(mtime)
+      ()
     }
-    assert(ex.getMessage.contains("Window"))
+    val base = System.currentTimeMillis() - 3600000L
+    writeOne(rows1, "a.parquet", base)
+    writeOne(rows2, "b.parquet", base + 10000L)
+    spark.readStream
+      .schema(rows1.toDF("ts", "value").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .as[(java.sql.Timestamp, Double)]
+      .map { case (ts, v) => Event(Some(ts), Some(v: Any)) }(Encoders.kryo[Event[Any]])
+  }
+
+  private def t(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("arbitrary window-maker closures lower via the bounded-buffer fallback") {
+    // the reference's tripTimes idiom (Taxi.hs:400-402): one singleton
+    // window per event, re-stamped from the payload (+1s here)
+    val tripish = (s: List[Event[Any]]) => s.map { e =>
+      List(Event(e.time.map(x => Event.fromMicros(Event.micros(x) + 1000000L)), e.value))
+    }
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param("tripish", tripish: Any)), "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val rows1 = (0 until 6).map(i => (t(1000L * i), i.toDouble))
+    val rows2 = (6 until 10).map(i => (t(1000L * i), i.toDouble))
+    val src = twoBatchSource(rows1, rows2)
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered
+      .map(e => (e.time.get.getTime,
+        e.value.get.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).sum))
+      .toDF("ts_ms", "v")
+      .writeStream.format("memory").queryName("slower_generic").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_generic").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toList
+    // every window but the (still growable) last: events 0..8, +1s stamps
+    val expected = (0 until 9).map(i => (1000L * i + 1000L, i.toDouble)).toList
+    assert(got == expected)
+  }
+
+  test("non-prefix-monotone makers raise a directed error instead of diverging") {
+    // windows depend on the stream REVERSED — re-application to a grown
+    // prefix rewrites window 0, which was already emitted after batch 1
+    val unsound = (s: List[Event[Any]]) => s.reverse.map(List(_))
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param("reversed", unsound: Any)), "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val src = twoBatchSource(
+      (0 until 4).map(i => (t(1000L * i), i.toDouble)),
+      (4 until 8).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered.map(_.time.map(_.getTime).getOrElse(-1L)).toDF("x")
+      .writeStream.format("memory").queryName("slower_unsound").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    def chain(x: Throwable): List[Throwable] =
+      Option(x).map(y => y :: chain(y.getCause)).getOrElse(Nil)
+    val msg = chain(err).map(_.getMessage).mkString("\n")
+    assert(msg.contains("not prefix-monotone"), s"got: $msg")
+  }
+
+  test("generic window fallback bounds its buffered prefix") {
+    val anyMaker = (s: List[Event[Any]]) => List(s)
+    val src = twoBatchSource(
+      (0 until 8).map(i => (t(1000L * i), i.toDouble)),
+      (8 until 16).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.genericWindowLower(src, anyMaker, maxBuffer = 10)
+    val q = lowered.map(_.time.map(_.getTime).getOrElse(-1L)).toDF("x")
+      .writeStream.format("memory").queryName("slower_gw_guard").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    def chain(x: Throwable): List[Throwable] =
+      Option(x).map(y => y :: chain(y.getCause)).getOrElse(Nil)
+    val msg = chain(err).map(_.getMessage).mkString("\n")
+    assert(msg.contains("exceeded maxBuffer=10"), s"got: $msg")
+  }
+
+  test("`complete` lowers via the fallback and faithfully never emits") {
+    // complete = one window spanning the whole (unbounded) stream — it
+    // never closes, so the lowering emits nothing rather than throwing
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param("complete",
+        (s: List[Event[Any]]) => graft.core.WindowMakers.complete[Any](s))), "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val src = twoBatchSource(
+      (0 until 3).map(i => (t(1000L * i), i.toDouble)),
+      (3 until 6).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered.map(_.time.map(_.getTime).getOrElse(-1L)).toDF("x")
+      .writeStream.format("memory").queryName("slower_complete").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("slower_complete").count() == 0)
   }
 }
