@@ -159,35 +159,52 @@ object Bench {
     // time-to-failure would read as a performance win; failed queries are
     // reported in an "errors" map and excluded from the total
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName))
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // drop per-query persists between runs
-        dt
-      }.sorted
-      times(times.length / 2) // upper-median
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName))
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop per-query persists between runs
+      dt
     }
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
     val loads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val exts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // ROUND-ROBIN passes over the whole query list, not runs back-to-back
+    // per query: the r10 driver run read 8 queries 2-6.5x high with idle
+    // probes — a host stall the probes can't see contaminates a ~10 s
+    // window, and back-to-back runs put ALL of a query's samples inside
+    // it, so even the median was poisoned. Interleaved, one bad window
+    // touches at most one sample of many queries and the per-query median
+    // shrugs it off. Pass 1 is the cold run for every query (codegen +
+    // persist build), exactly as before; the idle gate + load snapshot
+    // stay per-query on pass 1 (a 250 ms /proc sample per (pass, query)
+    // would cost minutes at 155 queries), and re-arm on later passes only
+    // while the certification idle budget remains.
+    val samples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    for (pass <- 1 to runs; (name, fn) <- selected) {
+      if (pass == 1) { exts(name) = awaitIdle(); loads(name) = loadAvg() }
+      else if (idleWaitBudgetMs > 0) awaitIdle()
+      if (!errors.contains(name))
+        samples(name) = samples.getOrElse(name, Nil) :+ timeOnce(name, fn)
+    }
     val results = selected.map { case (name, fn) =>
-      exts(name) = awaitIdle()
-      loads(name) = loadAvg()
-      val first = timeQuery(name, fn)
-      // >3x the prior round's median and no error: re-measure once and keep
-      // the better of the two — a loaded-machine artifact vanishes on
-      // retry, a real regression reproduces (and stays flagged by the
-      // retried map carrying the first measurement)
+      val first = median(samples.getOrElse(name, List(Double.NaN)))
+      // >2x the prior round's median with an idle gate reading and no
+      // error: re-measure once (back-to-back, same process) and keep the
+      // better — a loaded-machine artifact vanishes on retry, a real
+      // regression reproduces (and stays flagged by the retried map
+      // carrying the first measurement). The threshold was 3x through
+      // r10; the readings it failed to catch were 2-2.5x.
       val best = prior.get(name) match {
-        case Some(p) if first > 3 * p && !errors.contains(name) =>
+        case Some(p) if first > 2 * p && !errors.contains(name) =>
           retried(name) = first
-          val second = timeQuery(name, fn)
+          awaitIdle()
+          val second = median((1 to runs).map(_ => timeOnce(name, fn)))
           if (errors.contains(name)) {
             // the retry run failed where the first succeeded — a retry
             // exists to compensate for load, and load-induced transient
