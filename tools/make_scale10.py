@@ -65,9 +65,52 @@ def main(sf_dir: str, out_dir: str, copies: int) -> None:
             f"user_id + {c * u_stride} AS user_id, event_type, value, props "
             f"FROM evs")
     con.sql(f"COPY ({' UNION ALL '.join(ev_parts)}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)")
+    # TPC-H: 10 disjoint fact copies with CONSISTENT key offsets (orders/
+    # lineitem share the orderkey stride; customer/supplier/part strides
+    # flow into their fact foreign keys), dims (region/nation) fixed —
+    # the honest 10x for relational plans: fact cardinality scales,
+    # dimension cardinality doesn't, join fan-outs per key are unchanged.
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def stride(table, key):
+        n = con.sql(f"SELECT max({key}) FROM {table}").fetchone()[0]
+        return 10 ** len(str(n * 10))
+
+    so = stride("orders", "o_orderkey")
+    sc = stride("customer", "c_custkey")
+    ss = stride("supplier", "s_suppkey")
+    sp = stride("part", "p_partkey")
+
+    def copy_union(table, keyed_cols, passthrough):
+        parts = []
+        for c in range(copies):
+            sel = ", ".join(
+                [f"{col} + {c * st} AS {col}" for col, st in keyed_cols] + passthrough)
+            parts.append(f"SELECT {sel} FROM {table}")
+        con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{out_dir}/{table}.parquet' (FORMAT PARQUET)")
+
+    for t in ["region", "nation"]:
+        con.sql(f"COPY (SELECT * FROM {t}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+    copy_union("customer", [("c_custkey", sc)],
+               ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+    copy_union("supplier", [("s_suppkey", ss)],
+               ["s_name", "s_nationkey", "s_acctbal"])
+    copy_union("part", [("p_partkey", sp)],
+               ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"])
+    copy_union("orders", [("o_orderkey", so), ("o_custkey", sc)],
+               ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"])
+    copy_union("lineitem",
+               [("l_orderkey", so), ("l_partkey", sp), ("l_suppkey", ss)],
+               ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+                "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"])
+
     print(f"wrote {out_dir}: documents x{copies} (id stride {id_stride}), "
           f"embeddings dim={dim} rotated per copy, "
-          f"events x{copies} (user stride {u_stride})")
+          f"events x{copies} (user stride {u_stride}), "
+          f"tpch facts x{copies} (orderkey stride {so}), dims fixed")
 
 
 if __name__ == "__main__":
