@@ -10,10 +10,10 @@ import graft.queries.{ExtraQueries, GraphQueries, RelationalQueries, SimilarityQ
   * operator/capability from SURVEY.md §2 (stream operators on `events`,
   * relational plans on the TPC-H-ish tables, training-data text/dedup/
   * similarity pipelines on `documents`/`embeddings`). `oracleSql` carries a
-  * DuckDB-equivalent for every SQL-expressible query; the few entries
-  * without an oracle (the xxhash64/splitmix-seeded MinHash/SimHash/LSH
-  * pipelines) get the driver's rows-only check and each has a fully
-  * oracled portable-hash twin.
+  * DuckDB-equivalent for EVERY query — since round 11 the production
+  * xxhash64/splitmix pipelines are replayed bit-for-bit by generated
+  * wraparound-arithmetic SQL ([[graft.queries.XxhashOracleSql]]), so no
+  * rows-only entries remain.
   */
 object SparkEntry {
 
