@@ -256,22 +256,32 @@ object Dedup {
     // signature rows for each side of the bucket self-join is a cheap
     // codegen'd projection, half the cached footprint.
     val sigs = track(signatures)
-    // Band hash = one multi-arg xxhash64 over (band index, the band's
-    // signature slots) — static codegen'd columns, no interpreted
-    // transform(sequence(...)) lambda, no string concat.
-    def bandHash(b: Int): Column =
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
-        element_at(col("signature"), b * rowsPerBand + r + 1))): _*)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until numBands).map(bandHash): _*))
-        .as(Seq("band_idx", "band_hash")))
+    val banded = minhashBands(sigs, numPerms, rowsPerBand)
     val l = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val r = banded.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_b"))
     l.join(r, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Signature rows → one (doc_id, band_idx, band_hash) row per band.
+    * Band hash = one multi-arg xxhash64 over (band index, the band's
+    * signature slots) — static codegen'd columns, no interpreted
+    * transform(sequence(...)) lambda, no string concat. Factored out so
+    * the streaming ingest path can index ARRIVING docs' bands against an
+    * accumulated band table with the identical hash. */
+  def minhashBands(signatures: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && numPerms >= rowsPerBand && numPerms % rowsPerBand == 0,
+      s"banding must tile the signature exactly: numPerms=$numPerms rowsPerBand=$rowsPerBand")
+    val numBands = numPerms / rowsPerBand
+    def bandHash(b: Int): Column =
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r =>
+        element_at(col("signature"), b * rowsPerBand + r + 1))): _*)
+    signatures.select(
+      col("doc_id"),
+      posexplode(array((0 until numBands).map(bandHash): _*))
+        .as(Seq("band_idx", "band_hash")))
   }
 
   /** 64-bit SimHash over the token multiset: per token a 64-bit hash votes

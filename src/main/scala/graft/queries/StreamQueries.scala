@@ -384,6 +384,69 @@ object StreamQueries {
         .select(col("event_id"), col("ts2"), roundp(col("value"), 2).as("value"))
     }),
 
+    // Streaming INGEST NEAR-DUP DETECTION — the online face of the
+    // MinHash-LSH pipeline: documents arrive as micro-batches (doc_id-
+    // contiguous chunk replay, the crawl-feed shape) and each batch's
+    // band hashes are (1) equi-joined against the ACCUMULATED band index
+    // of everything ingested before it and (2) self-joined within the
+    // batch — so a candidate pair is emitted exactly once, in the batch
+    // where its LATER document lands, with its final shared-band count
+    // (both docs' band sets are complete at that moment; bands of a doc
+    // never change). The index grows by appending each batch's bands as
+    // a batchId-keyed parquet dir (idempotent on retry; at 100 TB this
+    // is the bucketed band table a dedup service maintains). The union
+    // over batches therefore equals the BATCH q_minhash_lsh output
+    // row-for-row, and the gate reuses its bit-exact XXH64 oracle.
+    "q_streaming_minhash" -> ((s, dir) => {
+      val idxDir = graft.core.TempDirs.create("graft_mh_idx_").toAbsolutePath
+      val outDir = graft.core.TempDirs.create("graft_mh_out_").toAbsolutePath
+      val ckpt = graft.core.TempDirs.create("graft_mh_ckpt_").toAbsolutePath
+      val bandSchema = "doc_id BIGINT, band_idx INT, band_hash BIGINT"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        Tables.streamDocsChunked(s, dir)
+          .writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!b.isEmpty) {
+              val bandsNew = graft.dedup.Dedup.minhashBands(
+                graft.dedup.Dedup.minhashSignatures(b.toDF(), col("doc_id"), col("text"),
+                  n = 3, numPerms = 32),
+                numPerms = 32, rowsPerBand = 4).localCheckpoint()
+              val histDirs = (0L until batchId).map(i => s"$idxDir/b$i")
+                .filter(p => new java.io.File(p).exists())
+              val newL = bandsNew.select(col("band_idx"), col("band_hash"),
+                col("doc_id").as("id_a"))
+              val newR = bandsNew.select(col("band_idx"), col("band_hash"),
+                col("doc_id").as("id_b"))
+              val vsHistory =
+                if (histDirs.isEmpty) s.emptyDataFrame
+                    .withColumn("id_a", lit(0L)).withColumn("id_b", lit(0L))
+                    .select("id_a", "id_b").limit(0)
+                else s.read.schema(bandSchema).parquet(histDirs: _*)
+                  .select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+                  .join(newR, Seq("band_idx", "band_hash"))
+                  .select("id_a", "id_b")
+              val withinBatch = newL.join(newR, Seq("band_idx", "band_hash"))
+                .filter(col("id_a") < col("id_b"))
+                .select("id_a", "id_b")
+              vsHistory.unionByName(withinBatch)
+                .select(least(col("id_a"), col("id_b")).as("id_a"),
+                  greatest(col("id_a"), col("id_b")).as("id_b"))
+                .groupBy(col("id_a"), col("id_b"))
+                .agg(count(lit(1)).as("n_shared_bands"))
+                .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+              bandsNew.write.mode("overwrite").parquet(s"$idxDir/b$batchId")
+            }
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/b*")
+    }),
+
     // Streaming ANN SERVING — the online face of the PQ pipeline: query
     // embeddings arrive as micro-batches (vec_id < 50 replayed in 3
     // id-contiguous chunks) and each batch is enriched against the
@@ -1509,6 +1572,10 @@ object StreamQueries {
     "q_streaming_merge" -> TextQueries.oracles("q_merge_upsert"),
     // per-query ADC results are batch-independent: replayed stream ≡ batch
     "q_streaming_knn" -> SimilarityQueries.pqAdcOracle("q.vec_id < 50"),
+
+    // a candidate pair lands once, when its later doc arrives, with both
+    // band sets complete — the union over batches IS the batch output
+    "q_streaming_minhash" -> XxhashOracleSql.minhashLshOracle(),
 
     // every event re-stamped by its payload shift; the ONE pending last
     // window of the fallback = the unique max-ts event, excluded here
