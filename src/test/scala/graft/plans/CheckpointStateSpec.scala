@@ -24,6 +24,7 @@ class CheckpointStateSpec extends AnyFunSuite {
     assert(StreamingLowering.decodeSlidingTimeState(null) ==
       scala.collection.immutable.Queue.empty[Event[Any]])
     assert(StreamingLowering.decodeZipJoinState(null) == ((Nil, Nil)))
+    assert(StreamingLowering.decodeGenericWindowState(null) == ((0, 0, Nil)))
   }
 
   test("well-shaped state round-trips through each decoder") {
@@ -34,6 +35,8 @@ class CheckpointStateSpec extends AnyFunSuite {
     assert(StreamingLowering.decodeSlidingTimeState(q) == q)
     val zj = (List((None: Option[java.sql.Timestamp]) -> ("l": Any)), List("r": Any))
     assert(StreamingLowering.decodeZipJoinState(zj) == zj)
+    assert(StreamingLowering.decodeGenericWindowState((2, 77, goodEvents)) ==
+      ((2, 77, goodEvents)))
   }
 
   test("wrong-shape state yields a directed incompatible-checkpoint error") {
@@ -65,6 +68,11 @@ class CheckpointStateSpec extends AnyFunSuite {
       StreamingLowering.decodeZipJoinState((Map.empty[String, Int], Nil): Any)
     }
     assert(e5.getMessage.contains("'zip-join'"))
+
+    val e6 = intercept[IllegalStateException] {
+      StreamingLowering.decodeGenericWindowState((goodEvents, 0): Any)
+    }
+    assert(e6.getMessage.contains("'generic-window'"))
   }
 
   test("the error names the current state encoding version") {
