@@ -71,6 +71,53 @@ object ExtraQueries {
         .unionByName(open.except(large).withColumn("tag", lit("open_only")))
     }),
 
+    // Ranked-distribution window functions — the analytics quartet the
+    // surface lacked: within each brand, parts ranked by total shipped
+    // quantity with rank / dense_rank / percent_rank / cume_dist /
+    // ntile(4). percent_rank = (rank−1)/(n−1) and cume_dist = peers≤/n
+    // are each ONE IEEE divide of integers, so DuckDB reproduces them
+    // bit-for-bit; ordering is made total with the partkey tiebreak.
+    // Plan shape: join + partial agg collapse lineitem before the single
+    // per-brand window sort — the window input is |parts|, not |lineitem|.
+    "q_rank_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand")).orderBy(col("qty").desc, col("l_partkey"))
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("l_partkey"), col("qty"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // Exponential smoothing (EWMA, α = 1/2) over each user's event-value
+    // series — the anomaly-detection staple next to q_rolling_zscore's
+    // trailing mean. Kept EXACT and engine-portable by the same integer-
+    // cents discipline: the unnormalized binary-weighted prefix
+    // Σ_{i<16} cents_{t−i}·2^(15−i) is pure integer arithmetic (16
+    // codegen'd lag terms — no fold, no float accumulation), emitted with
+    // the term count so a consumer can normalize; values beyond 16 steps
+    // carry weight < 2⁻¹⁶ of the head and are truncated identically on
+    // both engines. Overflow audit: cents < 2²⁰, Σ 2^i ≤ 2¹⁶ → sum < 2³⁶.
+    "q_ewma" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cents = floor(col("value") * 100 + 0.5).cast("bigint")
+      val terms = (0 until 16).map(i =>
+        coalesce(lag(col("cents"), i).over(w), lit(0L)) * lit(1L << (15 - i)))
+      val nTerms = (0 until 16).map(i =>
+        when(lag(col("cents"), i).over(w).isNotNull, 1).otherwise(0))
+      Tables.events(s, dir)
+        .withColumn("cents", cents)
+        .select(col("event_id"), col("user_id"), col("cents"),
+          terms.reduce(_ + _).as("ewma_num"),
+          nTerms.reduce(_ + _).as("n_terms"))
+    }),
+
     // Session windows: per-user sessions with a 10-minute inactivity gap
     // (Spark closes a session when the next event is >= gap after the
     // last); session key = the window start = first event's timestamp.
@@ -243,6 +290,38 @@ object ExtraQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // identical rank/divide arithmetic; NTILE's uneven-bucket rule
+    // (first n%4 buckets one larger) is the same in both engines
+    "q_rank_funcs" ->
+      """WITH q AS (
+        |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p.p_brand, q.l_partkey, q.qty,
+        |       CAST(rank() OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS drnk,
+        |       percent_rank() OVER w AS prnk,
+        |       cume_dist() OVER w AS cdist,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM q JOIN part p ON q.l_partkey = p.p_partkey
+        |WINDOW w AS (PARTITION BY p.p_brand ORDER BY q.qty DESC, q.l_partkey)""".stripMargin,
+
+    // the same 16 static lag terms, integer weights, no accumulation order
+    "q_ewma" -> {
+      val terms = (0 until 16).map(i =>
+        s"coalesce(lag(cents, $i) OVER w, 0) * ${1L << (15 - i)}").mkString(" + ")
+      val nTerms = (0 until 16).map(i =>
+        s"CASE WHEN lag(cents, $i) OVER w IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH c AS (
+         |  SELECT event_id, user_id, ts,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT event_id, user_id, cents,
+         |       CAST($terms AS BIGINT) AS ewma_num,
+         |       CAST($nTerms AS INT) AS n_terms
+         |FROM c
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+    },
+
     // plain join+agg — the bucketed layout must be invisible to results
     "q_bucketed_join" ->
       """SELECT l_orderkey, count(*) AS n_items,
