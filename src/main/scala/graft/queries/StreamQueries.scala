@@ -560,6 +560,37 @@ object StreamQueries {
     // integer anomaly test applied as the same column expression. Reuses
     // the batch oracle verbatim: all-integer emissions are final at
     // arrival, so the replayed stream must hash-match it exactly.
+    // Streaming EWMA through StreamingOps.ewmaByKey — the q_ewma
+    // binary-weighted trailing fold as a keyed FIFO state machine:
+    // integer cents recovered identically, the weighted numerator and
+    // term count emitted per event. All-integer emissions are final at
+    // arrival, so the replayed stream reuses the batch oracle verbatim.
+    "q_streaming_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut
+          : org.apache.spark.sql.Encoder[(Long, Long, Long, Long, Int)] =
+        Encoders.product[(Long, Long, Long, Long, Int)]
+      implicit val encState
+          : org.apache.spark.sql.Encoder[scala.collection.immutable.Queue[Long]] =
+        Encoders.kryo[scala.collection.immutable.Queue[Long]]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.scalaDouble))
+        .map { case (u, ts, id, v) =>
+          // identical IEEE ops to the batch floor(value*100 + 0.5) column
+          (u, Event(Some(ts), Some((id, math.floor(v * 100 + 0.5).toLong))))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, Long)]]))
+      val stats = graft.streaming.StreamingOps.ewmaByKey[Long](keyed, lookback = 16)
+      runLoweredToDf(s, stats.toDF("user_id", "event_id", "cents", "ewma_num", "n_terms"),
+        "graft_stream_ewma_", statePartitions = 4)
+        .select(col("event_id"), col("user_id"), col("cents"),
+          col("ewma_num"), col("n_terms"))
+    }),
+
     "q_streaming_zscore" -> ((s, dir) => {
       import org.apache.spark.sql.Encoders
       import graft.core.Event
@@ -1566,6 +1597,8 @@ object StreamQueries {
     // identical to the batch q_rolling_zscore oracle: integer emissions
     // are exact, so the streaming replay must reproduce every row
     "q_streaming_zscore" -> ExtraQueries.oracles("q_rolling_zscore"),
+    // integer emissions final at arrival: replayed stream ≡ batch EWMA
+    "q_streaming_ewma" -> ExtraQueries.oracles("q_ewma"),
 
     // key-disjoint chunks + one-change-per-key ⇒ the sequential merges
     // compose to exactly the batch merge — same oracle

@@ -473,6 +473,57 @@ object StreamingOps {
       }
   }
 
+  /** Streaming binary-weighted trailing fold per key — the incremental
+    * twin of the batch EWMA query (`q_ewma`, α = 1/2 as the unnormalized
+    * integer prefix Σ_{i<lookback} v_{t−i}·2^(lookback−1−i)): per timed
+    * data event `(id, v)`, emits `(key, id, v, ewma_num, n_terms)` where
+    * `ewma_num` is the weighted sum over the trailing `lookback` values
+    * INCLUDING the event (newest gets the largest weight) and `n_terms`
+    * the count actually present. All-integer arithmetic, so emissions are
+    * exact and final at arrival (no watermark); state is a FIFO of
+    * ≤ lookback−1 longs per key, O(lookback) work per event. The batch
+    * window's (ts, event_id) ordering is reproduced by the per-batch
+    * (time, id) sort, so an in-order replay hash-matches the batch
+    * oracle. */
+  def ewmaByKey[K](ds: Dataset[(K, Event[(Long, Long)])], lookback: Int,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K],
+      encOut: Encoder[(K, Long, Long, Long, Int)],
+      encState: Encoder[scala.collection.immutable.Queue[Long]])
+      : Dataset[(K, Long, Long, Long, Int)] = {
+    require(lookback >= 1 && lookback <= 62,
+      s"lookback must be in 1..62 (got $lookback): weights are 2^i longs")
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[scala.collection.immutable.Queue[Long],
+                              (K, Long, Long, Long, Int)](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[(Long, Long)])],
+         state: GroupState[scala.collection.immutable.Queue[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption
+              .getOrElse(scala.collection.immutable.Queue.empty[Long])
+            val sorted = it.map(_._2).toIndexedSeq
+              .collect { case e if e.time.isDefined && e.value.isDefined =>
+                (Event.micros(e.time.get), e.value.get._1, e.value.get._2) }
+              .sortBy(t => (t._1, t._2))
+            val out = sorted.map { case (_, id, v) =>
+              buf = buf.enqueue(v)
+              if (buf.length > lookback) buf = buf.dequeue._2
+              // newest value carries weight 2^(lookback-1); older values
+              // halve per step — identical to the batch lag-term weights
+              var num = 0L
+              var w = 1L << (lookback - buf.length)
+              buf.foreach { x => num += x * w; w <<= 1 }
+              (k, id, v, num, buf.length)
+            }
+            state.update(buf)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming `slidingTime ms` per key (reference
     * `FunctionalProcessing.hs:99-108` per-key): per timed event e of a
     * key, the window [e.time, e.time+ms); e's window closes when the
