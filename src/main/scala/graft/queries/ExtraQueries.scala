@@ -118,6 +118,48 @@ object ExtraQueries {
           nTerms.reduce(_ + _).as("n_terms"))
     }),
 
+    // PIVOT — long-to-wide reshaping: per user, event counts and rounded
+    // value sums pivoted into one column pair per event type. Spark plans
+    // pivot as ONE Expand + aggregate (single shuffle, map-side combined,
+    // not |types| scans); the type list is given explicitly so the plan
+    // skips the distinct-values pre-query a dynamic pivot needs (and the
+    // oracle can mirror it as static conditional aggregation).
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error"))
+        .agg(count(lit(1)).as("n"), roundp(sum(col("value")), 2).as("sum_v"))
+        .na.fill(0L, Seq("click_n", "view_n", "purchase_n", "error_n"))),
+
+    // Pearson correlation between quantity and extended price from EXACT
+    // moments: both columns recovered as exact integers (quantity is
+    // integer-valued, price at 2 decimals → cents), the five moments
+    // summed exactly (Σy² in decimal(38) — a bigint sum overflows past
+    // ~sf0.05; DuckDB mirrors with HUGEINT), and only the FINAL
+    // correlation is a fixed sequence of double ops over those exact
+    // values, rounded at 6dp — deterministic on both engines because the
+    // inputs are exact and the op sequence identical. The order-sensitive
+    // float-accumulation trap (engine-dependent Σ of doubles) never
+    // appears: no double is ever summed across rows.
+    "q_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("bigint").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          roundp((col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr_qty_price"))),
+
     // Session windows: per-user sessions with a 10-minute inactivity gap
     // (Spark closes a session when the next event is >= gap after the
     // last); session key = the window start = first event's timestamp.
@@ -321,6 +363,41 @@ object ExtraQueries {
          |FROM c
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
     },
+
+    // static conditional aggregation = the explicit-type-list pivot
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+        |  floor(sum(value) FILTER (event_type = 'click') * 100 + 0.5) / 100 AS click_sum_v,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+        |  floor(sum(value) FILTER (event_type = 'view') * 100 + 0.5) / 100 AS view_sum_v,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+        |  floor(sum(value) FILTER (event_type = 'purchase') * 100 + 0.5) / 100 AS purchase_sum_v,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error_n,
+        |  floor(sum(value) FILTER (event_type = 'error') * 100 + 0.5) / 100 AS error_sum_v
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // exact HUGEINT moments, the identical final double-op sequence
+    "q_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+        |         sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+        |         sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS syy,
+        |         sum(CAST(CAST(l_quantity AS BIGINT)
+        |                  * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |             * 1000000 + 0.5) / 1000000 AS corr_qty_price
+        |FROM m""".stripMargin,
 
     // plain join+agg — the bucketed layout must be invisible to results
     "q_bucketed_join" ->
