@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtraQueries, GraphQueries, RelationalQueries, SimilarityQueries, SketchQueries, StreamQueries, TaxiQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, ExtraQueries, GraphQueries, RelationalQueries, SimilarityQueries, SketchQueries, StreamQueries, TaxiQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,10 +25,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ StreamQueries.queries ++
       TextQueries.queries ++ SimilarityQueries.queries ++ TaxiQueries.queries ++
-      GraphQueries.queries ++ ExtraQueries.queries ++ SketchQueries.queries
+      GraphQueries.queries ++ ExtraQueries.queries ++ SketchQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ StreamQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++ TaxiQueries.oracles ++
-      GraphQueries.oracles ++ ExtraQueries.oracles ++ SketchQueries.oracles
+      GraphQueries.oracles ++ ExtraQueries.oracles ++ SketchQueries.oracles ++
+      AnalyticsQueries.oracles
 }
