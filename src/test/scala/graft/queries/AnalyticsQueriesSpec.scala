@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Semantic invariants of the AnalyticsQueries wave, cross-checked
+  * against brute-force recomputation on collected testdata — independent
+  * of the DuckDB oracle (which mirrors the same SQL shape and could in
+  * principle share a bug with it). */
+class AnalyticsQueriesSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = AnalyticsQueries.queries(name)(spark, sf)
+
+  test("q_skyline matches the brute-force strict-Pareto NOT EXISTS definition") {
+    val parts = Tables.part(spark, sf)
+      .selectExpr("p_brand", "p_partkey", "p_size",
+        "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val expected = parts.filter { case (b, _, size, c) =>
+      !parts.exists { case (b2, _, size2, c2) =>
+        b2 == b && c2 <= c && size2 >= size && (c2 < c || size2 > size)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    val got = run("q_skyline").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"skyline mismatch: extra=${got -- expected}, missing=${expected -- got}")
+  }
+
+  test("q_mad matches direct per-user upper-middle median and deviation median") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def upperMid(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+    val got = run("q_mad").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, med, mad, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val xs = ev(u)
+      assert(n == xs.size)
+      assert(med == upperMid(xs), s"user $u median")
+      assert(mad == upperMid(xs.map(x => math.abs(x - med))), s"user $u mad")
+    }
+  }
+
+  test("q_pagerank matches a driver-side replay of the fixed-point iteration") {
+    val prRows = run("q_pagerank").collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    // rebuild edges + outdeg locally and replay the identical arithmetic
+    val li = Tables.lineitem(spark, sf).selectExpr("l_orderkey", "l_suppkey")
+    val o  = Tables.orders(spark, sf).selectExpr("o_orderkey", "o_custkey")
+    val cu = Tables.customer(spark, sf).selectExpr("c_custkey", "c_nationkey")
+    val su = Tables.supplier(spark, sf).selectExpr("s_suppkey", "s_nationkey")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(cu, o("o_custkey") === cu("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .selectExpr("c_nationkey AS src", "s_nationkey AS dst").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = Tables.nation(spark, sf).selectExpr("n_nationkey")
+      .collect().map(_.getInt(0))
+    var ranks = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 10) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => ranks(s) / outdeg(s) }.sum).toMap
+      ranks = nodes.map(n => n -> (150000000000L + in.getOrElse(n, 0L) * 85 / 100)).toMap
+    }
+    assert(prRows == ranks, "distributed fixed-point PageRank != driver replay")
+  }
+
+  test("q_gap_fill spine is contiguous per user, filled is never null, gaps carry the last value") {
+    val rows = run("q_gap_fill").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val days = sorted.map(_._2)
+      assert(days.head + days.size - 1 == days.last, s"user $u spine has holes")
+      // first day of the spine is an observation by construction
+      assert(!sorted.head._4, s"user $u starts with a gap")
+      sorted.sliding(2).foreach {
+        case Array((_, _, prev, _), (_, d, filled, isGap)) =>
+          if (isGap) assert(filled == prev, s"user $u day $d LOCF broke")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_linreg reproduces the closed-form OLS on collected data") {
+    val data = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    run("q_linreg").collect().foreach { r =>
+      val xs = data(r.getString(0))
+      val n = xs.size.toDouble
+      val (sx, sy) = (xs.map(_._2).sum.toDouble, xs.map(_._3).sum.toDouble)
+      val sxy = xs.map(t => BigInt(t._2) * BigInt(t._3)).sum.toDouble
+      val sxx = xs.map(t => BigInt(t._2) * BigInt(t._2)).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(2) - slope) < 1e-4, s"${r.getString(0)} slope")
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-2, s"${r.getString(0)} intercept")
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q_skew_stats is near zero skewness for the symmetric-uniform quantity column") {
+    // quantity is ~uniform on [1, 50] per flag: skewness ≈ 0, excess
+    // kurtosis ≈ −1.2 (uniform). Loose bands — this is a sanity check of
+    // the moment algebra, not of the data generator.
+    run("q_skew_stats").collect().foreach { r =>
+      assert(math.abs(r.getDouble(3)) < 0.2, s"${r.getString(0)} skewness ${r.getDouble(3)}")
+      assert(r.getDouble(4) > -1.5 && r.getDouble(4) < -0.8,
+        s"${r.getString(0)} kurtosis ${r.getDouble(4)}")
+    }
+  }
+
+  test("q_mode picks the true per-user maximum with the smallest-type tiebreak") {
+    val counts = Tables.events(spark, sf)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    run("q_mode").collect().foreach { r =>
+      val (u, ty, n) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val best = counts(u).map(t => (t._3, t._2)).sortBy(t => (-t._1, t._2)).head
+      assert((n, ty) == best, s"user $u mode")
+    }
+  }
+
+  test("q_entropy is 0 for single-type users and bounded by ln(5)") {
+    val rows = run("q_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(2)
+      assert(h >= 0.0 && h <= math.log(5.0) + 1e-9, s"user ${r.getLong(0)} H=$h")
+    }
+  }
+
+  test("q_grouping_sets contains exactly the three sets and they reconcile") {
+    val rows = run("q_grouping_sets").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getInt(2), r.getInt(3), r.getLong(4)))
+    val detail  = rows.filter(t => t._3 == 0 && t._4 == 0)
+    val byFlag  = rows.filter(t => t._3 == 0 && t._4 == 1)
+    val byStat  = rows.filter(t => t._3 == 1 && t._4 == 0)
+    assert(rows.length == detail.length + byFlag.length + byStat.length,
+      "unexpected grouping-id combination (grand total should be absent)")
+    val total = detail.map(_._5).sum
+    assert(byFlag.map(_._5).sum == total && byStat.map(_._5).sum == total,
+      "subtotal rows do not reconcile with the detail set")
+  }
+
+  test("q_listagg emits at most 10 names and all of them when a nation has fewer") {
+    run("q_listagg").collect().foreach { r =>
+      val n = r.getLong(1)
+      val names = r.getString(2).split(",")
+      assert(names.length == math.min(n, 10L).toInt, s"${r.getString(0)}")
+    }
+  }
+
+  test("q_histogram partitions the table: bin counts sum to |lineitem| and bounds nest") {
+    val rows = run("q_histogram").collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (bin, lo, hi) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(lo >= bin * 500000L && hi < (bin + 1) * 500000L && lo <= hi)
+    }
+  }
+}
