@@ -276,6 +276,114 @@ object AnalyticsQueries {
           col("day_last").isNull.as("is_gap"))
     }),
 
+    // Pointwise mutual information over word co-occurrence — the corpus-
+    // statistics backbone of collocation mining / embedding evaluation.
+    // Vocabulary = words in ≥5% of documents (a FRACTIONAL document-
+    // frequency threshold, so selection needs no global top-k sort and
+    // the set stays distribution-bounded as the corpus grows); pairs =
+    // distinct vocab words co-occurring in a document, built by ONE
+    // doc_id-co-keyed self-join whose per-doc fan-out is capped by
+    // |vocab|². Counts are exact integers; PMI = ln(N·c_ab/(c_a·c_b)) is
+    // a fixed op sequence per output row, 6dp-rounded; c_ab ≥ 10 bounds
+    // the emitted matrix to the statistically meaningful cells.
+    "q_pmi" -> ((s, dir) => {
+      // N is a SCALAR (one count job, kmeans-style model-sized driver
+      // state) — folding it in as a literal keeps the plan free of the
+      // 1-row crossJoin shape q_tfidf carries.
+      val nDocs = Tables.documents(s, dir).count()
+      val docw = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
+        .distinct()
+      val df = docw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        .filter(col("df").cast("double") >= lit(0.05) * lit(nDocs.toDouble))
+      val vw = docw.join(broadcast(df), "word")
+      vw.select(col("doc_id"), col("word").as("w1"), col("df").as("df1"))
+        .join(vw.select(col("doc_id"), col("word").as("w2"), col("df").as("df2")), "doc_id")
+        .filter(col("w1") < col("w2"))
+        .groupBy(col("w1"), col("w2"), col("df1"), col("df2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 10)
+        .select(col("w1"), col("w2"), col("c_ab"), col("df1"), col("df2"),
+          roundp(log(lit(nDocs.toDouble) * col("c_ab").cast("double")
+            / (col("df1").cast("double") * col("df2").cast("double"))), 6).as("pmi"))
+    }),
+
+    // Two-proportion z-test — experiment analysis over the event stream:
+    // users split A/B by user_id parity, conversion = a heavy purchaser
+    // (≥ 14 purchase events — near the per-user median, so both outcome
+    // classes are populated; "any purchase" is 100% in this data and
+    // makes the statistic undefined). One per-user reduction (single
+    // shuffle on user_id) collapses the stream to |users| rows; the test
+    // statistic is a fixed double-op sequence over the four exact counts
+    // (pooled-variance z), engine-exact at 6dp, NULL in the degenerate
+    // all-convert/none-convert case where z is undefined (Spark 4 ANSI
+    // raises DIVIDE_BY_ZERO even for doubles, so the guard is
+    // correctness, not cosmetics). Output is ONE row regardless of scale.
+    "q_ab_test" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(when(count(when(col("event_type") === "purchase", 1)) >= 14, 1)
+          .otherwise(0).as("conv"))
+        .select((col("user_id") % 2).as("variant"), col("conv"))
+      perUser.agg(
+        count(when(col("variant") === 0, 1)).as("n_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0)).as("conv_a"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0)).as("conv_b"))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          col("n_a").cast("double").as("dna"), col("n_b").cast("double").as("dnb"),
+          col("conv_a").cast("double").as("dca"), col("conv_b").cast("double").as("dcb"))
+        .withColumn("p_a", col("dca") / col("dna"))
+        .withColumn("p_b", col("dcb") / col("dnb"))
+        .withColumn("p_pool", (col("dca") + col("dcb")) / (col("dna") + col("dnb")))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          roundp(col("p_a"), 6).as("rate_a"), roundp(col("p_b"), 6).as("rate_b"),
+          when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+            roundp((col("p_b") - col("p_a"))
+              / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+                * (lit(1.0) / col("dna") + lit(1.0) / col("dnb"))), 6)).as("z_score"))
+    }),
+
+    // Last-touch attribution — each purchase credited to the user's most
+    // recent PRIOR non-purchase event type ('direct' when none). ONE
+    // per-user window (rows-frame, 1-preceding upper bound keeps the
+    // purchase itself out of its own attribution) carries the last
+    // channel forward; revenue stays exact cents. The marketing-
+    // analytics sibling of q_funnel/q_retention.
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("channel", coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w),
+          lit("direct")))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(cents(col("value"))).as("revenue_cents"))
+    }),
+
+    // Exact per-user order statistics — p25/p50/p75/p90 of the value
+    // series as SELECTED elements (0-based index ⌊p·(n−1)⌋ of the sorted
+    // cents list; the lower-element convention — no interpolation, no
+    // floats, hash-exact; medianUpper's sibling generalized to arbitrary
+    // ranks). Per-group lists are user-bounded, the same memory contract
+    // as q_median.
+    "q_percentiles" -> ((s, dir) => {
+      val sorted = sort_array(collect_list(col("c")))
+      def pick(p: Double) =
+        try_element_at(sorted,
+          (floor(lit(p) * (size(sorted) - 1)) + 1).cast("int"))
+      Tables.events(s, dir)
+        .select(col("user_id"), cents(col("value")).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), pick(0.25).as("p25"), pick(0.50).as("p50"),
+          pick(0.75).as("p75"), pick(0.90).as("p90"))
+    }),
+
     // Pareto frontier (skyline) per brand: parts not strictly dominated
     // on (cheaper price, larger size). Dominance is resolved with TWO
     // range-frame window maxima over exact price cents — max size among
@@ -465,6 +573,88 @@ object AnalyticsQueries {
         |FROM dev GROUP BY user_id, med""".stripMargin,
 
     "q_pagerank" -> pagerankSql,
+
+    // the identical whitespace tokenizer (TextQueries' Toks convention),
+    // fractional-df vocabulary, and fixed-op PMI
+    "q_pmi" ->
+      """WITH docw AS (
+        |  SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |    FROM documents)),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (
+        |  SELECT word, count(*) AS df FROM docw GROUP BY word),
+        |vocab AS (
+        |  SELECT word, df FROM df, nd
+        |  WHERE CAST(df AS DOUBLE) >= 0.05 * CAST(n_docs AS DOUBLE)),
+        |vw AS (SELECT d.doc_id, d.word, v.df FROM docw d JOIN vocab v USING (word)),
+        |pairs AS (
+        |  SELECT a.word AS w1, b.word AS w2, a.df AS df1, b.df AS df2,
+        |         count(*) AS c_ab
+        |  FROM vw a JOIN vw b ON a.doc_id = b.doc_id AND a.word < b.word
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= 10)
+        |SELECT w1, w2, c_ab, df1, df2,
+        |       floor(ln(CAST(n_docs AS DOUBLE) * CAST(c_ab AS DOUBLE)
+        |                / (CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE)))
+        |             * 1000000 + 0.5) / 1000000 AS pmi
+        |FROM pairs, nd""".stripMargin,
+
+    // the identical pooled-variance z over the four exact counts
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |         CASE WHEN count(*) FILTER (event_type = 'purchase') >= 14
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT count(*) FILTER (variant = 0) AS n_a,
+        |         count(*) FILTER (variant = 1) AS n_b,
+        |         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu),
+        |d AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS dna, CAST(n_b AS DOUBLE) AS dnb,
+        |         CAST(conv_a AS DOUBLE) AS dca, CAST(conv_b AS DOUBLE) AS dcb
+        |  FROM c),
+        |p AS (
+        |  SELECT *, dca / dna AS p_a, dcb / dnb AS p_b,
+        |         (dca + dcb) / (dna + dnb) AS p_pool
+        |  FROM d)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       floor(p_a * 1000000 + 0.5) / 1000000 AS rate_a,
+        |       floor(p_b * 1000000 + 0.5) / 1000000 AS rate_b,
+        |       CASE WHEN p_pool > 0.0 AND p_pool < 1.0 THEN
+        |         floor((p_b - p_a) / sqrt(p_pool * (1.0 - p_pool) * (1.0 / dna + 1.0 / dnb))
+        |               * 1000000 + 0.5) / 1000000 END AS z_score
+        |FROM p""".stripMargin,
+
+    "q_attribution" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+        |         coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        |                                  THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           'direct') AS channel
+        |  FROM events)
+        |SELECT channel, count(*) AS n_purchases,
+        |       CAST(sum(c) AS BIGINT) AS revenue_cents
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY channel""".stripMargin,
+
+    // the identical lower-element order statistics over sorted cents
+    "q_percentiles" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events)
+        |SELECT user_id, count(*) AS n,
+        |       list_sort(list(c))[CAST(floor(0.25 * (count(*) - 1)) AS INT) + 1] AS p25,
+        |       list_sort(list(c))[CAST(floor(0.5 * (count(*) - 1)) AS INT) + 1] AS p50,
+        |       list_sort(list(c))[CAST(floor(0.75 * (count(*) - 1)) AS INT) + 1] AS p75,
+        |       list_sort(list(c))[CAST(floor(0.9 * (count(*) - 1)) AS INT) + 1] AS p90
+        |FROM c GROUP BY user_id""".stripMargin,
 
     "q_gap_fill" ->
       """WITH ev AS (

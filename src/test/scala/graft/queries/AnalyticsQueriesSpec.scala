@@ -162,6 +162,75 @@ class AnalyticsQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_pmi matches a brute-force tokenize/df/pair recount") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val docWords = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).toSet
+    }
+    val n = docs.length
+    val df = docWords.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      .filter { case (_, c) => c.toDouble >= 0.05 * n.toDouble }
+    val pairCounts = docWords.flatMap { case (_, ws) =>
+      val vs = ws.filter(df.contains).toSeq.sorted
+      for (i <- vs.indices; j <- i + 1 until vs.size) yield (vs(i), vs(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 10)
+    val got = run("q_pmi").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == pairCounts.map { case (k, v) => (k, v.toLong) },
+      s"pair-count mismatch (got ${got.size}, expected ${pairCounts.size})")
+  }
+
+  test("q_ab_test counts reconcile and the z-score matches the closed form") {
+    val r = run("q_ab_test").collect().head
+    val (na, nb, ca, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na > 0 && nb > 0 && ca >= 0 && cb >= 0 && ca <= na && cb <= nb)
+    val (dna, dnb, dca, dcb) = (na.toDouble, nb.toDouble, ca.toDouble, cb.toDouble)
+    val (pa, pb) = (dca / dna, dcb / dnb)
+    val pc = (dca + dcb) / (dna + dnb)
+    assert(pc > 0.0 && pc < 1.0, "degenerate conversion split in testdata")
+    val z = (pb - pa) / math.sqrt(pc * (1 - pc) * (1 / dna + 1 / dnb))
+    assert(math.abs(r.getDouble(6) - z) < 1e-5)
+  }
+
+  test("q_attribution credits every purchase exactly once and matches a replay") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+      var lastChannel = "direct"
+      sorted.flatMap { r =>
+        val out = if (r._4 == "purchase") Some((lastChannel, r._5)) else None
+        if (r._4 != "purchase") lastChannel = r._4
+        out
+      }
+    }.groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum)).toMap
+    val got = run("q_attribution").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("q_percentiles picks the exact lower-element order statistics") {
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    run("q_percentiles").collect().foreach { r =>
+      val xs = ev(r.getLong(0))
+      def pick(p: Double) = xs(math.floor(p * (xs.size - 1)).toInt)
+      assert(r.getLong(1) == xs.size)
+      assert(r.getLong(2) == pick(0.25) && r.getLong(3) == pick(0.50)
+        && r.getLong(4) == pick(0.75) && r.getLong(5) == pick(0.90),
+        s"user ${r.getLong(0)}")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4)
+        && r.getLong(4) <= r.getLong(5))
+    }
+  }
+
   test("q_histogram partitions the table: bin counts sum to |lineitem| and bounds nest") {
     val rows = run("q_histogram").collect()
     val total = Tables.lineitem(spark, sf).count()
