@@ -591,6 +591,34 @@ object StreamQueries {
           col("ewma_num"), col("n_terms"))
     }),
 
+    // Streaming last-touch attribution: purchases credited at ARRIVAL to
+    // the user's carried channel (StreamingOps.attributeByKey — ONE
+    // string of state per key). In-order replay ⇒ row-for-row the batch
+    // q_attribution window's per-purchase assignment.
+    "q_streaming_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.Encoders
+      import graft.core.Event
+      implicit val encK: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+      implicit val encOut
+          : org.apache.spark.sql.Encoder[(Long, Long, String, Long)] =
+        Encoders.product[(Long, Long, String, Long)]
+      val keyed = Tables.streamEventsChunked(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, Long, String, Double)](
+          Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+            Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble))
+        .map { case (u, ts, id, ty, v) =>
+          // identical IEEE ops to the batch floor(value*100 + 0.5) column
+          (u, Event(Some(ts), Some((id, ty, math.floor(v * 100 + 0.5).toLong))))
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, String, Long)]]))
+      val credited = graft.streaming.StreamingOps.attributeByKey[Long](
+        keyed, creditType = "purchase", defaultChannel = "direct")
+      runLoweredToDf(s, credited.toDF("user_id", "event_id", "channel", "cents"),
+        "graft_stream_attr_", statePartitions = 4)
+        .select(col("event_id"), col("user_id"), col("channel"), col("cents"))
+    }),
+
     "q_streaming_zscore" -> ((s, dir) => {
       import org.apache.spark.sql.Encoders
       import graft.core.Event
@@ -1599,6 +1627,21 @@ object StreamQueries {
     "q_streaming_zscore" -> ExtraQueries.oracles("q_rolling_zscore"),
     // integer emissions final at arrival: replayed stream ≡ batch EWMA
     "q_streaming_ewma" -> ExtraQueries.oracles("q_ewma"),
+
+    // the batch attribution window BEFORE its channel rollup: one row per
+    // purchase with its last-touch channel — the streaming emission grain
+    "q_streaming_attribution" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |         coalesce(last_value(CASE WHEN event_type <> 'purchase'
+        |                                  THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           'direct') AS channel
+        |  FROM events)
+        |SELECT event_id, user_id, channel, cents FROM a
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     // key-disjoint chunks + one-change-per-key ⇒ the sequential merges
     // compose to exactly the batch merge — same oracle

@@ -524,6 +524,49 @@ object StreamingOps {
       }
   }
 
+  /** Streaming last-touch attribution (the online form of the batch
+    * q_attribution window): per timed event `(id, channel, cents)`, a
+    * CREDIT event (`channel == creditType`) emits `(key, id, attributed
+    * channel, cents)` where the attributed channel is the key's most
+    * recent non-credit channel (`defaultChannel` when none yet); any
+    * other event just becomes the new carried channel. State is ONE
+    * string per key — O(1), the cheapest possible keyed-state footprint,
+    * so an unbounded stream holds |active keys| strings total (and the
+    * idle timeout can evict even those). Emissions are exact and final
+    * at arrival — no watermark, no retraction; the per-batch (time, id)
+    * sort reproduces the batch window's ordering, so an in-order replay
+    * hash-matches the batch oracle row-for-row. */
+  def attributeByKey[K](ds: Dataset[(K, Event[(Long, String, Long)])],
+      creditType: String, defaultChannel: String,
+      idleTimeoutMs: Option[Long] = None)(
+      implicit encK: Encoder[K],
+      encOut: Encoder[(K, Long, String, Long)])
+      : Dataset[(K, Long, String, Long)] = {
+    implicit val encState: Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[String, (K, Long, String, Long)](
+        OutputMode.Append, timeoutConf(idleTimeoutMs)) {
+        (k: K, it: Iterator[(K, Event[(Long, String, Long)])],
+         state: GroupState[String]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var channel = state.getOption.getOrElse(defaultChannel)
+            val sorted = it.map(_._2).toIndexedSeq
+              .collect { case e if e.time.isDefined && e.value.isDefined =>
+                (Event.micros(e.time.get), e.value.get) }
+              .sortBy(t => (t._1, t._2._1))
+            val out = sorted.flatMap { case (_, (id, ch, cents)) =>
+              if (ch == creditType) Some((k, id, channel, cents))
+              else { channel = ch; None }
+            }
+            state.update(channel)
+            idleTimeoutMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming `slidingTime ms` per key (reference
     * `FunctionalProcessing.hs:99-108` per-key): per timed event e of a
     * key, the window [e.time, e.time+ms); e's window closes when the

@@ -424,6 +424,68 @@ class StreamingOpsSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("attributeByKey: channel state carries ACROSS micro-batches, pre-touch " +
+       "purchases get the default, consecutive purchases share one touch") {
+    import org.apache.spark.sql.Encoders
+    implicit val encOut: org.apache.spark.sql.Encoder[(Long, Long, String, Long)] =
+      Encoders.product[(Long, Long, String, Long)]
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    val dir = Files.createTempDirectory("graft-attr")
+    val batches = Seq(
+      Seq( // batch 0
+        (1L, ts(10), 1L, "view", 0L),
+        (1L, ts(11), 2L, "purchase", 100L), // → view (same batch)
+        (2L, ts(10), 3L, "purchase", 200L)  // → direct (no touch yet)
+      ),
+      Seq( // batch 1 — purchase 4 must read user 1's view state from batch 0
+        (1L, ts(12), 4L, "purchase", 300L), // → view (state carry)
+        (1L, ts(13), 5L, "click", 0L),
+        (2L, ts(11), 6L, "error", 0L)
+      ),
+      Seq( // batch 2 — credits from batch-1 touches; purchases don't
+           // overwrite the carried channel
+        (1L, ts(14), 7L, "purchase", 400L), // → click
+        (2L, ts(12), 8L, "purchase", 500L), // → error
+        (2L, ts(13), 9L, "purchase", 600L)  // consecutive → still error
+      ))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val sub = Files.createTempDirectory("graft-attr-build")
+      rows.toDF("user_id", "ts", "id", "ch", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = java.nio.file.Files.list(sub)
+      val found = try part.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.findFirst().orElse(null) finally part.close()
+      assert(found != null, s"no part file under $sub")
+      val target = dir.resolve(f"batch-$i%02d.parquet")
+      java.nio.file.Files.move(found, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600000L + i * 10000L))
+    }
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[(Long, java.sql.Timestamp, Long, String, Long)]
+      .map { case (u, t, id, ch, c) => (u, Event(Some(t), Some((id, ch, c)))) }(
+        Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, String, Long)]]))
+    val credited = StreamingOps.attributeByKey[Long](stream,
+      creditType = "purchase", defaultChannel = "direct")
+    val q = credited.toDF("user_id", "id", "channel", "cents").writeStream
+      .format("memory").queryName("attr_test").outputMode("append").start()
+    q.processAllAvailable()
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      s"expected 3 data micro-batches, got ${q.recentProgress.map(_.numInputRows).mkString(",")}")
+    q.stop()
+    val got = spark.table("attr_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 2L, "view", 100L), (2L, 3L, "direct", 200L),
+      (1L, 4L, "view", 300L),
+      (1L, 7L, "click", 400L), (2L, 8L, "error", 500L), (2L, 9L, "error", 600L)))
+  }
+
   test("asofEnrichByKey: equal-ts right wins, state carries ACROSS micro-batches, " +
        "no-right lefts get None, out-of-order arrivals don't violate at-or-before") {
     import org.apache.spark.sql.Encoders
