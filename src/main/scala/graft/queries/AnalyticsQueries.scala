@@ -247,6 +247,56 @@ object AnalyticsQueries {
         .select(col("node").as("n_nationkey"), col("n_name"), col("r").as("pagerank"))
     }),
 
+    // Triangle counting over the undirected nation trade graph — the
+    // clustering-coefficient primitive. The standard distributed
+    // orientation trick: normalize every edge to (lo, hi) with lo < hi
+    // and DISTINCT, then two co-keyed equi-joins enumerate each triangle
+    // exactly once as i<j<k (at real graph scale the orientation would
+    // be by degree, which bounds the join fan-out by the arboricity —
+    // same plan shape, different sort key). Output is per-node triangle
+    // participation — |nodes| rows, integer counts, hash-exact.
+    "q_triangles" -> ((s, dir) => {
+      val raw = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = raw
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct().persist()
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.hi") === col("e2.lo"))
+        .join(edges.as("e3"),
+          col("e1.lo") === col("e3.lo") && col("e2.hi") === col("e3.hi"))
+        .select(col("e1.lo").as("i"), col("e1.hi").as("j"), col("e2.hi").as("k"))
+      tri.select(explode(array(col("i"), col("j"), col("k"))).as("n_nationkey"))
+        .groupBy(col("n_nationkey")).agg(count(lit(1)).as("n_triangles"))
+        .join(Tables.nation(s, dir), "n_nationkey")
+        .select(col("n_nationkey"), col("n_name"), col("n_triangles"))
+    }),
+
+    // Deterministic stratified sampling — exactly k documents per
+    // language, selected by rank of xxhash64(doc_id) (seed 42): the
+    // hash-rank makes the draw pseudo-random yet reproducible on ANY
+    // engine that can replay the hash (the DuckDB oracle replays Spark's
+    // XXH64 bit-for-bit — XxhashOracleSql), and adding documents never
+    // changes whether an EXISTING document would have ranked in the top
+    // k of its stratum given the same competitors, unlike rand()-based
+    // sampling. One window per stratum; the per-stratum sort is the
+    // at-scale cost and k is a constant.
+    "q_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(xxhash64(col("doc_id")), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+    }),
+
     // Time-series resampling with forward fill (LOCF) — per user, one row
     // per calendar day from their first to last event: the day's LAST
     // observed value (exact cents; latest (ts, event_id) wins) carried
@@ -655,6 +705,30 @@ object AnalyticsQueries {
         |       list_sort(list(c))[CAST(floor(0.75 * (count(*) - 1)) AS INT) + 1] AS p75,
         |       list_sort(list(c))[CAST(floor(0.9 * (count(*) - 1)) AS INT) + 1] AS p90
         |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT DISTINCT c.c_nationkey AS a, su.s_nationkey AS b
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+        |  WHERE c.c_nationkey <> su.s_nationkey),
+        |edges AS (
+        |  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM raw),
+        |tri AS (
+        |  SELECT e1.lo AS i, e1.hi AS j, e2.hi AS k
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.hi = e2.lo
+        |  JOIN edges e3 ON e1.lo = e3.lo AND e2.hi = e3.hi),
+        |pernode AS (
+        |  SELECT node, count(*) AS n_triangles FROM (
+        |    SELECT unnest([i, j, k]) AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT p.node AS n_nationkey, n.n_name, p.n_triangles
+        |FROM pernode p JOIN nation n ON p.node = n.n_nationkey""".stripMargin,
+
+    "q_stratified_sample" -> XxhashOracleSql.stratifiedSampleOracle(50),
 
     "q_gap_fill" ->
       """WITH ev AS (

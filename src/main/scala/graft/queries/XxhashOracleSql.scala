@@ -200,6 +200,26 @@ private[queries] object XxhashOracleSql {
   // q_simhash: per-token XXH64 votes ±1 per bit; bit set iff votes > 0
   // (mirrors graft.functions.SimHash64 exactly, incl. the multiset).
   // ---------------------------------------------------------------------
+  /** q_stratified_sample: Spark's `xxhash64(doc_id)` (hashLong, seed 42)
+    * replayed per document, then the same rank-by-(hash, id) window and
+    * k-per-stratum cut. doc_id must be non-negative (true at every SF by
+    * construction) for the UBIGINT bit-pattern cast to be the identity. */
+  def stratifiedSampleOracle(k: Int): String = {
+    val ch = new Chain("ss",
+      "SELECT doc_id, lang, n_chars, CAST(doc_id AS UBIGINT) AS du FROM documents",
+      Seq("doc_id", "lang", "n_chars", "du"))
+    val fin = hashLongSteps(ch, "du", "42::UBIGINT", "x",
+      keep = Seq("doc_id", "lang", "n_chars"))
+    s"""WITH ${ch.cteSql},
+       |__h AS (SELECT doc_id, lang, n_chars, ${i64(fin)} AS h FROM ${ch.last}),
+       |__r AS (
+       |  SELECT lang, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |  FROM __h)
+       |SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn
+       |FROM __r WHERE rn <= $k""".stripMargin
+  }
+
   val simhashOracle: String = {
     val ch = new Chain("th", "SELECT DISTINCT t FROM __toks", Seq("t"))
     val fin = tokenHashSteps(ch, "t", "z")

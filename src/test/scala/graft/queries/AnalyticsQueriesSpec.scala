@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 /** Semantic invariants of the AnalyticsQueries wave, cross-checked
@@ -229,6 +231,46 @@ class AnalyticsQueriesSpec extends SparkSuite {
       assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4)
         && r.getLong(4) <= r.getLong(5))
     }
+  }
+
+  test("q_triangles matches a brute-force triangle enumeration") {
+    val edges = Tables.lineitem(spark, sf).selectExpr("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).selectExpr("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf).selectExpr("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf).selectExpr("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .selectExpr("least(c_nationkey, s_nationkey) AS lo",
+        "greatest(c_nationkey, s_nationkey) AS hi")
+      .filter(col("lo") =!= col("hi")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes; j <- nodes if i < j && edges((i, j))
+      k <- nodes if j < k && edges((j, k)) && edges((i, k))
+    } { expected(i) += 1; expected(j) += 1; expected(k) += 1 }
+    val got = run("q_triangles").collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == expected.toMap, s"got $got expected $expected")
+  }
+
+  test("q_stratified_sample: exactly min(k, |stratum|) rows per lang, drawn by hash rank") {
+    val perLang = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = run("q_stratified_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet == perLang.keySet)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == math.min(perLang(lang), 50L).toInt, s"lang $lang size")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, s"lang $lang ranks")
+    }
+    // determinism: the same query on the same data returns the same set
+    val again = run("q_stratified_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again == rows.toSet)
   }
 
   test("q_histogram partitions the table: bin counts sum to |lineitem| and bounds nest") {
