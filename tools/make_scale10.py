@@ -20,36 +20,47 @@ import sys
 import duckdb
 
 
-def main(sf_dir: str, out_dir: str, copies: int) -> None:
+def main(sf_dir: str, out_dir: str, copies: int, tables=None) -> None:
+    def want(t):
+        return tables is None or t in tables
+
     con = duckdb.connect()
     con.sql(f"CREATE VIEW docs AS SELECT * FROM '{sf_dir}/documents.parquet'")
     con.sql(f"CREATE VIEW embs AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
     n_docs = con.sql("SELECT count(*) FROM docs").fetchone()[0]
     id_stride = 10 ** len(str(n_docs * 10))  # decimal stride keeps ids readable
 
-    lower = string.ascii_lowercase
-    upper = string.ascii_uppercase
-    doc_parts = []
-    for c in range(copies):
-        rl = lower[c:] + lower[:c]
-        ru = upper[c:] + upper[:c]
-        # translate() with from/to alphabets = per-copy Caesar rotation
-        doc_parts.append(
-            f"SELECT doc_id + {c * id_stride} AS doc_id, "
-            f"translate(text, '{lower + upper}', '{rl + ru}') AS text, "
-            f"lang, source || '_c{c}' AS source, n_chars "
-            f"FROM docs")
-    con.sql(f"COPY ({' UNION ALL '.join(doc_parts)}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+    if want("documents"):
+        # the rotation trick has only 26 distinct images: beyond that,
+        # copies would literally repeat (real cross-copy duplicates), which
+        # silently inflates the dedup family's true-pair volume — refuse
+        # rather than build a dishonest dataset
+        assert copies <= 26, "documents: >26 copies repeat the Caesar alphabet"
+        lower = string.ascii_lowercase
+        upper = string.ascii_uppercase
+        doc_parts = []
+        for c in range(copies):
+            rl = lower[c:] + lower[:c]
+            ru = upper[c:] + upper[:c]
+            # translate() with from/to alphabets = per-copy Caesar rotation
+            doc_parts.append(
+                f"SELECT doc_id + {c * id_stride} AS doc_id, "
+                f"translate(text, '{lower + upper}', '{rl + ru}') AS text, "
+                f"lang, source || '_c{c}' AS source, n_chars "
+                f"FROM docs")
+        con.sql(f"COPY ({' UNION ALL '.join(doc_parts)}) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
 
     dim = con.sql("SELECT len(embedding) FROM embs LIMIT 1").fetchone()[0]
-    emb_parts = []
-    for c in range(copies):
-        rot = c % dim
-        emb_parts.append(
-            f"SELECT vec_id + {c * id_stride} AS vec_id, "
-            f"(embedding[{rot + 1}:{dim}] || embedding[1:{rot}]) AS embedding"
-            f", label FROM embs")
-    con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+    if want("embeddings"):
+        assert copies <= dim, "embeddings: >dim copies repeat the rotation"
+        emb_parts = []
+        for c in range(copies):
+            rot = c % dim
+            emb_parts.append(
+                f"SELECT vec_id + {c * id_stride} AS vec_id, "
+                f"(embedding[{rot + 1}:{dim}] || embedding[1:{rot}]) AS embedding"
+                f", label FROM embs")
+        con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
 
     # events: 10 disjoint user populations with the SAME per-user event
     # streams and timeline (user/event ids offset per copy, ts unchanged) —
@@ -58,13 +69,14 @@ def main(sf_dir: str, out_dir: str, copies: int) -> None:
     con.sql(f"CREATE VIEW evs AS SELECT * FROM '{sf_dir}/events.parquet'")
     n_users = con.sql("SELECT max(user_id) FROM evs").fetchone()[0]
     u_stride = 10 ** len(str(n_users * 10))
-    ev_parts = []
-    for c in range(copies):
-        ev_parts.append(
-            f"SELECT event_id + {c * id_stride} AS event_id, ts, "
-            f"user_id + {c * u_stride} AS user_id, event_type, value, props "
-            f"FROM evs")
-    con.sql(f"COPY ({' UNION ALL '.join(ev_parts)}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)")
+    if want("events"):
+        ev_parts = []
+        for c in range(copies):
+            ev_parts.append(
+                f"SELECT event_id + {c * id_stride} AS event_id, ts, "
+                f"user_id + {c * u_stride} AS user_id, event_type, value, props "
+                f"FROM evs")
+        con.sql(f"COPY ({' UNION ALL '.join(ev_parts)}) TO '{out_dir}/events.parquet' (FORMAT PARQUET)")
     # TPC-H: 10 disjoint fact copies with CONSISTENT key offsets (orders/
     # lineitem share the orderkey stride; customer/supplier/part strides
     # flow into their fact foreign keys), dims (region/nation) fixed —
@@ -84,6 +96,8 @@ def main(sf_dir: str, out_dir: str, copies: int) -> None:
     sp = stride("part", "p_partkey")
 
     def copy_union(table, keyed_cols, passthrough):
+        if not want(table):
+            return
         parts = []
         for c in range(copies):
             sel = ", ".join(
@@ -93,7 +107,8 @@ def main(sf_dir: str, out_dir: str, copies: int) -> None:
                 f"'{out_dir}/{table}.parquet' (FORMAT PARQUET)")
 
     for t in ["region", "nation"]:
-        con.sql(f"COPY (SELECT * FROM {t}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
+        if want(t):
+            con.sql(f"COPY (SELECT * FROM {t}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
     copy_union("customer", [("c_custkey", sc)],
                ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
     copy_union("supplier", [("s_suppkey", ss)],
@@ -117,6 +132,10 @@ if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional comma-list of tables to build (default: all) — the 100x
+    # step uses this to build only the key-strided tables, where >26
+    # copies stay honest
+    tbls = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     import os
     os.makedirs(out, exist_ok=True)
-    main(sf, out, k)
+    main(sf, out, k, tbls)
