@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Assemble SCALE100_r{N}.json: per-query sf0.1 → 100x (sf10) ratios for the
+key-strided headline sweep. Denominators come from the certified sf0.1
+bench (bench.json) with any newer subset-run files overriding (the
+analytics waves were measured idle at sf0.1 after the last certified run).
+
+Usage: scale100_merge.py <bench_100x.json> <out.json> [extra_sf01.json ...]
+"""
+import json
+import sys
+
+
+def main(argv):
+    hundred = json.load(open(argv[1]))
+    out_path = argv[2]
+    base = json.load(open("bench.json"))
+    assert base.get("sf", "").endswith("sf0.1"), "bench.json is not an sf0.1 run"
+    denom = dict(base["queries"])
+    for extra in argv[3:]:
+        j = json.load(open(extra))
+        if j.get("sf", "").endswith("sf0.1"):
+            denom.update(j["queries"])
+    rows = {}
+    for q, t100 in sorted(hundred["queries"].items()):
+        d = denom.get(q)
+        rows[q] = {
+            "sf01_sec": round(d, 4) if d else None,
+            "sf10_sec": round(t100, 4),
+            "ratio_vs_100x_data": round(t100 / d, 2) if d else None,
+        }
+    doc = {
+        "note": ("100x scale step over the key-strided tables only "
+                 "(TPC-H facts + events; documents/embeddings excluded — "
+                 "the isomorphic-copy builders have 26/64 distinct images, "
+                 "see tools/make_scale10.py guards). ratio_vs_100x_data is "
+                 "wall-clock at 100x rows over the certified sf0.1 "
+                 "wall-clock; 100.0 would be perfectly linear scaling with "
+                 "zero parallel headroom — values far below 100 show the "
+                 "sf0.1 runs were dominated by fixed overhead and the "
+                 "32-core box only saturates at the larger scale."),
+        "dataset": hundred.get("sf"),
+        "runs": hundred.get("runs"),
+        "errors": hundred.get("errors", {}),
+        "queries": rows,
+    }
+    json.dump(doc, open(out_path, "w"), indent=1)
+    rat = [r["ratio_vs_100x_data"] for r in rows.values() if r["ratio_vs_100x_data"]]
+    print(f"{len(rows)} queries, ratio min/median/max = "
+          f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv)
