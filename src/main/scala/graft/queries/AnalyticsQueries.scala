@@ -247,6 +247,42 @@ object AnalyticsQueries {
         .select(col("node").as("n_nationkey"), col("n_name"), col("r").as("pagerank"))
     }),
 
+    // Chi-square independence test over the lang × source contingency
+    // table — q_ab_test's sibling for categorical experiment readouts
+    // (is the language mix independent of the crawl source?). The cell
+    // grid is the FULL label cross product (zero-observation cells still
+    // contribute their expected mass — omitting them would bias the
+    // statistic), built by a deliberate cross join of the two
+    // query-set-sized distinct-label relations; row/column/grand totals
+    // are window sums over that ≤|langs|·|sources| relation, so no 1-row
+    // broadcast and no second scan. Determinism: observed counts are
+    // exact integers; each cell's (o−e)²/e is a fixed double-op sequence
+    // CONVERTED TO INTEGER MICRO-UNITS (floor(x·10⁶+0.5) as bigint), so
+    // the total χ² is an exact integer sum — no cross-cell float
+    // accumulation anywhere.
+    "q_chisq" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+      val cells = c.select(col("lang")).distinct()
+        .crossJoin(c.select(col("source")).distinct())
+        .join(c, Seq("lang", "source"), "left")
+        .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      val (wl, ws, wg) = (Window.partitionBy(col("lang")),
+        Window.partitionBy(col("source")), Window.partitionBy())
+      cells
+        .withColumn("rowt", sum(col("obs")).over(wl))
+        .withColumn("colt", sum(col("obs")).over(ws))
+        .withColumn("n", sum(col("obs")).over(wg))
+        .withColumn("e", col("rowt").cast("double") * col("colt").cast("double")
+          / col("n").cast("double"))
+        .withColumn("d", col("obs").cast("double") - col("e"))
+        .select(col("lang"), col("source"), col("obs"),
+          roundp(col("e"), 6).as("expected"),
+          floor(col("d") * col("d") / col("e") * lit(1000000.0) + lit(0.5))
+            .cast("bigint").as("contrib_micro"))
+        .withColumn("chi2_total_micro", sum(col("contrib_micro")).over(wg))
+    }),
+
     // Triangle counting over the undirected nation trade graph — the
     // clustering-coefficient primitive. The standard distributed
     // orientation trick: normalize every edge to (lo, hi) with lo < hi
@@ -705,6 +741,35 @@ object AnalyticsQueries {
         |       list_sort(list(c))[CAST(floor(0.75 * (count(*) - 1)) AS INT) + 1] AS p75,
         |       list_sort(list(c))[CAST(floor(0.9 * (count(*) - 1)) AS INT) + 1] AS p90
         |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_chisq" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+        |x AS (
+        |  SELECT l.lang, s.source
+        |  FROM (SELECT DISTINCT lang FROM c) l, (SELECT DISTINCT source FROM c) s),
+        |cells AS (
+        |  SELECT x.lang, x.source, coalesce(c.obs, 0) AS obs
+        |  FROM x LEFT JOIN c USING (lang, source)),
+        |w AS (
+        |  SELECT lang, source, obs,
+        |         CAST(sum(obs) OVER (PARTITION BY lang) AS BIGINT) AS rowt,
+        |         CAST(sum(obs) OVER (PARTITION BY source) AS BIGINT) AS colt,
+        |         CAST(sum(obs) OVER () AS BIGINT) AS n
+        |  FROM cells),
+        |t AS (
+        |  SELECT lang, source, obs,
+        |         CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(n AS DOUBLE) AS e
+        |  FROM w),
+        |u AS (SELECT lang, source, obs, e, CAST(obs AS DOUBLE) - e AS d FROM t),
+        |v AS (
+        |  SELECT lang, source, obs,
+        |         floor(e * 1000000 + 0.5) / 1000000 AS expected,
+        |         CAST(floor(d * d / e * 1000000 + 0.5) AS BIGINT) AS contrib_micro
+        |  FROM u)
+        |SELECT lang, source, obs, expected, contrib_micro,
+        |       CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_total_micro
+        |FROM v""".stripMargin,
 
     "q_triangles" ->
       """WITH raw AS (

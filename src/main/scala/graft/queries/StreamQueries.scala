@@ -591,6 +591,36 @@ object StreamQueries {
           col("ewma_num"), col("n_terms"))
     }),
 
+    // Streaming fixed-width histogram — the profiling primitive as a
+    // COMPLETE-mode aggregate: per $5 bin of exact value cents, the
+    // running count/sum/min/max over everything ingested so far (each
+    // micro-batch overwrites the result with the new totals — the
+    // standard live-dashboard shape; state is |bins|, data-size-
+    // independent). After full replay the final table IS the batch
+    // histogram — integer-exact, hash-matched.
+    "q_streaming_histogram" -> ((s, dir) => {
+      val binned = Tables.streamEventsChunked(s, dir)
+        .select(expr("CAST(floor(value * 100 + 0.5) AS BIGINT) DIV 500").as("bin"),
+          floor(col("value") * 100 + 0.5).cast("bigint").as("c"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sum_cents"),
+          min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+      val tmp = graft.core.TempDirs.create("graft_stream_hist_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        binned.writeStream.outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("overwrite").parquet(s"$tmp/result")
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/result")
+    }),
+
     // Streaming last-touch attribution: purchases credited at ARRIVAL to
     // the user's carried channel (StreamingOps.attributeByKey — ONE
     // string of state per key). In-order replay ⇒ row-for-row the batch
@@ -1627,6 +1657,16 @@ object StreamQueries {
     "q_streaming_zscore" -> ExtraQueries.oracles("q_rolling_zscore"),
     // integer emissions final at arrival: replayed stream ≡ batch EWMA
     "q_streaming_ewma" -> ExtraQueries.oracles("q_ewma"),
+
+    // the plain batch histogram: complete-mode totals after full replay
+    // are the corpus totals
+    "q_streaming_histogram" ->
+      """SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS bin,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS min_cents,
+        |       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS max_cents
+        |FROM events GROUP BY 1""".stripMargin,
 
     // the batch attribution window BEFORE its channel rollup: one row per
     // purchase with its last-touch channel — the streaming emission grain

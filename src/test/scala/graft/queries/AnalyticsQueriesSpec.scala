@@ -233,6 +233,33 @@ class AnalyticsQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q_chisq covers the full label grid and matches a driver-side replay") {
+    val counts = Tables.documents(spark, sf).groupBy("lang", "source").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val langs = counts.keySet.map(_._1)
+    val sources = counts.keySet.map(_._2)
+    val rows = run("q_chisq").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(4), r.getLong(5))))
+    assert(rows.length == langs.size * sources.size, "grid not the full cross product")
+    val n = counts.values.sum.toDouble
+    val rowt = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val colt = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    var total = 0L
+    val expected = (for (l <- langs; sr <- sources) yield {
+      val o = counts.getOrElse((l, sr), 0L)
+      val e = rowt(l).toDouble * colt(sr).toDouble / n
+      val d = o.toDouble - e
+      val micro = math.floor(d * d / e * 1000000.0 + 0.5).toLong
+      total += micro
+      (l, sr) -> (o, micro)
+    }).toMap
+    rows.foreach { case (k, (o, micro, tot)) =>
+      assert((o, micro) == expected(k), s"cell $k")
+      assert(tot == total, "chi2 total is not the exact micro-unit sum")
+    }
+  }
+
   test("q_triangles matches a brute-force triangle enumeration") {
     val edges = Tables.lineitem(spark, sf).selectExpr("l_orderkey", "l_suppkey")
       .join(Tables.orders(spark, sf).selectExpr("o_orderkey", "o_custkey"),

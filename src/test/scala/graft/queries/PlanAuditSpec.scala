@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSuite {
     "q_unigram_quality", // 1-row total-token-count broadcast onto the vocabulary
     "q_bm25_topk",      // 1-row corpus-stats (N, avgdl, dfs) broadcast onto per-doc tf rows
     "q_knn_cosine",     // brute-force ANN baseline: broadcast query set x corpus scan
-    "q_knn_quantized"   // same scan shape as q_knn_cosine, over int8 codes (4x cheaper)
+    "q_knn_quantized",  // same scan shape as q_knn_cosine, over int8 codes (4x cheaper)
+    "q_chisq"           // |langs| x |sources| label cross product (both query-set-sized):
+                        // zero-observation cells must exist to carry expected mass
     // q_embedding_dedup left this list in round 5: now the triangle-blocked
     // exact equi-join (Similarity.cosineNearDupPairsBlocked) — same results,
     // no cartesian node
