@@ -377,13 +377,18 @@ object AnalyticsQueries {
       // state) — folding it in as a literal keeps the plan free of the
       // 1-row crossJoin shape q_tfidf carries.
       val nDocs = Tables.documents(s, dir).count()
+      // docw feeds BOTH the df aggregate and the pair join, and vw feeds
+      // both sides of the self-join — without persist the tokenize +
+      // distinct would run four times (measured ~2x query time). The
+      // materialize-for-reuse tradeoff is the right one at scale too:
+      // vw is the vocab-filtered minority of tokens.
       val docw = Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
-        .distinct()
+        .distinct().persist()
       val df = docw.groupBy(col("word")).agg(count(lit(1)).as("df"))
         .filter(col("df").cast("double") >= lit(0.05) * lit(nDocs.toDouble))
-      val vw = docw.join(broadcast(df), "word")
+      val vw = docw.join(broadcast(df), "word").persist()
       vw.select(col("doc_id"), col("word").as("w1"), col("df").as("df1"))
         .join(vw.select(col("doc_id"), col("word").as("w2"), col("df").as("df2")), "doc_id")
         .filter(col("w1") < col("w2"))
