@@ -346,11 +346,16 @@ object AnalyticsQueries {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"),
           col("ts"), col("event_id"), cents(col("value")).as("c"))
-      val wLast = Window.partitionBy(col("user_id"), col("d"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val daily = ev.withColumn("rn", row_number().over(wLast))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("d"), col("c").as("day_last"))
+      // day's last value as ONE hash aggregate — max of the (ts, event_id,
+      // c) struct is lexicographic, so "latest (ts, event_id) wins"
+      // exactly like a desc row_number window, but with map-side partial
+      // aggregation: each task ships one row per (user, day) instead of
+      // sorting every raw event through the shuffle (the window form
+      // measured 40x wall-clock at the 100x step; this collapses first).
+      val daily = ev
+        .groupBy(col("user_id"), col("d"))
+        .agg(max(struct(col("ts"), col("event_id"), col("c"))).as("m"))
+        .select(col("user_id"), col("d"), col("m").getField("c").as("day_last"))
       val spine = ev.groupBy(col("user_id"))
         .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
         .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
