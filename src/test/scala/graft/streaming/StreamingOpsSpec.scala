@@ -314,6 +314,51 @@ class StreamingOpsSpec extends SparkSuite {
       s"expected key 1 to restart from init after eviction, got: $got")
   }
 
+  test("attributeByKey idle timeout evicts the carried channel; post-eviction purchases are 'direct'") {
+    // Same Trigger.Once-over-shared-checkpoint choreography as the scanByKey
+    // eviction test above: run 1 carries user 1's 'view' touch into the
+    // checkpoint; run 2 (after the wall clock passes the idle timeout) lets
+    // the hasTimedOut branch REMOVE it; run 3's purchase must then fall back
+    // to the default channel instead of the stale touch.
+    val dir = Files.createTempDirectory("graft-attr-evict").toString
+    val ckpt = Files.createTempDirectory("graft-attr-evict-ckpt").toString
+    val res = Files.createTempDirectory("graft-attr-evict-out").toString
+    def write(rows: (Long, java.sql.Timestamp, Long, String, Long)*): Unit =
+      rows.toDF("user_id", "ts", "id", "ch", "cents").write.mode("append").parquet(dir)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    write((1L, ts(1000), 1L, "view", 0L), (1L, ts(1500), 2L, "purchase", 100L))
+    val schema = spark.read.parquet(dir).schema
+    def runOnce(): Unit = {
+      import org.apache.spark.sql.Encoders
+      val keyed = spark.readStream.schema(schema).parquet(dir)
+        .as[(Long, java.sql.Timestamp, Long, String, Long)]
+        .map { case (u, t, id, ch, c) => (u, Event(Some(t), Some((id, ch, c)))) }(
+          Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, String, Long)]]))
+      val q = StreamingOps.attributeByKey[Long](keyed,
+          creditType = "purchase", defaultChannel = "direct",
+          idleTimeoutMs = Some(100L))
+        .toDF("user_id", "id", "channel", "cents")
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(res)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    Thread.sleep(500) // user 1's 100ms idle timeout expires on the wall clock
+    write((2L, ts(2000), 3L, "error", 0L))
+    runOnce() // user 1's carried 'view' is evicted in this batch
+    write((1L, ts(3000), 4L, "purchase", 200L))
+    runOnce()
+    val got = spark.read.parquet(res).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList.sorted
+    assert(got == List((1L, 2L, "view"), (1L, 4L, "direct")),
+      s"expected the evicted touch to fall back to 'direct', got: $got")
+  }
+
   test("slidingTimeByKey: 10k-event single-key dense burst closes every window correctly") {
     // The scale-regression pin for the incremental (index-advancing) close:
     // one hot key, 10k events 1ms apart, 100ms windows, all in ONE
