@@ -303,13 +303,16 @@ object StreamingLowering {
     * lowering fails loudly instead of growing into an executor OOM. */
   private[plans] val MaxGenericWindowBufferedEvents: Int = 1000000
 
-  private[plans] def decodeGenericWindowState(st: Any): (Int, Int, List[Event[Any]]) =
-    if (st == null) (0, 0, Nil)
+  private[plans] def decodeGenericWindowState(
+      st: Any): (Int, Int, Option[Event[Any]], List[Event[Any]]) =
+    if (st == null) (0, 0, None, Nil)
     else try {
-      val (n, h, rev) = st.asInstanceOf[(Int, Int, List[Event[Any]])]; (n, h, rev)
+      val (n, h, last, rev) =
+        st.asInstanceOf[(Int, Int, Option[Event[Any]], List[Event[Any]])]
+      (n, h, last, rev)
     } catch {
       case e: ClassCastException =>
-        throw badState("generic-window", "(Int, Int, List[Event])", st, e)
+        throw badState("generic-window", "(Int, Int, Option[Event], List[Event])", st, e)
     }
 
   /** ARBITRARY `WindowMaker` closures (reference
@@ -329,14 +332,25 @@ object StreamingLowering {
     * prefix-monotone makers (appending events never rewrites an already
     * produced non-final window — true of every reference maker, which
     * consume the stream front-to-back). State carries a running hash of
-    * the emitted prefix; if re-application ever disagrees with what was
-    * already emitted, the lowering raises a directed error naming the
-    * contract instead of silently diverging from the batch semantics. */
+    * the emitted prefix PLUS the last emitted window itself; if
+    * re-application ever disagrees with what was already emitted, the
+    * lowering raises a directed error naming the contract instead of
+    * silently diverging from the batch semantics. The boundary window —
+    * the one a non-monotone maker is overwhelmingly likely to rewrite
+    * when new events arrive, since makers consume the stream
+    * front-to-back — is compared by EXACT equality; rewrites of interior
+    * windows are caught by the 32-bit prefix hash, which carries a 2⁻³²
+    * false-negative chance per check (a collision between the old and
+    * rewritten prefix hashes would mask the divergence). Note also the
+    * state cost: each micro-batch re-serializes the whole buffered
+    * prefix into checkpoint state — inherent to an arbitrary closure
+    * (it may window any of the prefix), and the reason the recognized
+    * forms keep their dedicated O(window) lowerings. */
   private[plans] def genericWindowLower(ds: Dataset[Event[Any]],
       maker: List[Event[Any]] => List[List[Event[Any]]],
       maxBuffer: Int = MaxGenericWindowBufferedEvents): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
-      var (emitted, emittedHash, rev) = decodeGenericWindowState(st)
+      var (emitted, emittedHash, lastEmitted, rev) = decodeGenericWindowState(st)
       events.foreach { e => rev = e :: rev }
       val buffered = rev.length
       if (buffered > maxBuffer) {
@@ -349,10 +363,15 @@ object StreamingLowering {
       }
       val windows = maker(rev.reverse)
       val closed = if (windows.isEmpty) Nil else windows.init
-      val replayHash = scala.util.hashing.MurmurHash3
-        .orderedHash(closed.take(emitted).map(windowEvent))
+      val replayPrefix = closed.take(emitted).map(windowEvent)
+      val replayHash = scala.util.hashing.MurmurHash3.orderedHash(replayPrefix)
+      // the boundary (most recently emitted) window is checked by EXACT
+      // equality — it is where a non-monotone maker rewrites first;
+      // interior windows fall back to the 32-bit prefix hash (2^-32
+      // false-negative residual, documented above)
       if (emitted > closed.length ||
-          (emitted > 0 && replayHash != emittedHash)) {
+          (emitted > 0 && (replayHash != emittedHash ||
+            !lastEmitted.contains(replayPrefix.last)))) {
         throw new IllegalStateException(
           "generic window-maker is not prefix-monotone: re-applying the closure to " +
             s"the grown prefix rewrote ${if (emitted > closed.length) "away" else "the content of"} " +
@@ -364,7 +383,8 @@ object StreamingLowering {
       emittedHash = scala.util.hashing.MurmurHash3
         .orderedHash(closed.map(windowEvent))
       emitted = closed.length
-      (fresh, (emitted, emittedHash, rev))
+      lastEmitted = fresh.lastOption.orElse(lastEmitted)
+      (fresh, (emitted, emittedHash, lastEmitted, rev))
     }
 
   /** Cap on the zip-join's unpaired tail. The reference's `zip` buffers the
@@ -444,8 +464,9 @@ object StreamingLowering {
     * error naming the fix, instead of a bare ClassCastException deep in an
     * operator. Bump the version string whenever any operator's state shape
     * changes. (v3: chopTime's stored window origin switched from ms to µs —
-    * same Long shape, incompatible meaning.) */
-  private[plans] val StateVersion = "graft-state-v3"
+    * same Long shape, incompatible meaning. v4: generic-window state grew
+    * the last-emitted window for the exact boundary monotonicity check.) */
+  private[plans] val StateVersion = "graft-state-v4"
 
   private def statefulLower(ds: Dataset[Event[Any]])(
       step: (IndexedSeq[Event[Any]], Any) => (IndexedSeq[Event[Any]], Any)): Dataset[Event[Any]] =

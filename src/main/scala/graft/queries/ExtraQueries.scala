@@ -35,29 +35,43 @@ object ExtraQueries {
     // the whole plan is scan → sort-merge join → agg, all inheriting the
     // bucket partitioning. The require() makes the exchange-free claim a
     // correctness property of this query, not just a spec: if Spark ever
-    // plans a shuffle here the driver gate fails loudly. Broadcast is
-    // disabled during planning because at real scale neither side of a
-    // fact-fact join broadcasts — locally orders would otherwise be tiny
-    // enough to take the broadcast path and bypass the bucketed one.
+    // plans a shuffle here the driver gate fails loudly. The SMJ is
+    // forced with a per-relation MERGE join hint (at real scale neither
+    // side of a fact-fact join broadcasts — locally orders would
+    // otherwise be tiny enough to take the broadcast path and bypass the
+    // bucketed one); a hint scopes to THIS plan only, where the previous
+    // session-wide autoBroadcastJoinThreshold mutation raced any
+    // concurrently-planned query in the same session. Plan assertions
+    // match physical node CLASSES (Exchange / FileSourceScanExec
+    // .bucketedScan), not toString fragments, so a Spark version
+    // changing its explain format cannot silently void the gate.
     "q_bucketed_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.Exchange
       val (liT, oT) = bucketedTables(s, dir)
-      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
-        val j = graft.sources.BucketedIO.readTable(s, liT)
-          .join(graft.sources.BucketedIO.readTable(s, oT),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("n_items"),
-            sum(col("l_quantity").cast("bigint")).as("sum_qty"),
-            roundp(max(col("o_totalprice")), 2).as("total_price"))
-        val plan = j.queryExecution.executedPlan.toString
-        require(!plan.contains("Exchange"),
-          s"q_bucketed_join planned a shuffle over co-bucketed tables:\n$plan")
-        require(plan.contains("Bucketed: true"),
-          s"q_bucketed_join scan did not use bucket metadata:\n$plan")
-        j
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val j = graft.sources.BucketedIO.readTable(s, liT).hint("merge")
+        .join(graft.sources.BucketedIO.readTable(s, oT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          roundp(max(col("o_totalprice")), 2).as("total_price"))
+      // AQE only wraps plans containing exchanges/subqueries, so a truly
+      // exchange-free plan is usually bare — but unwrap defensively
+      val plan: SparkPlan = j.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      val exchanges = plan.collect { case e: Exchange => e }
+      require(exchanges.isEmpty,
+        s"q_bucketed_join planned ${exchanges.size} shuffle(s) over co-bucketed tables:\n$plan")
+      val bucketedScans = plan.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      require(bucketedScans.size == 2,
+        s"q_bucketed_join expected 2 bucketed scans, found ${bucketedScans.size}:\n$plan")
+      j
     }),
 
     // Set operations: customers appearing in both the open-order and
@@ -299,15 +313,19 @@ object ExtraQueries {
        |       floor(avg($c) * 10000 + 0.5) / 10000 AS mean
        |FROM lineitem""".stripMargin
 
+  // keyed by the session OBJECT (reference equality — SparkSession does
+  // not override equals), not s.hashCode: identity hash codes can collide
+  // across sessions, and a collision here would hand one session another
+  // session's catalog table names
   private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
 
   /** Write lineitem/orders as co-bucketed catalog tables (8 buckets on
     * the order key) once per (session, sfDir); later calls reuse the
     * catalog entries. The write is the one-time ingest shuffle the
     * bucketed layout amortizes. */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedCache.computeIfAbsent(s"${s.hashCode}#$dir", { _ =>
+    bucketedCache.computeIfAbsent((s, dir), { _ =>
       val suffix = java.lang.Integer.toHexString(dir.hashCode)
       val (liT, oT) = (s"graft_li_bkt_$suffix", s"graft_o_bkt_$suffix")
       // the warehouse directory outlives the in-memory catalog across

@@ -347,8 +347,12 @@ object StreamQueries {
     // ingest-time stamp from the inner record" pattern, composed with
     // streamExpand as the reference documents. The fallback re-applies
     // the closure to the buffered prefix each micro-batch and emits every
-    // window but the last (still growable); on this replay that is all
-    // events except the unique max-ts one, which the oracle mirrors.
+    // window but the last (still growable). The replay ends with a FLUSH
+    // SENTINEL micro-batch (one event_id=-1 event past max ts), so the
+    // one withheld window is the sentinel's and every REAL event is
+    // emitted — the oracle is simply "all events re-stamped", with no
+    // last-row exclusion that would silently assume max(ts) is unique
+    // (it is not on the isomorphic-copy scale datasets).
     "q_streaming_custom_window" -> ((s, dir) => {
       import org.apache.spark.sql.Encoders
       import graft.plans._
@@ -367,7 +371,7 @@ object StreamQueries {
           "(Long,Double,Long)", "[(Long,Double,Long)]", 1),
         StreamVertex(2, OpExpand, Nil, "[(Long,Double,Long)]", "(Long,Double,Long)", 1),
         StreamVertex(3, OpSink, Nil, "(Long,Double,Long)", "(Long,Double,Long)", 1)))
-      val src = Tables.streamEventsChunked(s, dir)
+      val src = Tables.streamEventsChunkedWithFlush(s, dir)
         .select(col("ts"), col("event_id"), col("value"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k"))
         .as[(java.sql.Timestamp, Long, Double, Long)](
@@ -381,6 +385,10 @@ object StreamQueries {
         (e.time.get, id, v)
       }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.scalaDouble))
       runLoweredToDf(s, typed.toDF("ts2", "event_id", "value"), "graft_stream_cw_")
+        // the flush sentinel (event_id -1) is the one withheld pending
+        // window and never reaches the sink; the filter is defensive —
+        // it must not appear in the oracle-compared output either way
+        .filter(col("event_id") >= 0)
         .select(col("event_id"), col("ts2"), roundp(col("value"), 2).as("value"))
     }),
 
@@ -526,7 +534,10 @@ object StreamQueries {
       val (srcDir, schema) = Tables.writeChunkedReplay(
         TextQueries.mergeChangeset(base), "doc_id", nChunks = 3, "graft_merge_src_")
       val tableDir = graft.core.TempDirs.create("graft_merge_tbl_").toAbsolutePath
-      base.write.parquet(s"$tableDir/v0")
+      // guardMergeBase: the v0 write scans every base row once, so the
+      // offset-collision precondition rides along as a codegen'd
+      // conditional instead of a separate eager aggregate
+      TextQueries.guardMergeBase(base).write.parquet(s"$tableDir/v0")
       // Version dirs are keyed by the micro-batch's batchId (version
       // b+1 = v$b merged with batch b) and written with overwrite, so a
       // micro-batch that Structured Streaming re-executes after a
@@ -1693,17 +1704,15 @@ object StreamQueries {
     // band sets complete — the union over batches IS the batch output
     "q_streaming_minhash" -> XxhashOracleSql.minhashLshOracle(),
 
-    // every event re-stamped by its payload shift; the ONE pending last
-    // window of the fallback = the unique max-ts event, excluded here
+    // every event re-stamped by its payload shift; the flush-sentinel
+    // replay closes every real event's window (only the sentinel's stays
+    // pending), so there is NO last-row exclusion — tie-proof at max(ts)
     "q_streaming_custom_window" ->
-      """WITH r AS (
-        |  SELECT event_id, ts,
-        |         make_timestamp(epoch_us(ts)
-        |           + CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 1000000) AS ts2,
-        |         floor(value * 100 + 0.5) / 100 AS value
-        |  FROM events)
-        |SELECT event_id, ts2, value FROM r
-        |WHERE ts <> (SELECT max(ts) FROM events)""".stripMargin,
+      """SELECT event_id,
+        |       make_timestamp(epoch_us(ts)
+        |         + CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 1000000) AS ts2,
+        |       floor(value * 100 + 0.5) / 100 AS value
+        |FROM events""".stripMargin,
 
     // the batch funnel CTE chain (q_funnel) unpivoted to the transition
     // log the streaming state machine emits: one row per entered stage

@@ -92,7 +92,13 @@ object Tables {
     * stream must keep. Built once per `sfDir` (cached; dir reaped at JVM
     * exit). */
   def streamEventsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
-    val (dir, schema) = chunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
+    val (dir, schema) = chunkedEventsDir(spark, sfDir, nChunks)
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  private def chunkedEventsDir(spark: SparkSession, sfDir: String,
+      nChunks: Int): (String, org.apache.spark.sql.types.StructType) =
+    chunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
       val ev = events(spark, sfDir).withColumn("__us", unix_micros(col("ts")))
       val cuts = ev.stat
         .approxQuantile("__us", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
@@ -113,6 +119,51 @@ object Tables {
           java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
       }
       (d.toString, events(spark, sfDir).schema)
+    })
+
+  private val flushChunkedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** [[streamEventsChunked]] plus a FLUSH SENTINEL: a final single-event
+    * micro-batch stamped 1 hour past max(ts) with `event_id = -1`. A
+    * stateful lowering that withholds its trailing still-growable window
+    * (the generic window fallback, the recognized window forms) then
+    * closes every REAL event's window — only the sentinel's stays
+    * pending — so a finite-replay gate's oracle needs no "drop the last
+    * event" exclusion at all. That exclusion was the fragile part: with
+    * ties at max(ts) (e.g. the isomorphic-copy scale datasets) "the last
+    * event" is the orderKey/StableHash tiebreak winner, which no
+    * engine-portable SQL can name. The sentinel makes the gate tie-proof
+    * instead. Chunk files are symlinks into the base replay dir (zero
+    * copy; FileStreamSource follows link mtimes), the sentinel file's
+    * mtime is set after all of them. */
+  def streamEventsChunkedWithFlush(spark: SparkSession, sfDir: String,
+      nChunks: Int = 4): DataFrame = {
+    val (dir, schema) = flushChunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
+      val (baseDir, sch) = chunkedEventsDir(spark, sfDir, nChunks)
+      val d = graft.core.TempDirs.create("graft_events_flush_")
+      val basePath = java.nio.file.Paths.get(baseDir)
+      val chunkFiles = java.nio.file.Files.list(basePath).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      var maxMtime = 0L
+      chunkFiles.foreach { p =>
+        java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
+        maxMtime = math.max(maxMtime, java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      val ev = events(spark, sfDir)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val sentinel = ev.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", timestamp_micros(lit(maxUs + 3600L * 1000000L)))
+        .withColumn("value", lit(0.0))
+        .withColumn("props", lit("""{"k": 0}"""))
+      val sub = graft.core.TempDirs.create("graft_flush_build_")
+      sentinel.coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val target = d.resolve("chunk-99-flush.parquet")
+      java.nio.file.Files.move(findPartFile(sub), target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(maxMtime + 10000L))
+      (d.toString, sch)
     })
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }

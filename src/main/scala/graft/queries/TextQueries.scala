@@ -24,19 +24,27 @@ object TextQueries {
     * one-change-per-key cardinality holds), mod-13 deletes, offset-id
     * inserts — at most ONE change per key, so chunked sequential
     * application commutes to the single batch merge. */
+  /** Lazy per-row guard for the merge-base precondition: the insert-key
+    * offset is a shared constant with the DuckDB oracle (doc_id +
+    * 10000000), so it CANNOT be derived from max(doc_id) at runtime
+    * without desyncing the oracle SQL. If base ids ever reach the offset,
+    * an insert key would collide with a real id and silently break the
+    * one-change-per-key MERGE cardinality both merge gates' commutation
+    * proof rests on. The guard is a codegen'd conditional ON the base
+    * scan the merge performs anyway (every base row flows through it
+    * exactly once), so construction stays lazy — no extra driver action,
+    * no extra table scan, and an EMPTY base trivially passes instead of
+    * NPE-ing an eager max() aggregate. */
+  private[queries] def guardMergeBase(base: DataFrame): DataFrame =
+    base.withColumn("doc_id",
+      when(col("doc_id") < lit(insertOffset), col("doc_id"))
+        .otherwise(raise_error(format_string(
+          "mergeChangeset: base doc_id %s >= insert offset " + insertOffset +
+            " — insert keys would collide with base ids; raise the offset " +
+            "(and the oracle SQL constant) before running at this scale",
+          col("doc_id")))))
+
   private[queries] def mergeChangeset(base: DataFrame): DataFrame = {
-    // The insert-key offset is a shared constant with the DuckDB oracle
-    // (doc_id + 10000000), so it CANNOT be derived from max(doc_id) at
-    // runtime without desyncing the oracle SQL. Instead, enforce the
-    // no-collision precondition explicitly: if base ids ever reach the
-    // offset, an insert key would collide with a real id and silently
-    // break the one-change-per-key MERGE cardinality both merge gates'
-    // commutation proof rests on. Fail loudly instead.
-    val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
-    require(maxId < insertOffset,
-      s"mergeChangeset: max(doc_id)=$maxId >= insert offset $insertOffset — " +
-        "insert keys would collide with base ids; raise the offset (and the " +
-        "oracle SQL constant) before running at this scale")
     val updates = base
       .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
       .withColumn("text", concat(col("text"), lit(" [v2]")))
@@ -370,7 +378,7 @@ object TextQueries {
     // applied through ONE co-keyed full outer join. The refresh step a
     // corpus runs between crawls; result is the full merged table.
     "q_merge_upsert" -> ((s, dir) =>
-      graft.operators.Relational.mergeUpsert(docs(s, dir),
+      graft.operators.Relational.mergeUpsert(guardMergeBase(docs(s, dir)),
         TextQueries.mergeChangeset(docs(s, dir)), "doc_id")),
 
     // Distributed batch-perceptron TRAINING under the oracle (text.

@@ -24,7 +24,7 @@ class CheckpointStateSpec extends AnyFunSuite {
     assert(StreamingLowering.decodeSlidingTimeState(null) ==
       scala.collection.immutable.Queue.empty[Event[Any]])
     assert(StreamingLowering.decodeZipJoinState(null) == ((Nil, Nil)))
-    assert(StreamingLowering.decodeGenericWindowState(null) == ((0, 0, Nil)))
+    assert(StreamingLowering.decodeGenericWindowState(null) == ((0, 0, None, Nil)))
   }
 
   test("well-shaped state round-trips through each decoder") {
@@ -35,8 +35,9 @@ class CheckpointStateSpec extends AnyFunSuite {
     assert(StreamingLowering.decodeSlidingTimeState(q) == q)
     val zj = (List((None: Option[java.sql.Timestamp]) -> ("l": Any)), List("r": Any))
     assert(StreamingLowering.decodeZipJoinState(zj) == zj)
-    assert(StreamingLowering.decodeGenericWindowState((2, 77, goodEvents)) ==
-      ((2, 77, goodEvents)))
+    assert(StreamingLowering.decodeGenericWindowState(
+      (2, 77, Some(goodEvents.head), goodEvents)) ==
+      ((2, 77, Some(goodEvents.head), goodEvents)))
   }
 
   test("wrong-shape state yields a directed incompatible-checkpoint error") {
@@ -69,8 +70,9 @@ class CheckpointStateSpec extends AnyFunSuite {
     }
     assert(e5.getMessage.contains("'zip-join'"))
 
+    // the v3 shape (no last-emitted window) against the v4 decoder
     val e6 = intercept[IllegalStateException] {
-      StreamingLowering.decodeGenericWindowState((goodEvents, 0): Any)
+      StreamingLowering.decodeGenericWindowState((2, 77, goodEvents): Any)
     }
     assert(e6.getMessage.contains("'generic-window'"))
   }

@@ -23,10 +23,14 @@ def main(argv):
     rows = {}
     for q, t100 in sorted(hundred["queries"].items()):
         d = denom.get(q)
+        # explicit None/zero split: a 0.0 denominator is a real (too-fast-
+        # to-time) measurement, not a missing one — report it, and mark
+        # the ratio unavailable rather than dividing by zero
+        has_denom = d is not None
         rows[q] = {
-            "sf01_sec": round(d, 4) if d else None,
+            "sf01_sec": round(d, 4) if has_denom else None,
             "sf10_sec": round(t100, 4),
-            "ratio_vs_100x_data": round(t100 / d, 2) if d else None,
+            "ratio_vs_100x_data": round(t100 / d, 2) if has_denom and d > 0 else None,
         }
     doc = {
         "note": ("100x scale step over the key-strided tables only "
@@ -44,9 +48,12 @@ def main(argv):
         "queries": rows,
     }
     json.dump(doc, open(out_path, "w"), indent=1)
-    rat = [r["ratio_vs_100x_data"] for r in rows.values() if r["ratio_vs_100x_data"]]
+    rat = [r["ratio_vs_100x_data"] for r in rows.values()
+           if r["ratio_vs_100x_data"] is not None]
+    excluded = len(rows) - len(rat)
     print(f"{len(rows)} queries, ratio min/median/max = "
-          f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}")
+          f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}"
+          f" ({excluded} excluded: no sf0.1 denominator or denominator 0)")
 
 
 if __name__ == "__main__":
