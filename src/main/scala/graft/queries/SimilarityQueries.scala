@@ -321,6 +321,20 @@ object SimilarityQueries {
     "q_embedding_dedup" -> ((s, dir) =>
       Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.42, blocks = 8)),
 
+    // The LINEAR scale path of the embedding near-dup family: SRP-LSH
+    // bucket collisions (4 tables × 4 portable planes) generate the
+    // candidate pairs, exact cosine verifies at the same 0.42 threshold
+    // as q_embedding_dedup — so the family now has all three faces
+    // driver-gated: exact-blocked O(n²) (q_embedding_dedup), cell-confined
+    // SemDeDup (q_semantic_dedup), and bucketed-LSH with equi-join-only
+    // candidate generation (this). Recall < 1 by the OR-construction
+    // S-curve; the oracle replays the SAME pipeline (bucket bits,
+    // collisions, cosine) value-for-value, so approximation is part of
+    // the spec, not slack in the check.
+    "q_embedding_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsLshPortable(emb(s, dir), threshold = 0.42,
+        dims = 64, planesPerTable = 4, tables = 4)),
+
     // Per-label centroid vectors (the codebook-free embedding aggregate a
     // label-balanced corpus wants): one posexplode over the scan, one
     // (label, dim) hash aggregate — per-dimension partial means combine
@@ -837,6 +851,37 @@ object SimilarityQueries {
         |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 10000 + 0.5) / 10000 AS avg_norm,
         |       count(*) AS n
         |FROM embeddings GROUP BY label""".stripMargin,
+
+    // the portable SRP buckets replayed bit-for-bit (the q_knn_srp_portable
+    // CTE), then: collision in any table → DISTINCT ordered pair → exact
+    // cosine at the same threshold — the whole approximate pipeline under
+    // a value-exact oracle
+    "q_embedding_lsh" ->
+      """WITH b AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+        |  FROM (
+        |    SELECT e.vec_id, t.t, p.p,
+        |           list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CAST(e.embedding[i] AS DOUBLE) *
+        |                  (CASE WHEN ((1 + ((t.t * 4 + p.p) * 64) + (i - 1)) * 48271)
+        |                             % 2147483647 % 2 = 0
+        |                        THEN 1.0 ELSE -1.0 END))) AS proj
+        |    FROM embeddings e, range(0, 4) t(t), range(0, 4) p(p))
+        |  GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM b l JOIN b r ON l.t = r.t AND l.bucket = r.bucket
+        |  WHERE l.vec_id < r.vec_id)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT c.id_a, c.id_b,
+        |         floor(list_cosine_similarity(
+        |           list_transform(ea.embedding, x -> CAST(x AS DOUBLE)),
+        |           list_transform(eb.embedding, x -> CAST(x AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.id_a
+        |  JOIN embeddings eb ON eb.vec_id = c.id_b)
+        |WHERE cos >= 0.42""".stripMargin,
 
     "q_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -282,12 +282,37 @@ object Similarity {
 
   /** Embedding-cosine near-dup, approximate: SRP bucket collision in any
     * table generates candidates (≈ tables/2^planes of the pair space),
-    * exact cosine verifies. Recall < 1 per the OR-construction S-curve. */
+    * exact cosine verifies. Recall < 1 per the OR-construction S-curve.
+    *
+    * This is the LINEAR-scale path of the embedding near-dup family: the
+    * only joins are equi-joins on (table, bucket), so candidate volume —
+    * and with it shuffle and cosine work — scales with Σ bucket², i.e.
+    * linearly in corpus size at fixed density, where the exact
+    * [[cosineNearDupPairsBlocked]] is inherently O(n²) cosine work.
+    * Trade-off measured in NOTES round 5: on near-orthogonal corpora with
+    * pairs AT the threshold, recall-1.0 SRP parameterizations scan more
+    * than the pair space — LSH is the right tool when approximate recall
+    * is acceptable (real near-dup corpora, where dup pairs sit far above
+    * the threshold), the blocked exact join when it is not. */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-                            dims: Int, planesPerTable: Int, tables: Int): DataFrame = {
+                            dims: Int, planesPerTable: Int, tables: Int): DataFrame =
+    cosineNearDupPairsLshImpl(corpus, threshold,
+      srpTableBuckets(col("embedding"), dims, planesPerTable, tables))
+
+  /** [[cosineNearDupPairsLsh]] over the PORTABLE plane family
+    * ([[planeSignPortable]]) — every bucket bit, candidate pair, and
+    * verified cosine SQL-replayable, so the whole approximate pipeline
+    * sits under a value-exact oracle. Splitmix planes stay the
+    * production default (better mixing). */
+  def cosineNearDupPairsLshPortable(corpus: DataFrame, threshold: Double,
+                                    dims: Int, planesPerTable: Int, tables: Int): DataFrame =
+    cosineNearDupPairsLshImpl(corpus, threshold,
+      srpTableBucketsPortable(col("embedding"), dims, planesPerTable, tables))
+
+  private def cosineNearDupPairsLshImpl(corpus: DataFrame, threshold: Double,
+                                        buckets: Column): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
-      posexplode(srpTableBuckets(col("embedding"), dims, planesPerTable, tables))
-        .as(Seq("t", "bucket")))
+      posexplode(buckets).as(Seq("t", "bucket")))
     val l = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
     val r = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
     l.join(r, Seq("t", "bucket"))

@@ -108,6 +108,19 @@ class NoOracleCrossCheckSpec extends SparkSuite {
       s"near-dup recall ${lsh.length.toDouble / exact.size}")
   }
 
+  test("portable-plane LSH near-dup (q_embedding_lsh pipeline) is a subset of exact pairs") {
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.42)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.cosineNearDupPairsLshPortable(emb, threshold = 0.42,
+        dims = 64, planesPerTable = 4, tables = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    // the exact re-check inside the pipeline guarantees no false positives
+    // and true cosines; recall is whatever the 4x4 OR-construction gives
+    // (the driver oracle replays the same buckets, so it needs no floor)
+    lsh.foreach { case (p, c) => assert(exact.get(p).contains(c), s"false positive $p") }
+  }
+
   test("SRP-LSH kNN returns true-cosine values and nonzero recall vs brute force on sf0.01") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceKnn(emb, queries, k = 5)
