@@ -371,6 +371,46 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.hashedLinearScore(col("text")).as("quality_prob"))),
 
+    // DSIR data selection (text.Dsir — Xie et al. NeurIPS 2023): per-doc
+    // log importance weight under Laplace-smoothed unigram+bigram
+    // hashed-feature models, target = lang='en', raw = whole corpus. ONE
+    // map-side-combined aggregate carries both distributions (conditional
+    // sums per bucket), the 256-row log-ratio table broadcasts into the
+    // per-doc join — nothing scales past the bucket count but the linear
+    // per-doc work. Portable feature hashing, so the oracle replays every
+    // bucket id; ln/weighted-sum floats round at 1e-4.
+    "q_dsir" -> ((s, dir) =>
+      graft.text.Dsir.scores(docs(s, dir), targetLang = "en", buckets = 256)),
+
+    // Fuzzy record linkage — blocked edit-distance join (the
+    // entity-resolution blocking pattern, Christen, "Data Matching",
+    // 2012): candidate pairs must share a 24-char lowercased prefix block
+    // AND sit within a 40-char length band (both cheap equi/band
+    // predicates), then the thresholded Levenshtein kernel verifies on
+    // the first 200 chars. The threshold variant of levenshtein runs the
+    // banded DP — O(threshold·len), not O(len²) — and the only join is an
+    // equi-join on the block key, so per-block work is bounded by block
+    // size, never corpus size. Approximate by design (a near-dup pair
+    // differing inside its first 24 chars lands in different blocks); the
+    // oracle replays blocking and distances exactly, so recall is part of
+    // the spec.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val b = docs(s, dir).select(col("doc_id"),
+        lower(substring(col("text"), 1, 24)).as("k"),
+        substring(col("text"), 1, 200).as("t200"),
+        length(col("text")).as("len"))
+      val l = b.select(col("doc_id").as("id_a"), col("k"),
+        col("t200").as("t_a"), col("len").as("len_a"))
+      val r = b.select(col("doc_id").as("id_b"), col("k"),
+        col("t200").as("t_b"), col("len").as("len_b"))
+      l.join(r, Seq("k"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= 40)
+        .withColumn("dist", levenshtein(col("t_a"), col("t_b"), 20))
+        .filter(col("dist") >= 0)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
     // CDC merge / corpus refresh (Relational.mergeUpsert): a derived
     // changeset — updates (doc_id % 7 = 0, versioned text), deletes
     // (doc_id % 13 = 0; the % 91 overlap excluded so the MERGE
@@ -1100,6 +1140,63 @@ object TextQueries {
          |                 * 10000 + 0.5) / 10000 END AS quality_prob
          |FROM s""".stripMargin
     },
+
+    // every feature's portable bucket replayed (unigrams + bigrams), both
+    // smoothed distributions and the ln ratios recomputed, weighted sums
+    // rounded at 1e-4 — the engines' ln kernels agree ~11 orders of
+    // magnitude below that
+    "q_dsir" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $Toks AS toks FROM documents),
+         |f0 AS (
+         |  SELECT doc_id, lang,
+         |         unnest(list_concat(toks,
+         |           list_transform(range(1, len(toks)),
+         |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS f
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |         (CASE WHEN length(f) = 0 THEN 0
+         |               ELSE CAST(list_sum(list_transform(
+         |                      range(1, least(length(f), 48) + 1),
+         |                      c -> CAST(ord(substr(f, CAST(c AS INT), 1)) AS BIGINT)
+         |                           * ([$pow31])[CAST(c AS INT)]))
+         |                    % 2147483647 AS BIGINT) END) % 256 AS bucket
+         |  FROM f0),
+         |s AS (
+         |  SELECT bucket, count(*) AS cr,
+         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         |  FROM f GROUP BY 1),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM s),
+         |lam AS (
+         |  SELECT bucket,
+         |         ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS lam
+         |  FROM s, tot),
+         |dfeat AS (SELECT doc_id, bucket, count(*) AS n FROM f GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT d.doc_id, sum(d.n) AS n_feats, sum(d.n * l.lam) AS raw
+         |  FROM dfeat d JOIN lam l USING (bucket) GROUP BY 1)
+         |SELECT doc.doc_id,
+         |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+         |       coalesce(floor(sc.raw * 10000 + 0.5) / 10000, 0.0) AS score
+         |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id""".stripMargin
+    },
+
+    // blocking keys, length band, and 200-char Levenshtein replayed
+    // exactly (DuckDB's levenshtein is the same unit-cost edit distance
+    // Spark computes; the Spark side adds the banded-DP threshold)
+    "q_fuzzy_join" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(substr(text, 1, 24)) AS k,
+        |         substr(text, 1, 200) AS t200, length(text) AS len
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(levenshtein(a.t200, c.t200) AS INT) AS dist
+        |FROM b a JOIN b c ON a.k = c.k AND a.doc_id < c.doc_id
+        |WHERE abs(a.len - c.len) <= 40
+        |  AND levenshtein(a.t200, c.t200) <= 20""".stripMargin,
 
     // the same changeset + full-outer-join application: updates replace,
     // deletes drop, inserts survive the join with no base row

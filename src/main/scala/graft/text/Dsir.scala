@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Data Selection via Importance Resampling (DSIR) — Xie et al., "Data
+  * Selection for Language Models via Importance Resampling", NeurIPS 2023:
+  * score every raw document by the log importance weight
+  * `log p_target(x) − log p_raw(x)` under two bag-of-hashed-n-grams models
+  * (unigrams + bigrams hashed into `buckets` cells, Laplace-smoothed), so
+  * a pipeline can resample its crawl toward a target domain. The paper
+  * draws Gumbel-top-k from these scores; the deterministic score itself is
+  * what this operator emits (sampling is one `ORDER BY score + gumbel`
+  * away and belongs to the consumer's seed discipline).
+  *
+  * 100 TB shape: the two distribution estimates collapse to ONE
+  * map-side-combined aggregate over the exploded features (`buckets` rows
+  * of state — both distributions ride in the same row as conditional
+  * sums), the per-bucket log-ratio table is `buckets` rows broadcast into
+  * the per-document join, and the per-document score is a second hash
+  * aggregate. Nothing driver-side ever exceeds the bucket count; document
+  * work is linear in tokens.
+  *
+  * Feature hashing uses the [[PortableHash]] polynomial family, so a SQL
+  * oracle replays every bucket id bit-for-bit; the only floats are the
+  * per-bucket `ln` ratios and their weighted sum (engine `ln` kernels
+  * agree to ~1 ulp; scores are rounded at 1e-4, eleven orders of
+  * magnitude coarser). Reference corpus analog: the reference engine's
+  * text pipeline has no data-selection stage — this is part of the
+  * training-data tier (builder brief), like the mixture/decontamination
+  * operators.
+  */
+object Dsir {
+
+  /** Unigram + bigram hashed-feature stream: one row per feature
+    * occurrence, `(doc_id, lang, bucket)`. */
+  def features(docs: DataFrame, buckets: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    docs.select(col("doc_id"), col("lang"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.polyHash(col("f")), lit(buckets.toLong)).as("bucket"))
+  }
+
+  /** Per-document DSIR scores against the `targetLang` documents as the
+    * target distribution and the whole corpus as the raw distribution.
+    * Output: (doc_id, n_feats, score) for EVERY document (feature-less
+    * documents score 0). */
+  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
+    val f = features(docs, buckets)
+    // both distributions in one aggregate: cr = raw count, ct = target count
+    val stats = f.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
+    // corpus totals as a global window over the bucket table (`buckets`
+    // rows — an aggregate read-back, not the corpus), so no cross-join /
+    // nested-loop node enters the plan
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val lam = stats
+      .withColumn("nr", sum(col("cr")).over(all))
+      .withColumn("nt", sum(col("ct")).over(all))
+      .select(col("bucket"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets)) -
+         log((col("cr") + 1).cast("double") / (col("nr") + buckets))).as("lam"))
+    val perDoc = f.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lam")).as("raw"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(graft.operators.Relational.roundp(col("raw"), 4), lit(0.0)).as("score"))
+  }
+}
