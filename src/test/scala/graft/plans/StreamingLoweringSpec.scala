@@ -308,6 +308,106 @@ class StreamingLoweringSpec extends SparkSuite {
     assert(msg.contains("exceeded maxBuffer=10"), s"got: $msg")
   }
 
+  test("window-chain fusion emits the fused aggregate across batch boundaries") {
+    // slidingTime 2000ms over 1000ms-spaced events: window i = {e_i,
+    // e_i+1}, closed by e_i+2's arrival — the last two windows stay
+    // pending. The nonEmpty->countAndSum chain is absorbed into the
+    // window state machine (and slidingTime takes the allocation-free
+    // fold), so the sink sees (n, sum) pairs, never window contents.
+    val countAndSum = (v: Any) => {
+      val vs = v.asInstanceOf[List[Any]]
+      var n = 0L; var sum = 0.0
+      vs.foreach { x => n += 1; sum += x.asInstanceOf[Double] }
+      (n, sum): Any
+    }
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param("slidingTime 2000", null)), "Double", "[Double]", 1),
+      StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+        (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+      StreamVertex(3, OpMap, List(Param("countAndSum", countAndSum)), "[Double]", "(Long,Double)", 1),
+      StreamVertex(4, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
+    val src = twoBatchSource(
+      (0 until 3).map(i => (t(1000L * i), i.toDouble)),
+      (3 until 6).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(4)
+    val q = lowered.map { e =>
+      val (n, s) = e.value.get.asInstanceOf[(Long, Double)]
+      (e.time.map(_.getTime).getOrElse(-1L), n, s)
+    }.toDF("ms", "n", "sum")
+      .writeStream.format("memory").queryName("slower_fused").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_fused").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toList == List(
+      (0L, 2L, 1.0), (1000L, 2L, 3.0), (2000L, 2L, 5.0), (3000L, 2L, 7.0)))
+  }
+
+  test("fused countAndSum fast path self-checks against the real closure") {
+    // a Param NAMED countAndSum whose closure computes something else:
+    // the fused fold must detect the disagreement and fail loudly, not
+    // silently emit its own arithmetic
+    val lyingParam = (v: Any) => {
+      val vs = v.asInstanceOf[List[Any]]
+      (vs.length.toLong, vs.map(_.asInstanceOf[Double]).sum * 2): Any
+    }
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param("slidingTime 2000", null)), "Double", "[Double]", 1),
+      StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+        (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+      StreamVertex(3, OpMap, List(Param("countAndSum", lyingParam)), "[Double]", "(Long,Double)", 1),
+      StreamVertex(4, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1)))
+    val src = twoBatchSource(
+      (0 until 3).map(i => (t(1000L * i), i.toDouble)),
+      (3 until 6).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(4)
+    val q = lowered.map(_.time.map(_.getTime).getOrElse(-1L)).toDF("x")
+      .writeStream.format("memory").queryName("slower_lying").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    def chain(x: Throwable): List[Throwable] =
+      Option(x).map(y => y :: chain(y.getCause)).getOrElse(Nil)
+    val msg = chain(err).map(_.getMessage).mkString("\n")
+    assert(msg.contains("fused countAndSum fold disagrees"), s"got: $msg")
+  }
+
+  test("fan-out after a window blocks fusion: a second consumer sees contents") {
+    // Window -> Map(countAndSum) with a SECOND edge Window -> Sink2: the
+    // Map must NOT be absorbed (Sink2 needs the unfused window contents)
+    val countAndSum = (v: Any) => {
+      val vs = v.asInstanceOf[List[Any]]
+      (vs.length.toLong, vs.map(_.asInstanceOf[Double]).sum): Any
+    }
+    val vs = Vector(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param("chop 2", null)), "Double", "[Double]", 1),
+      StreamVertex(2, OpMap, List(Param("countAndSum", countAndSum)), "[Double]", "(Long,Double)", 1),
+      StreamVertex(3, OpSink, Nil, "(Long,Double)", "(Long,Double)", 1),
+      StreamVertex(4, OpSink, Nil, "[Double]", "[Double]", 1))
+    val g = StreamGraph(vs, Vector((0, 1), (1, 2), (2, 3), (1, 4)))
+    val src = twoBatchSource(
+      (0 until 2).map(i => (t(1000L * i), i.toDouble)),
+      (2 until 4).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))
+    val q1 = lowered(3).map { e =>
+      val (n, s) = e.value.get.asInstanceOf[(Long, Double)]; (n, s)
+    }.toDF("n", "sum")
+      .writeStream.format("memory").queryName("slower_fan_agg").outputMode("append").start()
+    val q2 = lowered(4).map(_.value.get.asInstanceOf[List[Any]].length)
+      .toDF("len")
+      .writeStream.format("memory").queryName("slower_fan_raw").outputMode("append").start()
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val agg = spark.table("slower_fan_agg").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val raw = spark.table("slower_fan_raw").collect().map(_.getInt(0)).toList
+    assert(agg == Set((2L, 1.0), (2L, 5.0)))
+    assert(raw == List(2, 2))
+  }
+
   test("`complete` lowers via the fallback and faithfully never emits") {
     // complete = one window spanning the whole (unbounded) stream — it
     // never closes, so the lowering emits nothing rather than throwing
