@@ -493,6 +493,40 @@ object StreamQueries {
       s.read.parquet(s"$outDir/b*")
     }),
 
+    // Streaming DSIR SERVING — the online face of q_dsir's data
+    // selection: the model (the 256-row log-ratio bucket table) is fitted
+    // ONCE on the static corpus, localCheckpointed, and every arriving
+    // micro-batch of documents is scored against it through a broadcast
+    // join — the "static model, streaming crawl" shape (the q_streaming_
+    // knn pattern applied to importance weights). A document's score is a
+    // pure function of its own features and the model, so the union over
+    // batches reproduces the batch q_dsir output row-for-row — the gate
+    // reuses its oracle verbatim.
+    "q_streaming_dsir" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+      val lam = graft.text.Dsir.model(base, targetLang = "en", buckets = 256)
+        .localCheckpoint()
+      val outDir = graft.core.TempDirs.create("graft_dsir_out_").toAbsolutePath
+      val ckpt = graft.core.TempDirs.create("graft_dsir_ckpt_").toAbsolutePath
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        Tables.streamDocsChunked(s, dir)
+          .writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!b.isEmpty) {
+              graft.text.Dsir.scoreAgainst(b.toDF(), lam, buckets = 256)
+                .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            }
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      s.read.parquet(s"$outDir/b*")
+    }),
+
     // Streaming ordered funnel through StreamingOps.funnelByKey: per-user
     // stage entry times as N-long state, each advancement emitted ONCE as
     // an append-only (user, stage, ts) transition — rows are final at
@@ -1699,6 +1733,9 @@ object StreamQueries {
     "q_streaming_merge" -> TextQueries.oracles("q_merge_upsert"),
     // per-query ADC results are batch-independent: replayed stream ≡ batch
     "q_streaming_knn" -> SimilarityQueries.pqAdcOracle("q.vec_id < 50"),
+    // per-doc scores are pure functions of (features, static model):
+    // replayed stream ≡ batch — same oracle as q_dsir
+    "q_streaming_dsir" -> TextQueries.oracles("q_dsir"),
 
     // a candidate pair lands once, when its later doc arrives, with both
     // band sets complete — the union over batches IS the batch output

@@ -49,11 +49,11 @@ object Dsir {
         pmod(PortableHash.polyHash(col("f")), lit(buckets.toLong)).as("bucket"))
   }
 
-  /** Per-document DSIR scores against the `targetLang` documents as the
-    * target distribution and the whole corpus as the raw distribution.
-    * Output: (doc_id, n_feats, score) for EVERY document (feature-less
-    * documents score 0). */
-  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
+  /** The fitted model: per-bucket log importance ratios
+    * `ln p_target(b) − ln p_raw(b)` (Laplace-smoothed), `buckets` rows —
+    * the whole trained state of DSIR, small enough to broadcast (or to
+    * publish as the static side of a streaming scorer). */
+  def model(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
     val f = features(docs, buckets)
     // both distributions in one aggregate: cr = raw count, ct = target count
     val stats = f.groupBy(col("bucket")).agg(
@@ -63,13 +63,23 @@ object Dsir {
     // rows — an aggregate read-back, not the corpus), so no cross-join /
     // nested-loop node enters the plan
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    val lam = stats
+    stats
       .withColumn("nr", sum(col("cr")).over(all))
       .withColumn("nt", sum(col("ct")).over(all))
       .select(col("bucket"),
         (log((col("ct") + 1).cast("double") / (col("nt") + buckets)) -
          log((col("cr") + 1).cast("double") / (col("nr") + buckets))).as("lam"))
-    val perDoc = f.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Score `docs` against a fitted [[model]] table: per-doc Σ n_b·λ_b.
+    * Output: (doc_id, n_feats, score) for EVERY input document
+    * (feature-less documents score 0). Per-doc scores depend only on the
+    * document's own features and the model, so scoring distributes
+    * trivially — including over streaming micro-batches against a static
+    * model. */
+  def scoreAgainst(docs: DataFrame, lam: DataFrame, buckets: Int): DataFrame = {
+    val perDoc = features(docs, buckets)
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
       .join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lam")).as("raw"))
@@ -78,4 +88,9 @@ object Dsir {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(graft.operators.Relational.roundp(col("raw"), 4), lit(0.0)).as("score"))
   }
+
+  /** Per-document DSIR scores against the `targetLang` documents as the
+    * target distribution and the whole corpus as the raw distribution. */
+  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
+    scoreAgainst(docs, model(docs, targetLang, buckets), buckets)
 }
