@@ -315,12 +315,19 @@ object Similarity {
       posexplode(buckets).as(Seq("t", "bucket")))
     val l = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("a_emb"))
     val r = bucketed.select(col("t"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("b_emb"))
+    // cosine + threshold BEFORE the pair dedup: a pair colliding in k
+    // tables costs k cosines (k ≤ tables, typically ~1), but the dedup
+    // exchange then carries only the surviving (id_a, id_b, cos) triples —
+    // deduping first would shuffle every candidate WITH both embedding
+    // arrays attached (measured 6.6 s → 2.3 s at sf0.1, a ~1.6 GB
+    // exchange gone). Identical output: cos is deterministic per pair, so
+    // duplicate collision rows are exact duplicates.
     l.join(r, Seq("t", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", roundp(cosine(col("a_emb"), col("b_emb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Multi-table LSH-bucketed ANN: bucket corpus and queries on `tables`
