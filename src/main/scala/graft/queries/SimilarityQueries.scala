@@ -330,10 +330,16 @@ object SimilarityQueries {
     // candidate generation (this). Recall < 1 by the OR-construction
     // S-curve; the oracle replays the SAME pipeline (bucket bits,
     // collisions, cosine) value-for-value, so approximation is part of
-    // the spec, not slack in the check.
-    "q_embedding_lsh" -> ((s, dir) =>
-      Similarity.cosineNearDupPairsLshPortable(emb(s, dir), threshold = 0.42,
-        dims = 64, planesPerTable = 4, tables = 4)),
+    // the spec, not slack in the check. planesPerTable scales with the
+    // corpus (Similarity.autoPlanesPerTable — constant ~512-vector
+    // buckets, candidate volume linear in n); the oracle recomputes the
+    // same integer formula from count(*) so the two can never drift.
+    "q_embedding_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.cosineNearDupPairsLshPortable(e, threshold = 0.42,
+        dims = 64, planesPerTable = Similarity.autoPlanesPerTable(e.count()),
+        tables = 4)
+    }),
 
     // Per-label centroid vectors (the codebook-free embedding aggregate a
     // label-balanced corpus wants): one posexplode over the scan, one
@@ -516,6 +522,22 @@ object SimilarityQueries {
   }
 
   // SimHash bit-voting rebuilt in SQL over the same portable family
+  /** The portable SRP plane weights as a VALUES CTE body
+    * `(1, [w…]), (2, [w…]), …` (flat plane id + 1, 64-element ±1 list) —
+    * joined by plane id rather than inlined as a nested literal inside
+    * the per-element lambda, where DuckDB re-materializes the whole
+    * 4096-literal list per element (the MATERIALIZED-CTE perf trap:
+    * inline form measured minutes, the join form seconds). The weights
+    * are data-independent frozen constants of the family
+    * (Similarity.planeSignPortable), so literals ARE the replay — the
+    * powers/permConstants precedent. */
+  private def planeWeightValues(nPlanes: Int): String =
+    (0 until nPlanes).map { pl =>
+      "(" + (pl + 1) + ", [" + (0 until 64).map(d =>
+        if (graft.similarity.Similarity.planeSignPortable(pl, d, 64) > 0) "1.0" else "-1.0")
+        .mkString(", ") + "])"
+    }.mkString(", ")
+
   private val simhashPortableOracle: String = {
     import graft.functions.PortableHash
     val pows = PortableHash.powers.mkString(", ")
@@ -750,20 +772,21 @@ object SimilarityQueries {
         |  FROM pairs)
         |SELECT q_id, n_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
-    // every SRP bucket bit re-derived from the closed-form Lehmer weights,
-    // OR-construction candidates, exact-cosine rerank
+    // every SRP bucket bit re-derived from the frozen portable plane
+    // weights (injected as literal ±1 tables — they are data-independent
+    // constants, the powers/permConstants precedent), OR-construction
+    // candidates, exact-cosine rerank
     "q_knn_srp_portable" ->
-      """WITH b AS (
+      s"""WITH w(pl, wl) AS (SELECT * FROM (VALUES ${planeWeightValues(16)})),
+        |b AS (
         |  SELECT vec_id, t,
         |         sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
         |  FROM (
         |    SELECT e.vec_id, t.t, p.p,
         |           list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |             i -> CAST(e.embedding[i] AS DOUBLE) *
-        |                  (CASE WHEN ((1 + ((t.t * 4 + p.p) * 64) + (i - 1)) * 48271)
-        |                             % 2147483647 % 2 = 0
-        |                        THEN 1.0 ELSE -1.0 END))) AS proj
-        |    FROM embeddings e, range(0, 4) t(t), range(0, 4) p(p))
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * w.wl[CAST(i AS INT)])) AS proj
+        |    FROM embeddings e, range(0, 4) t(t), range(0, 4) p(p), w
+        |    WHERE w.pl = t.t * 4 + p.p + 1)
         |  GROUP BY vec_id, t),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
@@ -853,21 +876,26 @@ object SimilarityQueries {
         |FROM embeddings GROUP BY label""".stripMargin,
 
     // the portable SRP buckets replayed bit-for-bit (the q_knn_srp_portable
-    // CTE), then: collision in any table → DISTINCT ordered pair → exact
+    // CTE), with the data-dependent plane count re-derived from count(*)
+    // by the same integer thresholds as Similarity.autoPlanesPerTable,
+    // then: collision in any table → DISTINCT ordered pair → exact
     // cosine at the same threshold — the whole approximate pipeline under
     // a value-exact oracle
-    "q_embedding_lsh" ->
-      """WITH b AS (
+    "q_embedding_lsh" -> {
+      val planeCases = (13 to 24)
+        .map(k => s"(CASE WHEN count(*) > ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH prm AS (SELECT 4 + $planeCases AS p FROM embeddings),
+        |w(pl, wl) AS (SELECT * FROM (VALUES ${planeWeightValues(64)})),
+        |b AS (
         |  SELECT vec_id, t,
-        |         sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+        |         sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << p0 ELSE 0 END) AS bucket
         |  FROM (
-        |    SELECT e.vec_id, t.t, p.p,
+        |    SELECT e.vec_id, t.t, pp.p0,
         |           list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |             i -> CAST(e.embedding[i] AS DOUBLE) *
-        |                  (CASE WHEN ((1 + ((t.t * 4 + p.p) * 64) + (i - 1)) * 48271)
-        |                             % 2147483647 % 2 = 0
-        |                        THEN 1.0 ELSE -1.0 END))) AS proj
-        |    FROM embeddings e, range(0, 4) t(t), range(0, 4) p(p))
+        |             i -> CAST(e.embedding[i] AS DOUBLE) * w.wl[CAST(i AS INT)])) AS proj
+        |    FROM embeddings e, range(0, 4) t(t), range(0, 16) pp(p0), prm, w
+        |    WHERE pp.p0 < prm.p AND w.pl = t.t * prm.p + pp.p0 + 1)
         |  GROUP BY vec_id, t),
         |cand AS (
         |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
@@ -881,7 +909,8 @@ object SimilarityQueries {
         |  FROM cand c
         |  JOIN embeddings ea ON ea.vec_id = c.id_a
         |  JOIN embeddings eb ON eb.vec_id = c.id_b)
-        |WHERE cos >= 0.42""".stripMargin,
+        |WHERE cos >= 0.42""".stripMargin
+    },
 
     "q_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

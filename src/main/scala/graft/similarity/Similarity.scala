@@ -299,6 +299,19 @@ object Similarity {
     cosineNearDupPairsLshImpl(corpus, threshold,
       srpTableBuckets(col("embedding"), dims, planesPerTable, tables))
 
+  /** Constant-target-cell SRP plane count — the `Ivf.autoNlist` move for
+    * bucketed LSH: 4 planes (16 buckets per table) up to 8192 vectors,
+    * one more plane per doubling beyond, so expected bucket occupancy
+    * stays ~512 and candidate-pair volume stays LINEAR in corpus size.
+    * At a FIXED plane count candidates grow as n²/2^planes — measured
+    * 160× wall-clock at 26× rows on q_embedding_lsh before this
+    * (the q_semantic_dedup r10 scale bug, same disease, same cure).
+    * Integer comparisons only, so a SQL oracle replays the count
+    * exactly from count(*). More planes tighten precision; recall for
+    * pairs AT the threshold declines per the S-curve while high-cosine
+    * true near-dups keep colliding — the right trade at scale. */
+  def autoPlanesPerTable(n: Long): Int = 4 + (13 to 24).count(k => n > (1L << k))
+
   /** [[cosineNearDupPairsLsh]] over the PORTABLE plane family
     * ([[planeSignPortable]]) — every bucket bit, candidate pair, and
     * verified cosine SQL-replayable, so the whole approximate pipeline
@@ -404,13 +417,35 @@ object Similarity {
 
   /** Engine-portable SRP plane sign — the [[graft.functions.PortableHash]]
     * move applied to hyperplanes: w(plane, dim) = ±1 from ONE closed-form
-    * Lehmer multiplication, `((1 + plane·dims + dim)·48271 mod (2³¹−1))
-    * mod 2`, no iterated generator state, so a SQL oracle reproduces every
-    * weight with the same integer arithmetic. Weaker bit-mixing than the
-    * production splitmix planes ([[graft.functions.SrpBuckets]]); exists to
-    * make the WHOLE bucketed-ANN pipeline oracle-checkable. */
-  def planeSignPortable(plane: Int, dim: Int, dims: Int): Double =
-    if ((1L + plane.toLong * dims + dim) * 48271L % 2147483647L % 2L == 0L) 1.0 else -1.0
+    * 32-bit xorshift-multiply avalanche (Wang-style integer hash: two
+    * rounds of `h ^= h>>16; h *= 73244475; h %= 2³²`, then a final
+    * xorshift) of the flat plane·dims+dim index — exact integer
+    * arithmetic a SQL engine reproduces, and the oracles inject the
+    * resulting ±1 weight tables as frozen literal constants (the
+    * `PortableHash.powers`/`permConstants` precedent: weights are
+    * data-independent, so literals ARE the replay). Weaker bit-mixing
+    * than the production splitmix planes
+    * ([[graft.functions.SrpBuckets]]); exists to make the WHOLE
+    * bucketed-ANN pipeline oracle-checkable.
+    *
+    * History: through round 11 this was a single un-wrapped Lehmer
+    * multiplication `((1 + plane·dims + dim)·48271 mod (2³¹−1)) mod 2` —
+    * DEGENERATE: the product never exceeds 2³¹−1 for realistic indices,
+    * so the parity collapsed to `parity(dim)` and every plane was the
+    * SAME alternating ±1 vector. Buckets held only the two all-sign
+    * values, candidate "pruning" scanned n²/2 pairs (caught by the 26×
+    * scale step: q_embedding_lsh read 160× — two buckets per table). The
+    * avalanche restores per-plane independence: 16/16 buckets populated
+    * on the sf0.1 corpus, candidate volume ≈ tables/2^planes of the pair
+    * space as the S-curve predicts. */
+  def planeSignPortable(plane: Int, dim: Int, dims: Int): Double = {
+    val M = 4294967296L
+    var h = (1L + plane.toLong * dims + dim) % M
+    h = ((h ^ (h >>> 16)) * 73244475L) % M
+    h = ((h ^ (h >>> 16)) * 73244475L) % M
+    h = h ^ (h >>> 16)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
 
   /** [[srpTableBuckets]] over the portable plane family. */
   def srpTableBucketsPortable(emb: Column, dims: Int, planesPerTable: Int, tables: Int): Column =
