@@ -57,6 +57,24 @@ object TextQueries {
     updates.unionByName(deletes).unionByName(inserts)
   }
 
+  /** The composed-dedup keep-list (q_clean_corpus; shared by q_export):
+    * drop exact-duplicate non-keepers (min doc id per content hash
+    * survives) AND near-dup non-keepers (component keeper survives).
+    * One window pass for exact groups, the candidate-pair + components
+    * pipeline for near-dups, one anti-join to subtract both. */
+  private def cleanCorpusKeepList(d: DataFrame): DataFrame = {
+    val keeper = min(col("doc_id")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+    val exactNonKeepers = d.select(col("doc_id"), keeper.as("k"))
+      .filter(col("doc_id") =!= col("k")).select("doc_id")
+    val nearNonKeepers = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+          n = 3, maxDf = 10, minJaccard = 0.05), "id_a", "id_b")
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+    d.select("doc_id")
+      .join(exactNonKeepers.union(nearNonKeepers).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // streamExpand (FunctionalProcessing.hs:206-210) as Catalyst Generate:
@@ -189,18 +207,49 @@ object TextQueries {
     // non-keepers (component keeper survives), emit the clean corpus.
     // One window pass for exact groups, the candidate-pair + components
     // pipeline for near-dups, one anti-join to subtract both.
-    "q_clean_corpus" -> ((s, dir) => {
+    "q_clean_corpus" -> ((s, dir) => cleanCorpusKeepList(docs(s, dir))),
+
+    // THE EXPORT JOB — the training-data flagship composite, chaining
+    // four individually-oracled stages end to end the way a real corpus
+    // export runs: (1) the q_clean_corpus keep-list (exact + near-dup
+    // dedup), (2) a C4-style minimum-length rule (≥ 10 whitespace
+    // tokens; Raffel et al. 2020 drop short pages the same way),
+    // (3) q_pack's contiguous greedy packing into 2000-token sequences
+    // per source (keyed exclusive-prefix-sum window — one hash
+    // exchange, never a global sort), and (4) q_shuffle_shards' Lehmer
+    // shuffle of the packed SEQUENCES into 8 training shards with a
+    // within-shard position (keyed window per shard). Output is the
+    // export manifest: one row per packed sequence with its shard
+    // placement — what a writer job would consume to emit final
+    // training files. Every stage's arithmetic is the already-proven
+    // portable form, so the whole composite sits under one oracle.
+    "q_export" -> ((s, dir) => {
       val d = docs(s, dir)
-      val keeper = min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
-      val exactNonKeepers = d.select(col("doc_id"), keeper.as("k"))
-        .filter(col("doc_id") =!= col("k")).select("doc_id")
-      val nearNonKeepers = Dedup.connectedComponents(
-          Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
-            n = 3, maxDf = 10, minJaccard = 0.05), "id_a", "id_b")
-        .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
-      d.select("doc_id")
-        .join(exactNonKeepers.union(nearNonKeepers).distinct(), Seq("doc_id"), "left_anti")
+      val P = 2147483647L
+      val kept = d.join(cleanCorpusKeepList(d), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") >= 10)
+      val packW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val binned = kept.withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(packW), lit(0L)) / 2000).cast("long"))
+      val seqs = binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      // sequence shuffle key: polyHash(source) mixes the source into the
+      // Lehmer stream so same-bin sequences of different sources spread;
+      // overflow audit: poly < 2³¹, ·31 + bin < 2³⁶, ·48271 < 2⁵³
+      val skey = pmod((pmod(graft.functions.PortableHash.polyHash(col("source")) * 31L
+        + col("bin"), lit(P))) * 48271L, lit(P))
+      val shardW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("skey"), col("source"), col("bin"))
+      seqs.withColumn("skey", skey)
+        .withColumn("shard", (col("skey") % 8).cast("int"))
+        .withColumn("pos", row_number().over(shardW))
+        .select(col("shard"), col("pos"), col("source"), col("bin"),
+          col("n_docs"), col("seq_tokens"), col("first_doc"), col("last_doc"))
     }),
 
     // Deterministic train/val/test split by content-addressed hash
@@ -789,6 +838,52 @@ object TextQueries {
        |  UNION
        |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)""".stripMargin
 
+  /** The q_clean_corpus oracle body (also embedded as a CTE subquery by
+    * the q_export composite oracle). */
+  private val cleanCorpusOracle: String =
+    s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $Toks AS t FROM documents),
+         |shingled AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |           unnest(CASE WHEN len(t) < 3 THEN []
+         |                  ELSE list_transform(range(1, len(t) - 1),
+         |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
+         |    FROM toks)),
+         |rare AS (
+         |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
+         |pruned AS (
+         |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
+         |cand AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |    FROM pruned a JOIN pruned b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05),
+         |edges AS (
+         |  SELECT id_a AS s, id_b AS d FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT s AS id, d AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
+         |near_nk AS (
+         |  SELECT id AS doc_id FROM (
+         |    SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+         |  WHERE id <> comp),
+         |exact_nk AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+         |    FROM documents)
+         |  WHERE doc_id <> k)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near_nk)
+         |  AND doc_id NOT IN (SELECT doc_id FROM exact_nk)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_trained" ->
       s"""WITH ${bpeTrainCtes(8)},
@@ -956,49 +1051,48 @@ object TextQueries {
         |  FROM documents)
         |WHERE rank <= 80""".stripMargin,
 
-    "q_clean_corpus" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, $Toks AS t FROM documents),
-         |shingled AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id,
-         |           unnest(CASE WHEN len(t) < 3 THEN []
-         |                  ELSE list_transform(range(1, len(t) - 1),
-         |                       i -> array_to_string(t[i:i+2], ' ')) END) AS shingle
-         |    FROM toks)),
-         |rare AS (
-         |  SELECT shingle FROM shingled GROUP BY shingle HAVING count(*) <= 10),
-         |pruned AS (
-         |  SELECT s.doc_id, s.shingle FROM shingled s JOIN rare USING (shingle)),
-         |sizes AS (
-         |  SELECT doc_id, count(*) AS n_sh FROM pruned GROUP BY doc_id),
-         |cand AS (
-         |  SELECT id_a, id_b FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-         |    FROM pruned a JOIN pruned b USING (shingle)
-         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE floor(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) * 10000 + 0.5) / 10000 >= 0.05),
-         |edges AS (
-         |  SELECT id_a AS s, id_b AS d FROM cand
-         |  UNION SELECT id_b, id_a FROM cand),
-         |reach AS (
-         |  SELECT s AS id, d AS r FROM edges
-         |  UNION
-         |  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s),
-         |near_nk AS (
-         |  SELECT id AS doc_id FROM (
-         |    SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
-         |  WHERE id <> comp),
-         |exact_nk AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
-         |    FROM documents)
-         |  WHERE doc_id <> k)
-         |SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM near_nk)
-         |  AND doc_id NOT IN (SELECT doc_id FROM exact_nk)""".stripMargin,
+    "q_clean_corpus" -> cleanCorpusOracle,
+
+    // the four stages chained: the clean-corpus oracle as a nested-WITH
+    // CTE, the ≥10-token rule, the q_pack exclusive-prefix-sum binning,
+    // the q_shuffle_shards Lehmer arithmetic over (polyHash(source)·31 +
+    // bin) — all the already-proven portable forms
+    "q_export" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      s"""WITH clean AS ($cleanCorpusOracle),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN clean USING (doc_id)
+         |  WHERE len($Toks) >= 10),
+         |binned AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS bin
+         |  FROM kept),
+         |seqs AS (
+         |  SELECT source, bin, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |  FROM binned GROUP BY 1, 2),
+         |keyed AS (
+         |  SELECT *,
+         |         ((CASE WHEN length(source) = 0 THEN 0
+         |                 ELSE CAST(list_sum(list_transform(
+         |                        range(1, least(length(source), 48) + 1),
+         |                        c -> CAST(ord(substr(source, CAST(c AS INT), 1)) AS BIGINT)
+         |                             * ([$pow31])[CAST(c AS INT)]))
+         |                      % 2147483647 AS BIGINT) END * 31 + bin)
+         |           % 2147483647) * 48271 % 2147483647 AS skey
+         |  FROM seqs)
+         |SELECT CAST(skey % 8 AS INT) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY skey % 8
+         |              ORDER BY skey, source, bin) AS INT) AS pos,
+         |       source, bin, n_docs, seq_tokens, first_doc, last_doc
+         |FROM keyed""".stripMargin
+    },
+
 
     "q_split" ->
       """SELECT doc_id,
