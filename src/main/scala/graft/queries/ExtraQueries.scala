@@ -74,6 +74,24 @@ object ExtraQueries {
       j
     }),
 
+    // Z-order (Morton) clustering index — the multi-dimensional
+    // data-skipping layout (sources.ZOrder; Delta/Iceberg OPTIMIZE
+    // ZORDER shape): bits of (l_partkey, l_suppkey) interleaved so a
+    // write clustered by this index prunes parquet footers on EITHER
+    // key. 32 codegen'd shift/mask terms fused into the scan; the
+    // oracle replays every bit. The layout effect itself (straddle
+    // fractions of per-file min/max under z-cluster vs single-key sort)
+    // is asserted in ZOrderSpec.
+    "q_zorder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        graft.sources.ZOrder.zindex(col("l_partkey"), col("l_suppkey"),
+          graft.sources.ZOrder.bitsFor(mx.getLong(0)),
+          graft.sources.ZOrder.bitsFor(mx.getLong(1))).as("zindex"))
+    }),
+
     // Set operations: customers appearing in both the open-order and
     // large-order populations (INTERSECT), and those with open orders but
     // no large ones (EXCEPT).
@@ -350,6 +368,29 @@ object ExtraQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // every Morton bit replayed with integer //, %, << arithmetic; the
+    // lane widths re-derived from max() by the same threshold sum as
+    // ZOrder.bitsFor, so the two can never drift
+    "q_zorder" -> {
+      def bitsSql(m: String) =
+        "1 + " + (1 to 15).map(k => s"(CASE WHEN $m >= ${1L << k} THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+        |bits AS (SELECT ${bitsSql("mp")} AS bp, ${bitsSql("ms")} AS bs FROM mx)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(list_sum(list_transform(range(0, 16), i ->
+        |         (((l_partkey % (CAST(1 AS BIGINT) << CAST(bp AS INT)))
+        |             * (CAST(1 AS BIGINT) << CAST(16 - bp AS INT)))
+        |            // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2
+        |           * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
+        |         + (((l_suppkey % (CAST(1 AS BIGINT) << CAST(bs AS INT)))
+        |             * (CAST(1 AS BIGINT) << CAST(16 - bs AS INT)))
+        |            // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2
+        |           * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT))))
+        |         AS BIGINT) AS zindex
+        |FROM lineitem, bits""".stripMargin
+    },
+
     // identical rank/divide arithmetic; NTILE's uneven-bucket rule
     // (first n%4 buckets one larger) is the same in both engines
     "q_rank_funcs" ->

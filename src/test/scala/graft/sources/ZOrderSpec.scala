@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The z-order layout's data-skipping claim, asserted from the file
+  * footers it actually produces: for a point predicate on a key, a
+  * parquet reader can skip every file whose [min, max] range of that key
+  * does not straddle the value — so the fraction of straddling files IS
+  * the fraction of the table a selective scan must touch. A single-key
+  * sort skips only on its leading key (every file straddles the other
+  * key); the Morton layout skips on BOTH. */
+class ZOrderSpec extends SparkSuite {
+
+  private def straddleFraction(path: String, key: String, v: Long): Double = {
+    val byFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(key)).as("lo"), max(col(key)).as("hi"))
+    val total = byFile.count().toDouble
+    byFile.filter(col("lo") <= v && col("hi") >= v).count() / total
+  }
+
+  test("z-clustered files skip on BOTH keys; a single-key sort skips on one") {
+    val li = graft.queries.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val zDir = graft.core.TempDirs.create("graft_zorder_").toAbsolutePath.toString
+    val pDir = graft.core.TempDirs.create("graft_psort_").toAbsolutePath.toString
+    ZOrder.clusterWrite(li, "l_partkey", "l_suppkey", zDir, files = 32)
+    li.repartitionByRange(32, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(pDir)
+
+    // mid-range point values on each dimension, derived from the data
+    val mids = li.agg(
+      floor((min(col("l_partkey")) + max(col("l_partkey"))) / 2).cast("long"),
+      floor((min(col("l_suppkey")) + max(col("l_suppkey"))) / 2).cast("long")).head()
+    val (pv, sv) = (mids.getLong(0), mids.getLong(1))
+    val zPart = straddleFraction(zDir, "l_partkey", pv)
+    val zSupp = straddleFraction(zDir, "l_suppkey", sv)
+    val pPart = straddleFraction(pDir, "l_partkey", pv)
+    val pSupp = straddleFraction(pDir, "l_suppkey", sv)
+
+    // the partkey-sorted layout is near-perfect on partkey but useless
+    // on suppkey (every file spans the whole suppkey range)
+    assert(pPart <= 0.15, s"partkey-sorted straddle on partkey = $pPart")
+    assert(pSupp >= 0.9, s"partkey-sorted straddle on suppkey = $pSupp")
+    // the z-clustered layout skips MOST files on either dimension —
+    // the multi-dimensional trade: not as sharp as a dedicated sort on
+    // its own key, far better than the other layout's nothing
+    assert(zPart <= 0.6, s"z-clustered straddle on partkey = $zPart")
+    assert(zSupp <= 0.6, s"z-clustered straddle on suppkey = $zSupp")
+    assert(zSupp < pSupp / 1.5, s"z ($zSupp) must beat single-key sort ($pSupp) on the second key")
+  }
+
+  test("zindex matches a reference interleave, lanes left-aligned") {
+    def ref(x: Long, y: Long, bx: Int, by: Int): Long = {
+      val xa = (x % (1L << bx)) << (16 - bx)
+      val ya = (y % (1L << by)) << (16 - by)
+      (0 until 16).map(i => ((xa >> i) & 1L) << (2 * i) |
+        ((ya >> i) & 1L) << (2 * i + 1)).reduce(_ | _)
+    }
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (65536L, 1L), (19999L, 999L))
+    for ((bx, by) <- Seq((16, 16), (15, 10), (1, 16))) {
+      val got = pairs.toDF("x", "y")
+        .select(col("x"), col("y"), ZOrder.zindex(col("x"), col("y"), bx, by).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      pairs.foreach { case (x, y) =>
+        assert(got((x, y)) == ref(x, y, bx, by), s"zindex($x, $y, $bx, $by)")
+      }
+    }
+    assert(ZOrder.bitsFor(0) == 1 && ZOrder.bitsFor(1) == 1 &&
+      ZOrder.bitsFor(2) == 2 && ZOrder.bitsFor(999) == 10 &&
+      ZOrder.bitsFor(19999) == 15 && ZOrder.bitsFor(1L << 40) == 16)
+  }
+}
