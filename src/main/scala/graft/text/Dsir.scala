@@ -53,15 +53,18 @@ object Dsir {
     * `ln p_target(b) − ln p_raw(b)` (Laplace-smoothed), `buckets` rows —
     * the whole trained state of DSIR, small enough to broadcast (or to
     * publish as the static side of a streaming scorer). */
-  def model(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
-    val f = features(docs, buckets)
-    // both distributions in one aggregate: cr = raw count, ct = target count
-    val stats = f.groupBy(col("bucket")).agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
-    // corpus totals as a global window over the bucket table (`buckets`
-    // rows — an aggregate read-back, not the corpus), so no cross-join /
-    // nested-loop node enters the plan
+  def model(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
+    lamTable(
+      features(docs, buckets).groupBy(col("bucket")).agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct")),
+      buckets)
+
+  /** λ from a (bucket, cr, ct) stats table. Corpus totals come from a
+    * global window over the bucket table (`buckets` rows — an aggregate
+    * read-back, not the corpus), so no cross-join / nested-loop node
+    * enters the plan. */
+  private def lamTable(stats: DataFrame, buckets: Int): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
     stats
       .withColumn("nr", sum(col("cr")).over(all))
@@ -90,7 +93,31 @@ object Dsir {
   }
 
   /** Per-document DSIR scores against the `targetLang` documents as the
-    * target distribution and the whole corpus as the raw distribution. */
-  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
-    scoreAgainst(docs, model(docs, targetLang, buckets), buckets)
+    * target distribution and the whole corpus as the raw distribution.
+    * ONE corpus explode feeds both the model fit and the per-doc counts:
+    * the (doc, lang, bucket) occurrence counts are materialized once
+    * (localCheckpoint — a few rows per doc) and the bucket stats derive
+    * from them by a second tiny aggregate, instead of [[scoreAgainst]] +
+    * [[model]] each re-exploding every token of the corpus. Identical
+    * arithmetic (cr/ct are sums of the same occurrence counts), so the
+    * oracle is unchanged. */
+  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
+    val pdb = features(docs, buckets)
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val lam = lamTable(
+      pdb.groupBy(col("bucket")).agg(
+        sum(col("n")).as("cr"),
+        sum(when(col("lang") === targetLang, col("n")).otherwise(0L)).as("ct")),
+      buckets)
+    val perDoc = pdb
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lam")).as("raw"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(graft.operators.Relational.roundp(col("raw"), 4), lit(0.0)).as("score"))
+  }
 }
