@@ -94,30 +94,16 @@ object Dsir {
 
   /** Per-document DSIR scores against the `targetLang` documents as the
     * target distribution and the whole corpus as the raw distribution.
-    * ONE corpus explode feeds both the model fit and the per-doc counts:
-    * the (doc, lang, bucket) occurrence counts are materialized once
-    * (localCheckpoint — a few rows per doc) and the bucket stats derive
-    * from them by a second tiny aggregate, instead of [[scoreAgainst]] +
-    * [[model]] each re-exploding every token of the corpus. Identical
-    * arithmetic (cr/ct are sums of the same occurrence counts), so the
-    * oracle is unchanged. */
-  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
-    val pdb = features(docs, buckets)
-      .groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val lam = lamTable(
-      pdb.groupBy(col("bucket")).agg(
-        sum(col("n")).as("cr"),
-        sum(when(col("lang") === targetLang, col("n")).otherwise(0L)).as("ct")),
-      buckets)
-    val perDoc = pdb
-      .join(broadcast(lam), Seq("bucket"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("lam")).as("raw"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(graft.operators.Relational.roundp(col("raw"), 4), lit(0.0)).as("score"))
-  }
+    *
+    * The model-fit and per-doc branches each explode the corpus (Spark
+    * does not CSE across plan branches). Materializing the shared
+    * (doc, lang, bucket) counts once via localCheckpoint was TRIED and
+    * REVERTED: at sf0.1 the eager materialization costs 2.15 s where the
+    * lazy double-explode costs 0.24 s (the q_pagerank/q_chisq persist
+    * counter-result again — recompute beats materialization for cheap
+    * branches at this scale). At true 100 TB, where the explode
+    * dominates, a caller SHOULD persist `features(docs, buckets)` and
+    * feed [[model]] + [[scoreAgainst]] from it. */
+  def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
+    scoreAgainst(docs, model(docs, targetLang, buckets), buckets)
 }
