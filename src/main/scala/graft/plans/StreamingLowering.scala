@@ -197,6 +197,13 @@ object StreamingLowering {
   }
   private type WindowEmit = WindowEmitter
 
+  /** Recheck cadence for fused window folds: every Nth window the fold
+    * result is re-verified against the real chain closures (see
+    * [[chainEmit]]). 1024 keeps the amortized materialization cost at
+    * ~0.1% while bounding how long an input-dependent closure
+    * divergence can go unnoticed. Package-visible for the fusion spec. */
+  private[plans] val FusedFoldRecheckEvery = 1024L
+
   /** The fused per-window emit: the window materializes as the same
     * `windowEvent` the unfused path would send downstream, then the
     * absorbed chain's closures run on it in graph order with EXACTLY the
@@ -212,12 +219,19 @@ object StreamingLowering {
     * allocates the window contents 3× per window (toList, filter, map).
     * For slidingTime at high density that is the difference between
     * O(events) and O(events × window) allocations. The fold is NOT
-    * trusted blindly: once per task instance it also materializes the
-    * window and runs the real closures, failing loudly on any mismatch
-    * (the genericWindowLower checked-soundness pattern) — so renaming a
-    * closure's behavior without renaming its Param source cannot
-    * silently diverge. */
-  private def chainEmit(chain: List[StreamVertex]): WindowEmit = {
+    * trusted blindly: on the FIRST window through each task instance and
+    * then every [[FusedFoldRecheckEvery]]-th window after it, the window
+    * is also materialized and the real closures run on it, failing
+    * loudly on any mismatch (the genericWindowLower checked-soundness
+    * pattern). The periodic recheck (not just once per task) closes the
+    * input-dependent-divergence residual: a closure that agrees on the
+    * first window but diverges later is caught within one recheck
+    * period; the amortized cost is one list materialization per 1024
+    * windows (~0.1%). A closure that diverges on fewer than 1/1024
+    * windows can still slip between rechecks — the contract remains
+    * "the Param NAME is the semantic promise", the recheck is defense
+    * in depth. */
+  private[plans] def chainEmit(chain: List[StreamVertex]): WindowEmit = {
     val steps: List[Event[Any] => Option[Event[Any]]] = chain.map { cv =>
       cv.op match {
         case OpMap =>
@@ -238,11 +252,11 @@ object StreamingLowering {
     val shape = chain.map(cv => (cv.op.name, cv.params.head.src))
     if (shape == List("Filter" -> "nonEmpty", "Map" -> "countAndSum"))
       new WindowEmitter {
-        @transient private var verified = false
+        @transient private var sinceCheck = 0L
         def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
         override def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] = {
-          if (!verified) {
-            verified = true
+          if (sinceCheck == 0L) {
+            sinceCheck = FusedFoldRecheckEvery
             val w = it.toList
             val viaFold = fold(w.iterator)
             val viaChain = listEmit(w)
@@ -253,7 +267,7 @@ object StreamingLowering {
                   "'nonEmpty'/'countAndSum' no longer means what the fused " +
                   "fast path implements — rename the Param or fix the closure")
             viaFold
-          } else fold(it)
+          } else { sinceCheck -= 1; fold(it) }
         }
         private def fold(it: Iterator[Event[Any]]): Option[Event[Any]] = {
           // mirrors windowEvent + nonEmpty + countAndSum exactly: stamp =

@@ -331,19 +331,25 @@ object ExtraQueries {
        |       floor(avg($c) * 10000 + 0.5) / 10000 AS mean
        |FROM lineitem""".stripMargin
 
-  // keyed by the session OBJECT (reference equality — SparkSession does
-  // not override equals), not s.hashCode: identity hash codes can collide
-  // across sessions, and a collision here would hand one session another
-  // session's catalog table names
-  private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+  // Outer map is WEAKLY keyed by the session object (reference equality —
+  // SparkSession does not override equals; identity hashes can collide
+  // across sessions, and a collision would hand one session another
+  // session's catalog table names, so the object IS the right key) —
+  // weak so a closed session and its session state can be GC'd instead
+  // of being pinned for the JVM lifetime. Values hold only table-name
+  // strings, never the session, so the weak key stays collectible.
+  private val bucketedCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, String)]]())
 
   /** Write lineitem/orders as co-bucketed catalog tables (8 buckets on
     * the order key) once per (session, sfDir); later calls reuse the
     * catalog entries. The write is the one-time ingest shuffle the
     * bucketed layout amortizes. */
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedCache.computeIfAbsent((s, dir), { _ =>
+    bucketedCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    ).computeIfAbsent(dir, { _ =>
       val suffix = java.lang.Integer.toHexString(dir.hashCode)
       val (liT, oT) = (s"graft_li_bkt_$suffix", s"graft_o_bkt_$suffix")
       // the warehouse directory outlives the in-memory catalog across

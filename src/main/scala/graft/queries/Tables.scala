@@ -143,15 +143,26 @@ object Tables {
       val (baseDir, sch) = chunkedEventsDir(spark, sfDir, nChunks)
       val d = graft.core.TempDirs.create("graft_events_flush_")
       val basePath = java.nio.file.Paths.get(baseDir)
-      val chunkFiles = java.nio.file.Files.list(basePath).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+      // Files.list holds a directory handle until the Stream closes —
+      // drain it inside try/finally or each cache entry leaks one
+      val listing = java.nio.file.Files.list(basePath)
+      val chunkFiles =
+        try listing.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+        finally listing.close()
       var maxMtime = 0L
       chunkFiles.foreach { p =>
         java.nio.file.Files.createSymbolicLink(d.resolve(p.getFileName), p)
         maxMtime = math.max(maxMtime, java.nio.file.Files.getLastModifiedTime(p).toMillis)
       }
       val ev = events(spark, sfDir)
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val maxRow = ev.agg(max(unix_micros(col("ts")))).head
+      if (maxRow.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"streamEventsChunkedWithFlush: events table at $sfDir is empty — " +
+            "the flush sentinel is stamped 1h past max(ts), which does not " +
+            "exist; replay an empty stream with streamEventsChunked instead")
+      val maxUs = maxRow.getLong(0)
       val sentinel = ev.limit(1)
         .withColumn("event_id", lit(-1L))
         .withColumn("ts", timestamp_micros(lit(maxUs + 3600L * 1000000L)))

@@ -426,4 +426,41 @@ class StreamingLoweringSpec extends SparkSuite {
     q.stop()
     assert(spark.table("slower_complete").count() == 0)
   }
+
+  test("fused fold re-verifies periodically, catching input-dependent divergence") {
+    // A closure that agrees with the fold on every window EXCEPT ones
+    // whose first payload is the marker -1.0: the first-window check
+    // passes, a divergent window BETWEEN rechecks slips through (the
+    // documented residual), and a divergent window landing ON a recheck
+    // is caught — bounding silent divergence to one recheck period.
+    val marker = -1.0
+    val lying = (v: Any) => {
+      val vs = v.asInstanceOf[List[Any]].map(_.asInstanceOf[Double])
+      var n = 0L; var sum = 0.0
+      vs.foreach { x => n += 1; sum += x }
+      if (vs.headOption.contains(marker)) (n, sum * 2): Any else (n, sum): Any
+    }
+    val chain = List(
+      StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+        (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+      StreamVertex(3, OpMap, List(Param("countAndSum", lying)), "[Double]", "(Long,Double)", 1))
+    val emitter = StreamingLowering.chainEmit(chain)
+    def window(vs: Double*): Iterator[Event[Any]] =
+      vs.zipWithIndex.map { case (v, i) => Event.data(1000L * i, v: Any) }.iterator
+    // call 1: honest — the first-window recheck passes
+    assert(emitter.fromIterator(window(1.0, 2.0)).isDefined)
+    // call 2: divergent but between rechecks — the fold's own (correct)
+    // arithmetic is emitted; no error (the documented residual)
+    assert(emitter.fromIterator(window(marker)).exists(
+      _.value.contains((1L, marker): Any)))
+    // calls 3..recheckEvery+1: honest folds, draining the recheck counter
+    (0L until (StreamingLowering.FusedFoldRecheckEvery - 1)).foreach { _ =>
+      assert(emitter.fromIterator(window(3.0)).isDefined)
+    }
+    // next call lands on the periodic recheck: divergence now detected
+    val err = intercept[IllegalStateException] {
+      emitter.fromIterator(window(marker))
+    }
+    assert(err.getMessage.contains("fused countAndSum fold disagrees"))
+  }
 }
