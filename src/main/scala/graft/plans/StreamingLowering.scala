@@ -125,6 +125,12 @@ object StreamingLowering {
             case Some(mk) => mk(in0, chainEmit(fusedChains.getOrElse(v.id, Nil)))
             case None =>
               v.params.head.fn match {
+                // BoundedLookback IS a Function1 — match the declaration
+                // first or it silently takes the O(prefix) generic path
+                case bl: graft.core.BoundedLookback[_] =>
+                  boundedWindowLower(in0,
+                    bl.maker.asInstanceOf[List[Event[Any]] => List[List[Event[Any]]]],
+                    bl.maxEvents)
                 case maker: Function1[_, _] =>
                   genericWindowLower(in0,
                     maker.asInstanceOf[List[Event[Any]] => List[List[Event[Any]]]])
