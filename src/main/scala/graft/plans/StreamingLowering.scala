@@ -262,7 +262,10 @@ object StreamingLowering {
         def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
         override def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] = {
           if (sinceCheck == 0L) {
-            sinceCheck = FusedFoldRecheckEvery
+            // N-1, not N: the recheck window itself counts toward the
+            // cadence, so "every 1024th window" means 1023 fold-only
+            // windows between rechecks
+            sinceCheck = FusedFoldRecheckEvery - 1
             val w = it.toList
             val viaFold = fold(w.iterator)
             val viaChain = listEmit(w)
@@ -559,6 +562,99 @@ object StreamingLowering {
       emitted = closed.length
       lastEmitted = fresh.lastOption.orElse(lastEmitted)
       (fresh, (emitted, emittedHash, lastEmitted, rev))
+    }
+
+  private[plans] def decodeBoundedWindowState(st: Any): List[Event[Any]] =
+    if (st == null) Nil
+    else try st.asInstanceOf[List[Event[Any]]]
+    catch { case e: ClassCastException => throw badState("bounded-window", "List[Event]", st, e) }
+
+  /** Custom window makers DECLARED bounded-lookback
+    * ([[graft.core.BoundedLookback]]): the O(maxEvents)-state lowering the
+    * generic fallback cannot be. The reference's real custom makers are
+    * single-event re-stampers (`tripTimes`,
+    * `examples/taxi/Taxi.hs:400-402`) — lookback 1 — but the general
+    * `WindowMaker` type admits anything, so [[genericWindowLower]] must
+    * buffer the whole prefix. The declaration licenses EVICTION: state
+    * keeps only the retained suffix from which the maker reproduces its
+    * currently-open window, never more than `maxEvents` events between
+    * micro-batches.
+    *
+    * Per micro-batch: append the batch to the retained suffix, apply the
+    * maker once; every produced window but the last is CLOSED and emitted
+    * (the last may still grow — the same trailing-pending contract as
+    * every other window lowering). Then evict: find the SHORTEST suffix
+    * of at most `maxEvents` events from which the maker reproduces
+    * exactly `[openWindow]` — the open window bit-for-bit, and no closed
+    * windows (which would re-emit on the next batch). That suffix becomes
+    * the carried state, restoring the invariant `maker(state) ==
+    * [open]`/`[]` that makes emitted-window bookkeeping unnecessary.
+    *
+    * The declaration is CHECKED, not trusted (the lying-Param pattern):
+    * if NO suffix within `maxEvents` reproduces the open window — the
+    * open window actually spans more events than declared, or its
+    * contents depend on events before its own first event — the lowering
+    * raises a directed error at that eviction instead of silently
+    * diverging from the batch semantics. Residual (see
+    * [[graft.core.BoundedLookback]]'s scaladoc): a dependence on evicted
+    * events that is invisible in every open window at eviction time but
+    * surfaces only in windows closed later is indistinguishable from
+    * bounded lookback when the check runs; such a maker diverges from the
+    * batch surface without an error. The contract remains "the
+    * declaration is the semantic promise" — the check is defense in
+    * depth, exactly like the fused-fold recheck.
+    *
+    * Cost: one maker application over O(batch + maxEvents) events per
+    * micro-batch, plus ≤ maxEvents+1 applications over ≤ maxEvents events
+    * for the eviction search — O(batch) per batch and O(maxEvents)
+    * checkpoint state, vs the generic fallback's O(prefix) both ways. */
+  private[plans] def boundedWindowLower(ds: Dataset[Event[Any]],
+      maker: List[Event[Any]] => List[List[Event[Any]]],
+      maxEvents: Int): Dataset[Event[Any]] =
+    statefulLower(ds) { (events, st) =>
+      var rev = decodeBoundedWindowState(st) // retained suffix, reversed
+      events.foreach { e => rev = e :: rev }
+      val windows = maker(rev.reverse)
+      def lieError(detail: String) = new IllegalStateException(
+        s"BoundedLookback(maxEvents=$maxEvents) declaration is false for this " +
+          s"window maker: $detail. The streaming lowering evicts events before " +
+          "the open window's span on the strength of that declaration, so a " +
+          "maker that looks further back has no faithful bounded-state " +
+          "lowering — raise maxEvents to the maker's true lookback, or drop " +
+          "the BoundedLookback wrapper to use the O(prefix) generic fallback " +
+          "(capped at MaxGenericWindowBufferedEvents), or run it on the batch " +
+          "surface (StreamOps.streamWindow).")
+      if (windows.isEmpty) {
+        // no window yet: the declaration bounds any future window's span to
+        // maxEvents events, so only the last maxEvents can ever be windowed
+        if (rev.length > maxEvents) {
+          val retainedRev = rev.take(maxEvents)
+          if (maker(retainedRev.reverse).nonEmpty)
+            throw lieError("the maker produces no window from the full " +
+              s"buffered prefix (${rev.length} events) but produces one from " +
+              s"its last $maxEvents events, so its output depends on evicted " +
+              "events in a way the declaration rules out")
+          rev = retainedRev
+        }
+        (IndexedSeq.empty[Event[Any]], rev)
+      } else {
+        val open = windows.last
+        val out = windows.init.map(windowEvent).toIndexedSeq
+        val expected = List(open)
+        val cap = math.min(maxEvents, rev.length)
+        var k = 0
+        var found = -1
+        while (k <= cap && found < 0) {
+          if (maker(rev.take(k).reverse) == expected) found = k
+          k += 1
+        }
+        if (found < 0)
+          throw lieError("no suffix of at most maxEvents events reproduces " +
+            "the currently-open window exactly while closing nothing new — " +
+            "the open window spans more input events than declared, or its " +
+            "contents depend on events before its own first event")
+        (out, rev.take(found))
+      }
     }
 
   /** Cap on the zip-join's unpaired tail. The reference's `zip` buffers the

@@ -338,16 +338,17 @@ object StreamQueries {
           (col("p_us") - col("c_us")).as("gap_us"))
     }),
 
-    // ARBITRARY WindowMaker closure through the graph lowering's
-    // bounded-buffer fallback (StreamingLowering.genericWindowLower) —
-    // the one reference shape that previously threw in streaming. The
+    // CUSTOM WindowMaker closure through the graph lowering's
+    // BoundedLookback path (StreamingLowering.boundedWindowLower). The
     // maker is the reference's `tripTimes` idiom (Taxi.hs:400-402): one
     // singleton window per event, RE-STAMPED from the payload (here the
     // props `k` shift, the q_restamp field) — exactly the "fix the
     // ingest-time stamp from the inner record" pattern, composed with
-    // streamExpand as the reference documents. The fallback re-applies
-    // the closure to the buffered prefix each micro-batch and emits every
-    // window but the last (still growable). The replay ends with a FLUSH
+    // streamExpand as the reference documents. Declared lookback 1, so
+    // the lowering keeps O(1) checkpoint state (checked at every
+    // eviction) and emits every window but the last (still growable) —
+    // an UNDECLARED closure takes genericWindowLower's O(prefix) buffer
+    // instead, capped at 1e6 events. The replay ends with a FLUSH
     // SENTINEL micro-batch (one event_id=-1 event past max ts), so the
     // one withheld window is the sentinel's and every REAL event is
     // emitted — the oracle is simply "all events re-stamped", with no
@@ -365,9 +366,15 @@ object StreamQueries {
           case _ => List(e)
         }
       }
+      // the maker is a single-event re-stamper — lookback 1 — so DECLARE
+      // it (graft.core.BoundedLookback): the streaming lowering then keeps
+      // O(1) state instead of the generic fallback's O(prefix) buffer
+      // (which hits its 1e6-event directed cap on the 26x replay). The
+      // declaration is checked at every eviction, not trusted.
       val g = StreamGraph.path(Seq(
         StreamVertex(0, OpSource(1), Nil, "(Long,Double,Long)", "(Long,Double,Long)", 1),
-        StreamVertex(1, OpWindow, List(Param("tripTimes", tripTimes: Any)),
+        StreamVertex(1, OpWindow,
+          List(Param("tripTimes", graft.core.BoundedLookback(1)(tripTimes): Any)),
           "(Long,Double,Long)", "[(Long,Double,Long)]", 1),
         StreamVertex(2, OpExpand, Nil, "[(Long,Double,Long)]", "(Long,Double,Long)", 1),
         StreamVertex(3, OpSink, Nil, "(Long,Double,Long)", "(Long,Double,Long)", 1)))

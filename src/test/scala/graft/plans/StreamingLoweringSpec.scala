@@ -290,6 +290,89 @@ class StreamingLoweringSpec extends SparkSuite {
     assert(msg.contains("not prefix-monotone"), s"got: $msg")
   }
 
+  test("BoundedLookback maker lowers with eviction and matches the closed-window contract") {
+    // the reference's tripTimes idiom (Taxi.hs:400-402): one singleton
+    // window per event, re-stamped — lookback 1. Routed through lower()
+    // so the dispatch (BoundedLookback before plain Function1) is what's
+    // under test, across a micro-batch boundary so eviction really runs.
+    val restamp = (s: List[Event[Any]]) => s.map { e =>
+      List(Event(e.time.map(ts => new java.sql.Timestamp(ts.getTime + 1000L)), e.value))
+    }
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow,
+        List(Param("tripTimes", graft.core.BoundedLookback(1)(restamp): Any)),
+        "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val src = twoBatchSource(
+      (0 until 4).map(i => (t(1000L * i), i.toDouble)),
+      (4 until 8).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered.map(e => (e.time.get.getTime,
+        e.value.get.asInstanceOf[List[Any]].head.asInstanceOf[Double]))
+      .toDF("ts", "v")
+      .writeStream.format("memory").queryName("slower_bl").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_bl").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toList.sorted
+    // every window but the still-pending last closes: events 0..6,
+    // re-stamped +1000ms
+    assert(got == (0 until 7).map(i => (1000L * i + 1000L, i.toDouble)).toList)
+  }
+
+  test("BoundedLookback eviction handles windows spanning multiple events") {
+    // chop-2-shaped custom maker, declared lookback 2: the open (possibly
+    // partial) pair must survive eviction; closed pairs must not re-emit
+    // after it.
+    val pairs = (s: List[Event[Any]]) => s.grouped(2).toList
+    val src = twoBatchSource(
+      (0 until 3).map(i => (t(1000L * i), i.toDouble)),
+      (3 until 7).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.boundedWindowLower(
+      src.asInstanceOf[Dataset[Event[Any]]], pairs, maxEvents = 2)
+    val q = lowered.map(e => (e.time.get.getTime,
+        e.value.get.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).mkString(",")))
+      .toDF("ts", "w")
+      .writeStream.format("memory").queryName("slower_bl_pairs").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slower_bl_pairs").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    // 7 events -> pairs [0,1][2,3][4,5], open [6] pending: batch 1 closes
+    // [0,1] (open [2] retained), batch 2 regrows [2,3] then [4,5]
+    assert(got == List((0L, "0.0,1.0"), (2000L, "2.0,3.0"), (4000L, "4.0,5.0")))
+  }
+
+  test("a lying BoundedLookback declaration gets a directed error at first eviction") {
+    // declared lookback 1, but each window's stamp depends on the COUNT
+    // of all events seen — i.e. on evicted events. Re-applying the maker
+    // to the retained suffix cannot reproduce the open window.
+    val lying = (s: List[Event[Any]]) => s.zipWithIndex.map { case (e, i) =>
+      List(Event(Some(new java.sql.Timestamp(100000L + 1000L * i)), e.value))
+    }
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow,
+        List(Param("liar", graft.core.BoundedLookback(1)(lying): Any)),
+        "Double", "[Double]", 1),
+      StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+    val src = twoBatchSource(
+      (0 until 4).map(i => (t(1000L * i), i.toDouble)),
+      (4 until 8).map(i => (t(1000L * i), i.toDouble)))
+    val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+    val q = lowered.map(_.time.map(_.getTime).getOrElse(-1L)).toDF("x")
+      .writeStream.format("memory").queryName("slower_bl_liar").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    def chain(x: Throwable): List[Throwable] =
+      Option(x).map(y => y :: chain(y.getCause)).getOrElse(Nil)
+    val msg = chain(err).map(_.getMessage).mkString("\n")
+    assert(msg.contains("BoundedLookback(maxEvents=1) declaration is false"), s"got: $msg")
+  }
+
   test("generic window fallback bounds its buffered prefix") {
     val anyMaker = (s: List[Event[Any]]) => List(s)
     val src = twoBatchSource(
@@ -453,8 +536,9 @@ class StreamingLoweringSpec extends SparkSuite {
     // arithmetic is emitted; no error (the documented residual)
     assert(emitter.fromIterator(window(marker)).exists(
       _.value.contains((1L, marker): Any)))
-    // calls 3..recheckEvery+1: honest folds, draining the recheck counter
-    (0L until (StreamingLowering.FusedFoldRecheckEvery - 1)).foreach { _ =>
+    // calls 3..recheckEvery: honest folds, draining the recheck counter
+    // (call 1's recheck armed it at N-1; the marker call spent one)
+    (0L until (StreamingLowering.FusedFoldRecheckEvery - 2)).foreach { _ =>
       assert(emitter.fromIterator(window(3.0)).isDefined)
     }
     // next call lands on the periodic recheck: divergence now detected
