@@ -92,6 +92,52 @@ object ExtraQueries {
           graft.sources.ZOrder.bitsFor(mx.getLong(1))).as("zindex"))
     }),
 
+    // Z-order DRIVEN end-to-end — ZOrder.clusterWrite as the storage
+    // layout it exists to be, not just the index expression (q_zorder):
+    // lineitem written z-clustered on (l_partkey, l_suppkey) AND
+    // single-key-sorted on l_partkey (both once per session+SF, the
+    // bucketedTables amortization), then read back through a selective
+    // two-sided rectangle predicate whose integer thresholds derive from
+    // max() (the autoPlanesPerTable pattern, so the oracle replays them
+    // exactly). The data-skipping claim is a CORRECTNESS property of the
+    // query, q_bucketed_join-style: from each layout's own parquet
+    // footers, count the files whose [min,max] boxes intersect the
+    // rectangle — the files a footer-respecting reader must touch
+    // (Spark's parquet reader prunes at row-group granularity, which is
+    // file granularity here; file-level min/max is exactly what
+    // Delta/Iceberg ZORDER stats prune with at 100 TB). The z layout
+    // must touch STRICTLY fewer files than the partkey sort: the sort's
+    // files each span the whole suppkey range, so the narrow suppkey
+    // side of the rectangle prunes nothing for it. The returned rows are
+    // the round-trip through the clustered layout — so the oracle also
+    // certifies clusterWrite loses/mangles nothing.
+    "q_zorder_prune" -> ((s, dir) => {
+      val (zDir, pDir) = zorderLayouts(s, dir)
+      val mx = Tables.lineitem(s, dir)
+        .agg(max(col("l_partkey")).cast("bigint"), max(col("l_suppkey")).cast("bigint"))
+        .head()
+      val (mp, ms) = (mx.getLong(0), mx.getLong(1))
+      val (pLo, pHi, sLo, sHi) = (mp / 4, mp / 2, ms / 10, ms / 5)
+      def touched(path: String): Long =
+        s.read.parquet(path)
+          .groupBy(input_file_name())
+          .agg(min(col("l_partkey")).as("plo"), max(col("l_partkey")).as("phi"),
+            min(col("l_suppkey")).as("slo"), max(col("l_suppkey")).as("shi"))
+          .filter(col("plo") <= pHi && col("phi") >= pLo &&
+            col("slo") <= sHi && col("shi") >= sLo)
+          .count()
+      val (tz, tp) = (touched(zDir), touched(pDir))
+      System.err.println(s"[q_zorder_prune] rectangle partkey [$pLo,$pHi] suppkey " +
+        s"[$sLo,$sHi]: z-clustered touches $tz files, partkey-sorted touches $tp")
+      require(tz < tp,
+        s"q_zorder_prune: z-clustered layout touched $tz files vs single-key sort's " +
+          s"$tp for the two-sided rectangle — the Morton layout lost its own reason " +
+          "to exist (check lane alignment in ZOrder.zindex)")
+      s.read.parquet(zDir)
+        .filter(col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     // Set operations: customers appearing in both the open-order and
     // large-order populations (INTERSECT), and those with open orders but
     // no large ones (EXCEPT).
@@ -342,6 +388,32 @@ object ExtraQueries {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, (String, String)]]())
 
+  // z-clustered + partkey-sorted lineitem layouts, written once per
+  // (session, sfDir) — same weak-key discipline as bucketedCache (the
+  // session OBJECT keys the outer map; values are only path strings)
+  private val zorderCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (String, String)]]())
+
+  /** Write lineitem z-clustered on (l_partkey, l_suppkey) and, for the
+    * pruning comparison, range-sorted on l_partkey alone — 32 files
+    * each, once per (session, sfDir). The write's one global range
+    * exchange is the amortized layout cost bucketing also pays. */
+  private def zorderLayouts(s: SparkSession, dir: String): (String, String) =
+    zorderCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    ).computeIfAbsent(dir, { _ =>
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val zDir = graft.core.TempDirs.create("graft_zprune_z_").toAbsolutePath.toString
+      val pDir = graft.core.TempDirs.create("graft_zprune_p_").toAbsolutePath.toString
+      graft.sources.ZOrder.clusterWrite(li, "l_partkey", "l_suppkey", zDir, files = 32)
+      li.repartitionByRange(32, col("l_partkey"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").parquet(pDir)
+      (zDir, pDir)
+    })
+
   /** Write lineitem/orders as co-bucketed catalog tables (8 buckets on
     * the order key) once per (session, sfDir); later calls reuse the
     * catalog entries. The write is the one-time ingest shuffle the
@@ -396,6 +468,18 @@ object ExtraQueries {
         |         AS BIGINT) AS zindex
         |FROM lineitem, bits""".stripMargin
     },
+
+    // the rectangle thresholds re-derived from max() with the same
+    // integer floor-divisions (all keys positive, so DuckDB's // and
+    // Scala's Long / agree); the rows themselves round-trip through the
+    // z-clustered parquet, so equality certifies clusterWrite too
+    "q_zorder_prune" ->
+      """WITH mx AS (SELECT CAST(max(l_partkey) AS BIGINT) AS mp,
+        |                   CAST(max(l_suppkey) AS BIGINT) AS ms FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem, mx
+        |WHERE l_partkey BETWEEN mp // 4 AND mp // 2
+        |  AND l_suppkey BETWEEN ms // 10 AND ms // 5""".stripMargin,
 
     // identical rank/divide arithmetic; NTILE's uneven-bucket rule
     // (first n%4 buckets one larger) is the same in both engines

@@ -57,6 +57,18 @@ object ZOrder {
   def clusterWrite(df: DataFrame, xCol: String, yCol: String,
                    path: String, files: Int): Unit = {
     val mx = df.agg(max(col(xCol)).cast("bigint"), max(col(yCol)).cast("bigint")).head()
+    // max() over an empty table (or an all-NULL key) is NULL; getLong
+    // would throw a bare NPE from deep inside the write job — name the
+    // actual problem instead
+    if (mx.isNullAt(0) || mx.isNullAt(1)) {
+      val bad = Seq(xCol, yCol).zipWithIndex.collect { case (c, i) if mx.isNullAt(i) => c }
+      throw new IllegalArgumentException(
+        s"ZOrder.clusterWrite: max(${bad.mkString(", ")}) is NULL — the input is " +
+          "empty or the clustering key is all-NULL. Z-clustering derives its bit-lane " +
+          "widths from the observed key maxima, so it needs at least one row with " +
+          "non-NULL values in both key columns; filter NULL keys out (they carry no " +
+          "locality) or skip clustering for an empty write.")
+    }
     val z = zindex(col(xCol), col(yCol), bitsFor(mx.getLong(0)), bitsFor(mx.getLong(1)))
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))

@@ -53,6 +53,21 @@ class ZOrderSpec extends SparkSuite {
     assert(zSupp < pSupp / 1.5, s"z ($zSupp) must beat single-key sort ($pSupp) on the second key")
   }
 
+  test("clusterWrite on an empty or all-NULL-key input gets a directed error") {
+    import spark.implicits._
+    val dir = graft.core.TempDirs.create("graft_zorder_empty_").toAbsolutePath.toString
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val errEmpty = intercept[IllegalArgumentException] {
+      ZOrder.clusterWrite(empty, "x", "y", dir, files = 4)
+    }
+    assert(errEmpty.getMessage.contains("max(x, y) is NULL"))
+    val nullY = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("x", "y")
+    val errNull = intercept[IllegalArgumentException] {
+      ZOrder.clusterWrite(nullY, "x", "y", dir, files = 4)
+    }
+    assert(errNull.getMessage.contains("max(y) is NULL"))
+  }
+
   test("zindex matches a reference interleave, lanes left-aligned") {
     def ref(x: Long, y: Long, bx: Int, by: Int): Long = {
       val xa = (x % (1L << bx)) << (16 - bx)
