@@ -62,17 +62,24 @@ object TextQueries {
     * survives) AND near-dup non-keepers (component keeper survives).
     * One window pass for exact groups, the candidate-pair + components
     * pipeline for near-dups, one anti-join to subtract both. */
+  /** Near-dup NON-keepers (docs whose component keeper is some other
+    * doc) — the half of the keep-list that is inherently batch: component
+    * membership is retroactively transitive, so it recomputes from a
+    * corpus snapshot (shared by cleanCorpusKeepList and the streaming
+    * export's static lookup). */
+  private def nearDupNonKeepers(d: DataFrame): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
+          n = 3, maxDf = 10, minJaccard = 0.05), "id_a", "id_b")
+      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
+
   private def cleanCorpusKeepList(d: DataFrame): DataFrame = {
     val keeper = min(col("doc_id")).over(
       org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
     val exactNonKeepers = d.select(col("doc_id"), keeper.as("k"))
       .filter(col("doc_id") =!= col("k")).select("doc_id")
-    val nearNonKeepers = Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"),
-          n = 3, maxDf = 10, minJaccard = 0.05), "id_a", "id_b")
-      .filter(col("id") =!= col("comp")).select(col("id").as("doc_id"))
     d.select("doc_id")
-      .join(exactNonKeepers.union(nearNonKeepers).distinct(), Seq("doc_id"), "left_anti")
+      .join(exactNonKeepers.union(nearDupNonKeepers(d)).distinct(), Seq("doc_id"), "left_anti")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,6 +253,127 @@ object TextQueries {
       val shardW = org.apache.spark.sql.expressions.Window
         .partitionBy(col("shard")).orderBy(col("skey"), col("source"), col("bin"))
       seqs.withColumn("skey", skey)
+        .withColumn("shard", (col("skey") % 8).cast("int"))
+        .withColumn("pos", row_number().over(shardW))
+        .select(col("shard"), col("pos"), col("source"), col("bin"),
+          col("n_docs"), col("seq_tokens"), col("first_doc"), col("last_doc"))
+    }),
+
+    // STREAMING EXPORT MANIFEST — the online face of q_export, composed
+    // over the doc_id-contiguous chunk replay (the crawl-feed shape):
+    //  (1) streaming EXACT dedup: each batch's content hashes check
+    //      against the accumulated md5 index of everything ingested
+    //      before it (plus within-batch smaller ids). The replay is
+    //      doc_id-ordered, so keep-at-arrival EQUALS the batch
+    //      min-id-keeper rule and every decision is final at arrival.
+    //  (2) near-dup non-keepers come from a STATIC keep-list lookup
+    //      (the batch connected-components job's output, stream-static
+    //      anti-join). The split is forced, not convenience: component
+    //      membership is retroactively transitive — a future doc can
+    //      MERGE two existing components and retro-drop a doc whose
+    //      tokens already entered the running pack — so an
+    //      order-faithful streaming CC keep-list does not exist at any
+    //      finite watermark. The streaming near-dup DETECTOR is
+    //      q_streaming_minhash; its pairs feed the nightly CC refresh
+    //      that republishes this lookup (the lambda reconciliation).
+    //  (3) quality filter (n_tokens >= 10) then the keyed prefix-sum
+    //      PACKER: a per-source token carry (one tiny row per source,
+    //      persisted per batch) turns the batch exclusive-prefix-sum
+    //      into an arrival-batch assignment — bins are final the moment
+    //      a doc lands, state is O(sources).
+    //  (4) manifest finalization over CLOSED sequences only: each
+    //      source's max bin is the watermark-open tail (still
+    //      growable) and is excluded; shard/pos assignment (the same
+    //      Lehmer skey) ranks the closed set.
+    // Oracle: the batch q_export pipeline minus each source's open
+    // tail, pos re-ranked over the closed rows — identical keep set,
+    // identical bins, hash-exact everywhere else. All per-batch writes
+    // are batchId-keyed and overwritten, so retried micro-batches
+    // re-apply idempotently (the q_streaming_minhash discipline).
+    "q_streaming_export" -> ((s, dir) => {
+      val idxDir = graft.core.TempDirs.create("graft_sexp_idx_").toAbsolutePath
+      val binDir = graft.core.TempDirs.create("graft_sexp_bin_").toAbsolutePath
+      val carryDir = graft.core.TempDirs.create("graft_sexp_carry_").toAbsolutePath
+      val ckpt = graft.core.TempDirs.create("graft_sexp_ckpt_").toAbsolutePath
+      val nearNon = nearDupNonKeepers(docs(s, dir)).localCheckpoint()
+      val md5Schema = "doc_id BIGINT, h STRING"
+      val binSchema = "doc_id BIGINT, source STRING, n_tokens BIGINT, bin BIGINT"
+      val carrySchema = "source STRING, carry BIGINT"
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        Tables.streamDocsChunked(s, dir)
+          .writeStream.outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            if (!b.isEmpty) {
+              val withH = b.toDF().select(col("doc_id"), col("source"), col("text"))
+                .withColumn("h", md5(col("text")))
+              def existing(d: java.nio.file.Path) = (0L until batchId)
+                .map(i => s"$d/b$i").filter(p => new java.io.File(p).exists())
+              val histDirs = existing(idxDir)
+              // index ALL arriving docs (a low-quality keeper still
+              // shadows later duplicates — dedup before quality, exactly
+              // the batch order), then keep only batch keepers: smallest
+              // id of their hash within the batch AND hash never seen
+              def emptyOf(ddl: String) = s.createDataFrame(
+                s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType.fromDDL(ddl))
+              val seenH =
+                if (histDirs.isEmpty) emptyOf(md5Schema).select("h")
+                else s.read.schema(md5Schema).parquet(histDirs: _*).select("h").distinct()
+              val keeper = withH.withColumn("minid", min(col("doc_id")).over(
+                  org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+                .filter(col("doc_id") === col("minid"))
+                .join(seenH, Seq("h"), "left_anti")
+              val kept = keeper.join(nearNon, Seq("doc_id"), "left_anti")
+                .select(col("doc_id"), col("source"),
+                  TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+                .filter(col("n_tokens") >= 10)
+                .localCheckpoint()
+              // latest persisted carry (a batch may be empty: take the
+              // newest existing, not batchId-1)
+              val carry = existing(carryDir).lastOption
+                .map(p => s.read.schema(carrySchema).parquet(p))
+                .getOrElse(emptyOf(carrySchema))
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("source")).orderBy(col("doc_id"))
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+              // budget 500 (not q_export's 2000): at sf0.01 every source
+              // totals < 2000 tokens, so a 2000 budget would leave every
+              // bin open and the closed-manifest contract untested
+              kept.join(carry, Seq("source"), "left")
+                .withColumn("bin", floor(
+                  (coalesce(sum(col("n_tokens")).over(w), lit(0L))
+                    + coalesce(col("carry"), lit(0L))) / 500).cast("long"))
+                .select("doc_id", "source", "n_tokens", "bin")
+                .write.mode("overwrite").parquet(s"$binDir/b$batchId")
+              carry.join(kept.groupBy(col("source")).agg(sum(col("n_tokens")).as("add")),
+                  Seq("source"), "full_outer")
+                .select(col("source"),
+                  (coalesce(col("carry"), lit(0L)) + coalesce(col("add"), lit(0L))).as("carry"))
+                .write.mode("overwrite").parquet(s"$carryDir/b$batchId")
+              withH.select(col("doc_id"), col("h"))
+                .write.mode("overwrite").parquet(s"$idxDir/b$batchId")
+            }
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination()
+      val P = 2147483647L
+      val seqs = s.read.schema(binSchema).parquet(s"$binDir/b*")
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      val closed = seqs.withColumn("mb", max(col("bin")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .filter(col("bin") < col("mb")).drop("mb")
+      val skey = pmod((pmod(graft.functions.PortableHash.polyHash(col("source")) * 31L
+        + col("bin"), lit(P))) * 48271L, lit(P))
+      val shardW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("skey"), col("source"), col("bin"))
+      closed.withColumn("skey", skey)
         .withColumn("shard", (col("skey") % 8).cast("int"))
         .withColumn("pos", row_number().over(shardW))
         .select(col("shard"), col("pos"), col("source"), col("bin"),
@@ -1093,6 +1221,52 @@ object TextQueries {
          |FROM keyed""".stripMargin
     },
 
+
+    // the batch q_export pipeline with two deltas, both in the manifest
+    // tail: each source's max bin (the watermark-open sequence) is
+    // excluded, and pos ranks the CLOSED rows — keep set and bins are
+    // identical (the streaming exact-dedup decision at doc_id-ordered
+    // arrival IS the min-id-keeper rule; near-dups come from the same
+    // CC job both sides)
+    "q_streaming_export" -> {
+      import graft.functions.PortableHash
+      val pow31 = PortableHash.powers.mkString(", ")
+      s"""WITH clean AS ($cleanCorpusOracle),
+         |kept AS (
+         |  SELECT d.doc_id, d.source, CAST(len($Toks) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN clean USING (doc_id)
+         |  WHERE len($Toks) >= 10),
+         |binned AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |                ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |                AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
+         |  FROM kept),
+         |seqs AS (
+         |  SELECT source, bin, count(*) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+         |         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |  FROM binned GROUP BY 1, 2),
+         |closed AS (
+         |  SELECT source, bin, n_docs, seq_tokens, first_doc, last_doc FROM (
+         |    SELECT *, max(bin) OVER (PARTITION BY source) AS mb FROM seqs)
+         |  WHERE bin < mb),
+         |keyed AS (
+         |  SELECT *,
+         |         ((CASE WHEN length(source) = 0 THEN 0
+         |                 ELSE CAST(list_sum(list_transform(
+         |                        range(1, least(length(source), 48) + 1),
+         |                        c -> CAST(ord(substr(source, CAST(c AS INT), 1)) AS BIGINT)
+         |                             * ([$pow31])[CAST(c AS INT)]))
+         |                      % 2147483647 AS BIGINT) END * 31 + bin)
+         |           % 2147483647) * 48271 % 2147483647 AS skey
+         |  FROM closed)
+         |SELECT CAST(skey % 8 AS INT) AS shard,
+         |       CAST(row_number() OVER (PARTITION BY skey % 8
+         |              ORDER BY skey, source, bin) AS INT) AS pos,
+         |       source, bin, n_docs, seq_tokens, first_doc, last_doc
+         |FROM keyed""".stripMargin
+    },
 
     "q_split" ->
       """SELECT doc_id,
