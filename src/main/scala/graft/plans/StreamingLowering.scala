@@ -196,10 +196,23 @@ object StreamingLowering {
     * `apply` consumes the materialized window list; `fromIterator` lets a
     * lowering whose windows OVERLAP (slidingTime — each event is in
     * ~window-many windows) hand over the window as an iterator so a
-    * recognized fold can run allocation-free. Default materializes. */
+    * recognized fold can run allocation-free; `fromRange` goes one step
+    * further and hands over a PRIMITIVE mirror of the window (parallel
+    * `vals`/`isData` arrays built once per micro-batch by
+    * [[slidingTimeLower]]), so a recognized fold touches no Event
+    * object, no Option, no cast per element — the per-element cost drops
+    * from a kryo'd-object walk to two or three flops. Defaults
+    * materialize the list, so un-fused pipelines are untouched. */
   private[plans] trait WindowEmitter extends Serializable {
     def apply(w: List[Event[Any]]): Option[Event[Any]]
     def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] = apply(it.toList)
+    def fromRange(evs: Array[Event[Any]], isData: Array[Boolean], vals: Array[Double],
+                  from: Int, until: Int): Option[Event[Any]] = {
+      val b = List.newBuilder[Event[Any]]
+      var i = from
+      while (i < until) { b += evs(i); i += 1 }
+      apply(b.result())
+    }
   }
   private type WindowEmit = WindowEmitter
 
@@ -217,14 +230,24 @@ object StreamingLowering {
     * event iff `value.forall(p)`, Map transforms the value, time
     * untouched) — so fused and unfused pipelines are bit-identical.
     *
-    * The `nonEmpty`→`countAndSum` chain (recognized by Param source, the
-    * same convention as the window forms) additionally overrides
-    * `fromIterator` with a direct streaming fold: same stamp rule, same
-    * left-to-right `sum += x` order — so the emitted doubles are
-    * bit-identical — but ZERO per-window allocation, where the list path
-    * allocates the window contents 3× per window (toList, filter, map).
-    * For slidingTime at high density that is the difference between
-    * O(events) and O(events × window) allocations. The fold is NOT
+    * A `nonEmpty`→`<recognized aggregate>` chain (recognized by Param
+    * source, the same convention as the window forms) additionally
+    * overrides `fromIterator`/`fromRange` with a direct streaming fold:
+    * same stamp rule, same left-to-right accumulation order — so the
+    * emitted values are bit-identical — but ZERO per-window allocation,
+    * where the list path allocates the window contents 3× per window
+    * (toList, filter, map). For slidingTime at high density that is the
+    * difference between O(events) and O(events × window) allocations.
+    * The recognized aggregate names and the canonical closure each
+    * promises (the Param NAME is the semantic contract):
+    *   count       → `vs.length.toLong`
+    *   sum         → `vs.foldLeft(0.0)(_ + _.asInstanceOf[Double])`
+    *   min / max   → `vs.foldLeft(±∞)(math.min/max(_, _.asInstanceOf[Double]))`
+    *   first / last→ `vs.head / vs.last` (as Double)
+    *   countAndSum → `(count, sum)`
+    *   stats       → `(count, sum, min, max)`
+    * All require the leading `nonEmpty` filter (so first/last/min/max
+    * never see an empty value list) and Double payloads. The fold is NOT
     * trusted blindly: on the FIRST window through each task instance and
     * then every [[FusedFoldRecheckEvery]]-th window after it, the window
     * is also materialized and the real closures run on it, failing
@@ -237,6 +260,9 @@ object StreamingLowering {
     * windows can still slip between rechecks — the contract remains
     * "the Param NAME is the semantic promise", the recheck is defense
     * in depth. */
+  private[plans] val RecognizedFoldNames: Set[String] =
+    Set("count", "sum", "min", "max", "first", "last", "countAndSum", "stats")
+
   private[plans] def chainEmit(chain: List[StreamVertex]): WindowEmit = {
     val steps: List[Event[Any] => Option[Event[Any]]] = chain.map { cv =>
       cv.op match {
@@ -255,49 +281,117 @@ object StreamingLowering {
         case (None, _)       => None
         case (Some(e), step) => step(e)
       }
-    val shape = chain.map(cv => (cv.op.name, cv.params.head.src))
-    if (shape == List("Filter" -> "nonEmpty", "Map" -> "countAndSum"))
-      new WindowEmitter {
-        @transient private var sinceCheck = 0L
-        def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
-        override def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] = {
-          if (sinceCheck == 0L) {
-            // N-1, not N: the recheck window itself counts toward the
-            // cadence, so "every 1024th window" means 1023 fold-only
-            // windows between rechecks
-            sinceCheck = FusedFoldRecheckEvery - 1
-            val w = it.toList
-            val viaFold = fold(w.iterator)
-            val viaChain = listEmit(w)
-            if (viaFold != viaChain)
-              throw new IllegalStateException(
-                "fused countAndSum fold disagrees with the chain closures " +
-                  s"(fold=$viaFold, chain=$viaChain): the Param named " +
-                  "'nonEmpty'/'countAndSum' no longer means what the fused " +
-                  "fast path implements — rename the Param or fix the closure")
-            viaFold
-          } else { sinceCheck -= 1; fold(it) }
+    chain.map(cv => (cv.op.name, cv.params.head.src)) match {
+      case List(("Filter", "nonEmpty"), ("Map", name)) if RecognizedFoldNames(name) =>
+        new FoldEmitter(name, listEmit)
+      case _ =>
+        new WindowEmitter {
+          def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
         }
-        private def fold(it: Iterator[Event[Any]]): Option[Event[Any]] = {
-          // mirrors windowEvent + nonEmpty + countAndSum exactly: stamp =
-          // first event's time, values = data events' payloads folded
-          // left-to-right with `n += 1; sum += x`
-          var stamp: Option[java.sql.Timestamp] = None
-          var first = true
-          var n = 0L
-          var sum = 0.0
-          it.foreach { e =>
-            if (first) { stamp = e.time; first = false }
-            if (e.isData) { n += 1; sum += e.value.get.asInstanceOf[Double] }
-          }
-          if (n == 0) None // empty contents: the nonEmpty filter drops it
-          else Some(Event(stamp, Some((n, sum): Any)))
+    }
+  }
+
+  /** The streaming fold behind every recognized `nonEmpty`→aggregate
+    * chain: one pass accumulating (n, sum, min, max, first, last) —
+    * each O(1) per element, `sum` strictly left-to-right, min/max via
+    * `math.min`/`math.max` so NaN propagation matches the canonical
+    * foldLeft closures — then a per-name projection. See [[chainEmit]]
+    * for the name↔closure contract and the periodic recheck. */
+  private[plans] final class FoldEmitter(
+      name: String, listEmit: List[Event[Any]] => Option[Event[Any]])
+      extends WindowEmitter {
+    @transient private var sinceCheck = 0L
+
+    def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
+
+    private def mismatch(viaFold: Option[Event[Any]], viaChain: Option[Event[Any]]) =
+      new IllegalStateException(
+        s"fused '$name' fold disagrees with the chain closures " +
+          s"(fold=$viaFold, chain=$viaChain): the Param named " +
+          s"'nonEmpty'/'$name' no longer means what the fused " +
+          "fast path implements — rename the Param or fix the closure")
+
+    // N-1, not N: the recheck window itself counts toward the cadence,
+    // so "every 1024th window" means 1023 fold-only windows between
+    // rechecks
+    override def fromIterator(it: Iterator[Event[Any]]): Option[Event[Any]] =
+      if (sinceCheck == 0L) {
+        sinceCheck = FusedFoldRecheckEvery - 1
+        val w = it.toList
+        val viaFold = foldList(w)
+        val viaChain = listEmit(w)
+        if (viaFold != viaChain) throw mismatch(viaFold, viaChain)
+        viaFold
+      } else { sinceCheck -= 1; foldList(it) }
+
+    override def fromRange(evs: Array[Event[Any]], isData: Array[Boolean],
+                           vals: Array[Double], from: Int, until: Int): Option[Event[Any]] =
+      if (sinceCheck == 0L) {
+        sinceCheck = FusedFoldRecheckEvery - 1
+        val w = {
+          val b = List.newBuilder[Event[Any]]
+          var i = from
+          while (i < until) { b += evs(i); i += 1 }
+          b.result()
+        }
+        val viaFold = foldRange(evs, isData, vals, from, until)
+        val viaChain = listEmit(w)
+        if (viaFold != viaChain) throw mismatch(viaFold, viaChain)
+        viaFold
+      } else {
+        sinceCheck -= 1
+        foldRange(evs, isData, vals, from, until)
+      }
+
+    private def foldList(it: IterableOnce[Event[Any]]): Option[Event[Any]] = {
+      var stamp: Option[java.sql.Timestamp] = None
+      var started = false
+      var n = 0L; var sum = 0.0
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      var fst = 0.0; var lst = 0.0
+      it.iterator.foreach { e =>
+        if (!started) { stamp = e.time; started = true }
+        if (e.isData) {
+          val x = e.value.get.asInstanceOf[Double]
+          if (n == 0) fst = x
+          lst = x; n += 1; sum += x
+          mn = math.min(mn, x); mx = math.max(mx, x)
         }
       }
-    else
-      new WindowEmitter {
-        def apply(w: List[Event[Any]]): Option[Event[Any]] = listEmit(w)
+      project(stamp, n, sum, mn, mx, fst, lst)
+    }
+
+    private def foldRange(evs: Array[Event[Any]], isData: Array[Boolean],
+                          vals: Array[Double], from: Int, until: Int): Option[Event[Any]] = {
+      var n = 0L; var sum = 0.0
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      var fst = 0.0; var lst = 0.0
+      var i = from
+      while (i < until) {
+        if (isData(i)) {
+          val x = vals(i)
+          if (n == 0) fst = x
+          lst = x; n += 1; sum += x
+          mn = math.min(mn, x); mx = math.max(mx, x)
+        }
+        i += 1
       }
+      project(if (from < until) evs(from).time else None, n, sum, mn, mx, fst, lst)
+    }
+
+    private def project(stamp: Option[java.sql.Timestamp], n: Long, sum: Double,
+                        mn: Double, mx: Double, fst: Double, lst: Double): Option[Event[Any]] =
+      if (n == 0) None // empty contents: the nonEmpty filter drops it
+      else Some(Event(stamp, Some(name match {
+        case "count"       => n: Any
+        case "sum"         => sum: Any
+        case "min"         => mn: Any
+        case "max"         => mx: Any
+        case "first"       => fst: Any
+        case "last"        => lst: Any
+        case "countAndSum" => (n, sum): Any
+        case "stats"       => (n, sum, mn, mx): Any
+      })))
   }
 
   /** Per-operator checkpoint-state decoders. [[statefulLower]]'s
@@ -452,26 +546,82 @@ object StreamingLowering {
     * the window [e.time, e.time+ms); e's window closes when the first event
     * at/after e.time+ms arrives. State = events still inside some pending
     * window — O(window), not O(history) — in a FIFO queue so the per-event
-    * append and the per-closed-window head-drop are O(1). */
+    * append and the per-closed-window head-drop are O(1).
+    *
+    * Each event sits in ~window-many overlapping windows, so the
+    * per-window emit dominates at high density — O(events × window) emit
+    * work is inherent to the per-window exact-fold contract, but its
+    * CONSTANT is not: the batch's events (carried state + arrivals, in
+    * identical order) are mirrored ONCE into primitive `times`/`vals`/
+    * `isData` arrays, the close loop walks indices, and the emit takes
+    * [[WindowEmitter.fromRange]] — a recognized fused fold then touches
+    * no Event object, no Option, no Timestamp re-decode per element per
+    * window (the old iterator path re-ran `Event.micros` on every
+    * element of every window). Payloads that are not Doubles fall back
+    * to the original queue-iterator path (same order, same windows —
+    * the arrays are an acceleration, never a semantic). */
   private def slidingTimeLower(ds: Dataset[Event[Any]], ms: Long,
       emit: WindowEmit): Dataset[Event[Any]] =
     statefulLower(ds) { (events, st) =>
       // µs arithmetic (see chopTimeLower)
       val msUs = ms * 1000L
-      var buf = decodeSlidingTimeState(st)
+      val buf = decodeSlidingTimeState(st)
       val out = IndexedSeq.newBuilder[Event[Any]]
-      events.filter(_.isTimed).foreach { e =>
-        val t = Event.micros(e.time.get)
-        while (buf.nonEmpty && Event.micros(buf.head.time.get) + msUs <= t) {
-          val end = Event.micros(buf.head.time.get) + msUs
-          emit.fromIterator(buf.iterator.takeWhile(x => Event.micros(x.time.get) < end))
-            .foreach(out += _)
-          val (_, rest) = buf.dequeue
-          buf = rest
+      val timed = events.filter(_.isTimed)
+      val carried = buf.length
+      val n = carried + timed.length
+      val evs = new Array[Event[Any]](n)
+      locally { var i = 0; buf.foreach { e => evs(i) = e; i += 1 }
+        timed.foreach { e => evs(i) = e; i += 1 } }
+      val times = new Array[Long](n)
+      val isData = new Array[Boolean](n)
+      val vals = new Array[Double](n)
+      var primOk = true
+      locally { var i = 0
+        while (i < n) {
+          val e = evs(i)
+          times(i) = Event.micros(e.time.get)
+          isData(i) = e.isData
+          if (e.isData) e.value.get match {
+            case d: java.lang.Double => vals(i) = d
+            case _                   => primOk = false
+          }
+          i += 1
+        } }
+      if (primOk) {
+        var h = 0
+        var idx = carried
+        while (idx < n) {
+          val t = times(idx)
+          while (h < idx && times(h) + msUs <= t) {
+            val end = times(h) + msUs
+            var upTo = h
+            while (upTo < idx && times(upTo) < end) upTo += 1
+            emit.fromRange(evs, isData, vals, h, upTo).foreach(out += _)
+            h += 1
+          }
+          idx += 1
         }
-        buf = buf.enqueue(e)
+        var rest = scala.collection.immutable.Queue.empty[Event[Any]]
+        while (h < n) { rest = rest.enqueue(evs(h)); h += 1 }
+        (out.result(), rest)
+      } else {
+        // non-Double payloads: the original queue path, windows and
+        // order bit-identical
+        var q = buf
+        timed.foreach { e =>
+          val t = Event.micros(e.time.get)
+          while (q.nonEmpty && Event.micros(q.head.time.get) + msUs <= t) {
+            val end = Event.micros(q.head.time.get) + msUs
+            emit.fromIterator(q.iterator.takeWhile(x => Event.micros(x.time.get) < end))
+              .foreach(out += _)
+            val (_, rest) = q.dequeue
+            q = rest
+          }
+          q = q.enqueue(e)
+        }
+        (out.result(), q)
       }
-      (out.result(), buf)
     }
 
   /** Cap on the generic window fallback's buffered stream prefix — the

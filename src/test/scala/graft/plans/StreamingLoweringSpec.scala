@@ -455,7 +455,7 @@ class StreamingLoweringSpec extends SparkSuite {
     def chain(x: Throwable): List[Throwable] =
       Option(x).map(y => y :: chain(y.getCause)).getOrElse(Nil)
     val msg = chain(err).map(_.getMessage).mkString("\n")
-    assert(msg.contains("fused countAndSum fold disagrees"), s"got: $msg")
+    assert(msg.contains("fused 'countAndSum' fold disagrees"), s"got: $msg")
   }
 
   test("fan-out after a window blocks fusion: a second consumer sees contents") {
@@ -545,6 +545,88 @@ class StreamingLoweringSpec extends SparkSuite {
     val err = intercept[IllegalStateException] {
       emitter.fromIterator(window(marker))
     }
-    assert(err.getMessage.contains("fused countAndSum fold disagrees"))
+    assert(err.getMessage.contains("fused 'countAndSum' fold disagrees"))
+  }
+
+  test("generalized fold algebra matches the canonical closures on every recognized name") {
+    // canonical closures per the chainEmit name contract; each emitter is
+    // driven through BOTH fromIterator and fromRange and must agree with
+    // the materialized chain bit-for-bit
+    val canon: Map[String, Any => Any] = Map(
+      "count" -> ((v: Any) => v.asInstanceOf[List[Any]].length.toLong: Any),
+      "sum" -> ((v: Any) => v.asInstanceOf[List[Any]]
+        .foldLeft(0.0)(_ + _.asInstanceOf[Double]): Any),
+      "min" -> ((v: Any) => v.asInstanceOf[List[Any]]
+        .foldLeft(Double.PositiveInfinity)((a, x) => math.min(a, x.asInstanceOf[Double])): Any),
+      "max" -> ((v: Any) => v.asInstanceOf[List[Any]]
+        .foldLeft(Double.NegativeInfinity)((a, x) => math.max(a, x.asInstanceOf[Double])): Any),
+      "first" -> ((v: Any) => v.asInstanceOf[List[Any]].head.asInstanceOf[Double]: Any),
+      "last" -> ((v: Any) => v.asInstanceOf[List[Any]].last.asInstanceOf[Double]: Any),
+      "stats" -> ((v: Any) => {
+        val vs = v.asInstanceOf[List[Any]]
+        var n = 0L; var s = 0.0
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        vs.foreach { x =>
+          val d = x.asInstanceOf[Double]
+          n += 1; s += d; mn = math.min(mn, d); mx = math.max(mx, d)
+        }
+        (n, s, mn, mx): Any
+      }))
+    val windows: List[List[Event[Any]]] = List(
+      List(Event.data(1000L, 3.5: Any), Event.data(2000L, -1.25: Any),
+        Event.data(3000L, 7.0: Any)),
+      List(Event.tick[Any](500L), Event.data(1500L, 2.5: Any)), // tick stamps, one datum
+      List(Event.data(9000L, 0.1: Any)),
+      List(Event.tick[Any](4000L))) // no data: nonEmpty drops it -> None
+    for ((name, f) <- canon) {
+      val chain = List(
+        StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+          (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+        StreamVertex(3, OpMap, List(Param(name, f)), "[Double]", "x", 1))
+      val em = StreamingLowering.chainEmit(chain)
+      assert(em.isInstanceOf[StreamingLowering.FoldEmitter], s"$name not recognized")
+      for (w <- windows) {
+        val expected = em(w) // materialized chain = ground truth
+        assert(em.fromIterator(w.iterator) == expected, s"$name fromIterator on $w")
+        val evs = w.toArray
+        val isData = evs.map(_.isData)
+        val vals = evs.map(e =>
+          if (e.isData) e.value.get.asInstanceOf[Double] else 0.0)
+        assert(em.fromRange(evs, isData, vals, 0, evs.length) == expected,
+          s"$name fromRange on $w")
+      }
+    }
+  }
+
+  test("a lying recognized fold closure is caught by the fromRange periodic recheck") {
+    val lyingMax = (v: Any) => {
+      val vs = v.asInstanceOf[List[Any]].map(_.asInstanceOf[Double])
+      if (vs.headOption.contains(-1.0)) vs.max * 2 else vs.max
+    }
+    val chain = List(
+      StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+        (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+      StreamVertex(3, OpMap, List(Param("max", lyingMax)), "[Double]", "Double", 1))
+    val em = StreamingLowering.chainEmit(chain)
+    def range(vs: Double*): (Array[Event[Any]], Array[Boolean], Array[Double]) = {
+      val evs: Array[Event[Any]] =
+        vs.zipWithIndex.map { case (v, i) => Event.data(1000L * i, v: Any) }.toArray
+      (evs, evs.map(_ => true), vs.toArray)
+    }
+    // window 1 honest: the arming recheck passes
+    val (e1, d1, v1) = range(1.0, 2.0)
+    assert(em.fromRange(e1, d1, v1, 0, 2).isDefined)
+    // divergent window between rechecks: fold's own (correct) max emitted
+    val (e2, d2, v2) = range(-1.0)
+    assert(em.fromRange(e2, d2, v2, 0, 1).exists(_.value.contains(-1.0: Any)))
+    // drain the counter with honest windows
+    (0L until (StreamingLowering.FusedFoldRecheckEvery - 2)).foreach { _ =>
+      val (e, d, v) = range(3.0)
+      assert(em.fromRange(e, d, v, 0, 1).isDefined)
+    }
+    // next window lands on the recheck: divergence detected
+    val (e3, d3, v3) = range(-1.0)
+    val err = intercept[IllegalStateException] { em.fromRange(e3, d3, v3, 0, 1) }
+    assert(err.getMessage.contains("fused 'max' fold disagrees"))
   }
 }
