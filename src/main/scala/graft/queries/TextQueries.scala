@@ -559,6 +559,15 @@ object TextQueries {
     "q_dsir" -> ((s, dir) =>
       graft.text.Dsir.scores(docs(s, dir), targetLang = "en", buckets = 256)),
 
+    // The 100 TB twin of q_dsir: the corpus tokenize+hash+explode is
+    // persisted ONCE (Dsir.scoresPersisted) and feeds both the model fit
+    // and the per-doc counts, where q_dsir recomputes it per branch.
+    // Same output, same oracle — the pair exists so the scale sweep can
+    // measure the recompute-vs-materialize crossover the Dsir scaladoc
+    // claims (at sf0.1 recompute wins; the explode must dominate first).
+    "q_dsir_persist" -> ((s, dir) =>
+      graft.text.Dsir.scoresPersisted(docs(s, dir), targetLang = "en", buckets = 256)),
+
     // Fuzzy record linkage — blocked edit-distance join (the
     // entity-resolution blocking pattern, Christen, "Data Matching",
     // 2012): candidate pairs must share a 24-char lowercased prefix block
@@ -1012,6 +1021,52 @@ object TextQueries {
          |WHERE doc_id NOT IN (SELECT doc_id FROM near_nk)
          |  AND doc_id NOT IN (SELECT doc_id FROM exact_nk)""".stripMargin
 
+  /** The DSIR oracle SQL, shared verbatim by `q_dsir` and
+    * `q_dsir_persist` (same computation; the twin differs only in the
+    * physical plan — persisted vs recomputed feature explode). Every
+    * feature's portable bucket replayed (unigrams + bigrams), both
+    * smoothed distributions and the ln ratios recomputed, weighted sums
+    * rounded at 1e-4 — the engines' ln kernels agree ~11 orders of
+    * magnitude below that. */
+  private val dsirOracleSql: String = {
+    import graft.functions.PortableHash
+    val pow31 = PortableHash.powers.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $Toks AS toks FROM documents),
+       |f0 AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_concat(toks,
+       |           list_transform(range(1, len(toks)),
+       |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS f
+       |  FROM t),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |         (CASE WHEN length(f) = 0 THEN 0
+       |               ELSE CAST(list_sum(list_transform(
+       |                      range(1, least(length(f), 48) + 1),
+       |                      c -> CAST(ord(substr(f, CAST(c AS INT), 1)) AS BIGINT)
+       |                           * ([$pow31])[CAST(c AS INT)]))
+       |                    % 2147483647 AS BIGINT) END) % 256 AS bucket
+       |  FROM f0),
+       |s AS (
+       |  SELECT bucket, count(*) AS cr,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |  FROM f GROUP BY 1),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM s),
+       |lam AS (
+       |  SELECT bucket,
+       |         ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS lam
+       |  FROM s, tot),
+       |dfeat AS (SELECT doc_id, bucket, count(*) AS n FROM f GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT d.doc_id, sum(d.n) AS n_feats, sum(d.n * l.lam) AS raw
+       |  FROM dfeat d JOIN lam l USING (bucket) GROUP BY 1)
+       |SELECT doc.doc_id,
+       |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+       |       coalesce(floor(sc.raw * 10000 + 0.5) / 10000, 0.0) AS score
+       |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_trained" ->
       s"""WITH ${bpeTrainCtes(8)},
@@ -1413,44 +1468,11 @@ object TextQueries {
     // smoothed distributions and the ln ratios recomputed, weighted sums
     // rounded at 1e-4 — the engines' ln kernels agree ~11 orders of
     // magnitude below that
-    "q_dsir" -> {
-      import graft.functions.PortableHash
-      val pow31 = PortableHash.powers.mkString(", ")
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, $Toks AS toks FROM documents),
-         |f0 AS (
-         |  SELECT doc_id, lang,
-         |         unnest(list_concat(toks,
-         |           list_transform(range(1, len(toks)),
-         |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]))) AS f
-         |  FROM t),
-         |f AS (
-         |  SELECT doc_id, lang,
-         |         (CASE WHEN length(f) = 0 THEN 0
-         |               ELSE CAST(list_sum(list_transform(
-         |                      range(1, least(length(f), 48) + 1),
-         |                      c -> CAST(ord(substr(f, CAST(c AS INT), 1)) AS BIGINT)
-         |                           * ([$pow31])[CAST(c AS INT)]))
-         |                    % 2147483647 AS BIGINT) END) % 256 AS bucket
-         |  FROM f0),
-         |s AS (
-         |  SELECT bucket, count(*) AS cr,
-         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-         |  FROM f GROUP BY 1),
-         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM s),
-         |lam AS (
-         |  SELECT bucket,
-         |         ln((ct + 1.0) / (nt + 256.0)) - ln((cr + 1.0) / (nr + 256.0)) AS lam
-         |  FROM s, tot),
-         |dfeat AS (SELECT doc_id, bucket, count(*) AS n FROM f GROUP BY 1, 2),
-         |sc AS (
-         |  SELECT d.doc_id, sum(d.n) AS n_feats, sum(d.n * l.lam) AS raw
-         |  FROM dfeat d JOIN lam l USING (bucket) GROUP BY 1)
-         |SELECT doc.doc_id,
-         |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
-         |       coalesce(floor(sc.raw * 10000 + 0.5) / 10000, 0.0) AS score
-         |FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id""".stripMargin
-    },
+    "q_dsir" -> dsirOracleSql,
+
+    // same computation, different physical plan (persisted explode) —
+    // the oracle is q_dsir's verbatim
+    "q_dsir_persist" -> dsirOracleSql,
 
     // blocking keys, length band, and 200-char Levenshtein replayed
     // exactly (DuckDB's levenshtein is the same unit-cost edit distance

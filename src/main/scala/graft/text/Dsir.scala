@@ -54,8 +54,14 @@ object Dsir {
     * the whole trained state of DSIR, small enough to broadcast (or to
     * publish as the static side of a streaming scorer). */
   def model(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
+    modelFromFeatures(features(docs, buckets), targetLang, buckets)
+
+  /** [[model]] fitted from an already-materialized [[features]] table —
+    * the entry point for a caller who persisted the explode once (see
+    * [[scoresPersisted]]). */
+  def modelFromFeatures(feats: DataFrame, targetLang: String, buckets: Int): DataFrame =
     lamTable(
-      features(docs, buckets).groupBy(col("bucket")).agg(
+      feats.groupBy(col("bucket")).agg(
         count(lit(1)).as("cr"),
         sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct")),
       buckets)
@@ -80,8 +86,13 @@ object Dsir {
     * document's own features and the model, so scoring distributes
     * trivially — including over streaming micro-batches against a static
     * model. */
-  def scoreAgainst(docs: DataFrame, lam: DataFrame, buckets: Int): DataFrame = {
-    val perDoc = features(docs, buckets)
+  def scoreAgainst(docs: DataFrame, lam: DataFrame, buckets: Int): DataFrame =
+    scoreFeaturesAgainst(docs, features(docs, buckets), lam)
+
+  /** [[scoreAgainst]] from an already-materialized [[features]] table of
+    * the same `docs` (the persisted-explode path of [[scoresPersisted]]). */
+  def scoreFeaturesAgainst(docs: DataFrame, feats: DataFrame, lam: DataFrame): DataFrame = {
+    val perDoc = feats
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
       .join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id"))
@@ -103,7 +114,24 @@ object Dsir {
     * counter-result again — recompute beats materialization for cheap
     * branches at this scale). At true 100 TB, where the explode
     * dominates, a caller SHOULD persist `features(docs, buckets)` and
-    * feed [[model]] + [[scoreAgainst]] from it. */
+    * feed [[modelFromFeatures]] + [[scoreFeaturesAgainst]] from it —
+    * that is exactly [[scoresPersisted]]. */
   def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
     scoreAgainst(docs, model(docs, targetLang, buckets), buckets)
+
+  /** [[scores]] with the corpus explode materialized ONCE: `features`
+    * is persisted (memory-and-disk) and feeds both the model fit and the
+    * per-doc counts, so the tokenize+hash+explode pass — the dominant
+    * cost at corpus scale — runs once instead of twice. Identical output
+    * to [[scores]] (same closures over the same rows; the persist is
+    * physical only). The cache node lives until the session drops it
+    * (`spark.catalog.clearCache()` or `feats.unpersist()` by a caller
+    * holding its own reference); a long-lived service should manage the
+    * features lifetime itself via the [[features]] /
+    * [[modelFromFeatures]] / [[scoreFeaturesAgainst]] building blocks. */
+  def scoresPersisted(docs: DataFrame, targetLang: String, buckets: Int): DataFrame = {
+    val feats = features(docs, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scoreFeaturesAgainst(docs, feats, modelFromFeatures(feats, targetLang, buckets))
+  }
 }
