@@ -127,6 +127,51 @@ object StreamQueries {
     runLoweredToDf(s, typed.toDF("window_start", "n", "sum_raw"), tmpPrefix)
   }
 
+  /** [[loweredWindowAgg]]'s four-moment sibling: Source→Window(form)→
+    * Filter(nonEmpty)→Map(stats)→Sink, where `stats` is the recognized
+    * (n, sum, min, max) fold name — the chain fuses into the window state
+    * machine through the SAME generalized FoldEmitter the countAndSum
+    * path takes, so this query proves the fold algebra's min/max lanes
+    * end-to-end (stamp rule, left-to-right order, recheck) against a SQL
+    * oracle, not just in the unit spec. */
+  private def loweredWindowStats(s: SparkSession, dir: String, onlyType: Option[String],
+                                 windowParamSrc: String,
+                                 maker: graft.core.WindowMakers.WindowMaker[Any],
+                                 tmpPrefix: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import graft.core.Event
+    import graft.plans._
+    val g = StreamGraph.path(Seq(
+      StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+      StreamVertex(1, OpWindow, List(Param(windowParamSrc,
+        (st: List[Event[Any]]) => maker(st))), "Double", "[Double]", 1),
+      StreamVertex(2, OpFilter(0.99), List(Param("nonEmpty",
+        (v: Any) => v.asInstanceOf[List[Any]].nonEmpty)), "[Double]", "[Double]", 1),
+      StreamVertex(3, OpMap, List(Param("stats",
+        (v: Any) => {
+          val vs = v.asInstanceOf[List[Any]]
+          var n = 0L; var sum = 0.0
+          var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+          vs.foreach { x =>
+            val d = x.asInstanceOf[Double]
+            n += 1; sum += d
+            mn = math.min(mn, d); mx = math.max(mx, d)
+          }
+          (n, sum, mn, mx): Any
+        })), "[Double]", "(Long,Double,Double,Double)", 1),
+      StreamVertex(4, OpSink, Nil,
+        "(Long,Double,Double,Double)", "(Long,Double,Double,Double)", 1)))
+    val lowered = StreamingLowering.lower(
+      s, g, Map(0 -> loweredValueSource(s, dir, onlyType)))(4)
+    val typed = lowered.map { e =>
+      val (n, sum, mn, mx) = e.value.get.asInstanceOf[(Long, Double, Double, Double)]
+      (e.time.get, n, sum, mn, mx)
+    }(Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong,
+      Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble))
+    runLoweredToDf(s,
+      typed.toDF("window_start", "n", "sum_raw", "min_raw", "max_raw"), tmpPrefix)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // streamFilter (FunctionalProcessing.hs:59-63): Catalyst Filter, pushed
@@ -1116,6 +1161,19 @@ object StreamQueries {
         .select(col("window_start"), col("n"), roundp(col("sum_raw"), 2).as("sum_value"))
     }),
 
+    // same window machine, the `stats` fused fold: (n, sum, min, max)
+    // per sliding window — proves the generalized fold algebra's min/max
+    // lanes through the streaming lowering against a SQL oracle
+    "q_streaming_slidingtime_stats" -> ((s, dir) => {
+      val ms = 6L * 3600 * 1000
+      loweredWindowStats(s, dir, onlyType = Some("click"), s"slidingTime $ms",
+          graft.core.WindowMakers.slidingTime[Any](ms), "graft_stream_sts_")
+        .select(col("window_start"), col("n"),
+          roundp(col("sum_raw"), 2).as("sum_value"),
+          roundp(col("min_raw"), 2).as("min_value"),
+          roundp(col("max_raw"), 2).as("max_value"))
+    }),
+
     // sliding(n) executed THROUGH the stateful streaming lowering: the
     // count-based sliding window's FIFO-queue state machine
     // (StreamingLowering.slidingLower — a window emits when its n-th event
@@ -1599,6 +1657,21 @@ object StreamQueries {
         |m AS (SELECT max(us) AS max_us FROM c)
         |SELECT a.ts AS window_start, count(*) AS n,
         |       floor(sum(b.value) * 100 + 0.5) / 100 AS sum_value
+        |FROM c a, c b, m
+        |WHERE b.us >= a.us AND b.us < a.us + 21600000000
+        |  AND a.us + 21600000000 <= max_us
+        |GROUP BY a.ts""".stripMargin,
+
+    // the stats twin: identical window set, plus floor-rounded min/max
+    "q_streaming_slidingtime_stats" ->
+      """WITH c AS (
+        |  SELECT ts, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (SELECT max(us) AS max_us FROM c)
+        |SELECT a.ts AS window_start, count(*) AS n,
+        |       floor(sum(b.value) * 100 + 0.5) / 100 AS sum_value,
+        |       floor(min(b.value) * 100 + 0.5) / 100 AS min_value,
+        |       floor(max(b.value) * 100 + 0.5) / 100 AS max_value
         |FROM c a, c b, m
         |WHERE b.us >= a.us AND b.us < a.us + 21600000000
         |  AND a.us + 21600000000 <= max_us
