@@ -395,20 +395,35 @@ object ExtraQueries {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, (String, String)]]())
 
+  /** Rows per output file for the z-prune layouts: the scaled-down
+    * stand-in for a lakehouse OPTIMIZE's ~1 GB file target. The POINT is
+    * that file count grows WITH the data — a fixed file count at 26× the
+    * rows gives every file 26× the key span, and any clustering's
+    * min/max boxes sprawl until footer skipping stops working (measured:
+    * the 26× sweep's z layout at 32 fixed files touched more files than
+    * the single-key sort). 20k rows ≈ the sf0.1 certified 30-file
+    * layout, so the base-scale numbers are unchanged. */
+  private val ZTargetRowsPerFile = 20000L
+
   /** Write lineitem z-clustered on (l_partkey, l_suppkey) and, for the
-    * pruning comparison, range-sorted on l_partkey alone — 32 files
-    * each, once per (session, sfDir). The write's one global range
-    * exchange is the amortized layout cost bucketing also pays. */
+    * pruning comparison, range-sorted on l_partkey alone — both at the
+    * SAME row-proportional file count (fair granularity), once per
+    * (session, sfDir). The write's one global range exchange is the
+    * amortized layout cost bucketing also pays. */
   private def zorderLayouts(s: SparkSession, dir: String): (String, String) =
     zorderCache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
     ).computeIfAbsent(dir, { _ =>
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      // floor 32 = the certified sf0.01/sf0.1 layout (600k rows → 30 →
+      // 32); the target-rows term only kicks in beyond base scale
+      val files = math.max(32L, math.min(4096L,
+        (li.count() + ZTargetRowsPerFile - 1) / ZTargetRowsPerFile)).toInt
       val zDir = graft.core.TempDirs.create("graft_zprune_z_").toAbsolutePath.toString
       val pDir = graft.core.TempDirs.create("graft_zprune_p_").toAbsolutePath.toString
-      graft.sources.ZOrder.clusterWrite(li, "l_partkey", "l_suppkey", zDir, files = 32)
-      li.repartitionByRange(32, col("l_partkey"))
+      graft.sources.ZOrder.clusterWrite(li, "l_partkey", "l_suppkey", zDir, files = files)
+      li.repartitionByRange(files, col("l_partkey"))
         .sortWithinPartitions(col("l_partkey"))
         .write.mode("overwrite").parquet(pDir)
       (zDir, pDir)
@@ -451,22 +466,31 @@ object ExtraQueries {
     // ZOrder.bitsFor, so the two can never drift
     "q_zorder" -> {
       def bitsSql(m: String) =
-        "1 + " + (1 to 15).map(k => s"(CASE WHEN $m >= ${1L << k} THEN 1 ELSE 0 END)")
+        "1 + " + (1 to 62).map(k => s"(CASE WHEN $m >= ${1L << k} THEN 1 ELSE 0 END)")
           .mkString(" + ")
+      // the lane CASE mirrors ZOrder.zindex exactly: narrow domains
+      // left-aligned into the 16-bit lane, wide domains truncated to
+      // their high 16 bits (integer //, never floating division)
+      def laneSql(key: String, b: String) =
+        s"""CASE WHEN $b <= 16
+          |  THEN ($key % (CAST(1 AS BIGINT) << CAST($b AS INT)))
+          |       * (CAST(1 AS BIGINT) << CAST(16 - $b AS INT))
+          |  ELSE ($key % (CAST(1 AS BIGINT) << CAST($b AS INT)))
+          |       // (CAST(1 AS BIGINT) << CAST($b - 16 AS INT)) END""".stripMargin
       s"""WITH mx AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
-        |bits AS (SELECT ${bitsSql("mp")} AS bp, ${bitsSql("ms")} AS bs FROM mx)
+        |bits AS (SELECT ${bitsSql("mp")} AS bp, ${bitsSql("ms")} AS bs FROM mx),
+        |lanes AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       ${laneSql("l_partkey", "bp")} AS x16,
+        |       ${laneSql("l_suppkey", "bs")} AS y16
+        |FROM lineitem, bits)
         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       CAST(list_sum(list_transform(range(0, 16), i ->
-        |         (((l_partkey % (CAST(1 AS BIGINT) << CAST(bp AS INT)))
-        |             * (CAST(1 AS BIGINT) << CAST(16 - bp AS INT)))
-        |            // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2
+        |         (x16 // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2
         |           * (CAST(1 AS BIGINT) << CAST(2 * i AS INT))
-        |         + (((l_suppkey % (CAST(1 AS BIGINT) << CAST(bs AS INT)))
-        |             * (CAST(1 AS BIGINT) << CAST(16 - bs AS INT)))
-        |            // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2
+        |         + (y16 // (CAST(1 AS BIGINT) << CAST(i AS INT))) % 2
         |           * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INT))))
         |         AS BIGINT) AS zindex
-        |FROM lineitem, bits""".stripMargin
+        |FROM lanes""".stripMargin
     },
 
     // the rectangle thresholds re-derived from max() with the same

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   * joins ([[BucketedIO]]).
   *
   * The index is pure column arithmetic (32 shift/mask terms, whole-stage
-  * codegen'd — no UDF), over the LOW 16 bits of each key (`% 65536`,
-  * documented cap: keys beyond it wrap, which degrades locality smoothly
-  * but never correctness — the index is a layout hint, not data). A SQL
-  * oracle replays every bit with `//`/`%` integer arithmetic.
+  * codegen'd — no UDF), over each key's MOST-SIGNIFICANT 16 bits: a key
+  * whose domain is narrower than 16 bits is left-aligned into its lane,
+  * a wider one keeps its TOP 16 bits (`x >> (bits − 16)`). High bits,
+  * not low: the curve exists to give footer min/max boxes locality, and
+  * locality lives in the high bits — taking the low 16 (`% 65536`, the
+  * original cap) made every key beyond 2^16 WRAP, scattering the
+  * large-scale structure pseudo-randomly and measurably un-clustering
+  * the layout (caught by the 26× sweep: z touched 3× the files of a
+  * single-key sort once l_partkey crossed 25M). A SQL oracle replays
+  * every bit with `//`/`%` integer arithmetic.
   */
 object ZOrder {
 
@@ -26,10 +32,12 @@ object ZOrder {
     * threshold comparisons only — a SQL oracle replays it exactly from
     * `max(key)`, the autoPlanesPerTable pattern). */
   def bitsFor(maxValue: Long): Int =
-    1 + (1 to 15).count(k => maxValue >= (1L << k))
+    1 + (1 to 62).count(k => maxValue >= (1L << k))
 
-  /** Morton index of two keys, each LEFT-ALIGNED in its 16-bit lane
-    * (`(x mod 2^bits) << (16 − bits)`): without the alignment a
+  /** Morton index of two keys, each mapped to its 16-bit lane by domain
+    * width: narrow keys LEFT-ALIGNED (`(x mod 2^bits) << (16 − bits)`),
+    * wide keys truncated to their HIGH 16 bits
+    * (`(x mod 2^bits) >> (bits − 16)`). Without the alignment a
     * narrow-domain key occupies only the LOW interleave positions, the
     * curve degenerates to a sort on the wide key's high bits, and every
     * output file spans the narrow key's whole range (measured straddle
@@ -38,10 +46,17 @@ object ZOrder {
     * curve its either-dimension locality. Bit i of x lands at 2i, of y
     * at 2i+1. */
   def zindex(x: Column, y: Column, xBits: Int, yBits: Int): Column = {
-    require(xBits >= 1 && xBits <= 16 && yBits >= 1 && yBits <= 16,
-      "zindex lane widths must be 1..16")
-    val x16 = pmod(x.cast("bigint"), lit(1L << xBits)) * lit(1L << (16 - xBits))
-    val y16 = pmod(y.cast("bigint"), lit(1L << yBits)) * lit(1L << (16 - yBits))
+    require(xBits >= 1 && xBits <= 62 && yBits >= 1 && yBits <= 62,
+      "zindex lane widths must be 1..62")
+    def lane(c: Column, bits: Int): Column = {
+      val dom = pmod(c.cast("bigint"), lit(1L << bits))
+      // shiftright, not floating division: dom can reach 2^62 and a
+      // double round-trip loses bits past 2^53
+      if (bits <= 16) dom * lit(1L << (16 - bits))
+      else shiftright(dom, bits - 16)
+    }
+    val x16 = lane(x, xBits)
+    val y16 = lane(y, yBits)
     (0 until 16).map { i =>
       (shiftright(x16, i).bitwiseAND(1L) * lit(1L << (2 * i))) +
         (shiftright(y16, i).bitwiseAND(1L) * lit(1L << (2 * i + 1)))

@@ -68,17 +68,19 @@ class ZOrderSpec extends SparkSuite {
     assert(errNull.getMessage.contains("max(y) is NULL"))
   }
 
-  test("zindex matches a reference interleave, lanes left-aligned") {
+  test("zindex matches a reference interleave: narrow lanes left-aligned, wide lanes high-bit") {
     def ref(x: Long, y: Long, bx: Int, by: Int): Long = {
-      val xa = (x % (1L << bx)) << (16 - bx)
-      val ya = (y % (1L << by)) << (16 - by)
+      def lane(v: Long, b: Int): Long =
+        if (b <= 16) (v % (1L << b)) << (16 - b) else (v % (1L << b)) >> (b - 16)
+      val (xa, ya) = (lane(x, bx), lane(y, by))
       (0 until 16).map(i => ((xa >> i) & 1L) << (2 * i) |
         ((ya >> i) & 1L) << (2 * i + 1)).reduce(_ | _)
     }
     import spark.implicits._
     val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
-      (12345L, 54321L), (65536L, 1L), (19999L, 999L))
-    for ((bx, by) <- Seq((16, 16), (15, 10), (1, 16))) {
+      (12345L, 54321L), (65536L, 1L), (19999L, 999L),
+      (25020000L, 250999L), (1L << 40, (1L << 33) + 12345L))
+    for ((bx, by) <- Seq((16, 16), (15, 10), (1, 16), (25, 18), (41, 34))) {
       val got = pairs.toDF("x", "y")
         .select(col("x"), col("y"), ZOrder.zindex(col("x"), col("y"), bx, by).as("z"))
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -88,6 +90,23 @@ class ZOrderSpec extends SparkSuite {
     }
     assert(ZOrder.bitsFor(0) == 1 && ZOrder.bitsFor(1) == 1 &&
       ZOrder.bitsFor(2) == 2 && ZOrder.bitsFor(999) == 10 &&
-      ZOrder.bitsFor(19999) == 15 && ZOrder.bitsFor(1L << 40) == 16)
+      ZOrder.bitsFor(19999) == 15 && ZOrder.bitsFor(1L << 40) == 41 &&
+      ZOrder.bitsFor(25020000L) == 25)
+  }
+
+  test("wide-domain keys keep high-bit locality: no low-16-bit wraparound") {
+    // 26 copy-islands at 10^6 partkey spacing (the 26x sweep geometry):
+    // under the old `% 65536` lanes the islands wrap pseudo-randomly and
+    // island order is destroyed; high-bit lanes keep zindex monotone in
+    // the island index when the other key is fixed
+    import spark.implicits._
+    val islands = (0 until 26).map(c => (c.toLong * 1000000L + 10000L, 500L))
+    val bx = ZOrder.bitsFor(islands.map(_._1).max)
+    val by = ZOrder.bitsFor(500L)
+    val zs = islands.toDF("x", "y")
+      .select(ZOrder.zindex(col("x"), col("y"), bx, by).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(zs == zs.sorted,
+      s"zindex not monotone across copy-islands at fixed y: $zs")
   }
 }

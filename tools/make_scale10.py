@@ -117,10 +117,31 @@ def main(sf_dir: str, out_dir: str, copies: int, tables=None) -> None:
                ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"])
     copy_union("orders", [("o_orderkey", so), ("o_custkey", sc)],
                ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"])
-    copy_union("lineitem",
-               [("l_orderkey", so), ("l_partkey", sp), ("l_suppkey", ss)],
-               ["l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
-                "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"])
+    # l_suppkey is NOT offset by the copy index like the other foreign
+    # keys: that would make (l_partkey, l_suppkey) perfectly correlated
+    # (copy c's rows all land in partkey island c AND suppkey island c —
+    # a diagonal), which is a degenerate geometry the base data does not
+    # have: at sf0.1 the two keys are independent per row. A diagonal
+    # breaks every 2-D layout claim honestly made on independent keys
+    # (Z-order famously loses to a single-key sort on correlated
+    # columns — q_zorder_prune's assertion caught exactly this at 26x).
+    # Instead each row's supplier copy is (c + l_orderkey) % copies:
+    # deterministic, spreads copy c's rows uniformly across ALL supplier
+    # islands, preserves join cardinality exactly (every row still
+    # matches exactly one supplier; per-supplier-key fan-in totals are
+    # unchanged in expectation), and restores the base data's key
+    # independence at scale.
+    if want("lineitem"):
+        parts = []
+        for c in range(copies):
+            parts.append(
+                f"SELECT l_orderkey + {c * so} AS l_orderkey, "
+                f"l_partkey + {c * sp} AS l_partkey, "
+                f"l_suppkey + {ss} * (({c} + l_orderkey) % {copies}) AS l_suppkey, "
+                "l_linenumber, l_quantity, l_extendedprice, l_discount, "
+                "l_tax, l_returnflag, l_linestatus, l_shipdate FROM lineitem")
+        con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO "
+                f"'{out_dir}/lineitem.parquet' (FORMAT PARQUET)")
 
     print(f"wrote {out_dir}: documents x{copies} (id stride {id_stride}), "
           f"embeddings dim={dim} rotated per copy, "

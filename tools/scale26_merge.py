@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Assemble SCALE26_r{N}.json: per-query sf0.1 → 26x ratios for the
+full-surface isomorphic-copy sweep (tools/make_scale10.py with 26 copies —
+the Caesar-alphabet honesty ceiling for documents).
+
+Denominators come from the certified sf0.1 bench (bench.json), with any
+newer sf0.1 subset-run files overriding (new queries measured after the
+last certified run). Adjudicated entries (runs=3 re-measurements) override
+the sweep's runs=2 numbers and carry a note naming the adjudication.
+
+Usage: scale26_merge.py <sweep26.json> <out.json> [--adj adj26.json]
+                        [extra_sf01.json ...]
+"""
+import json
+import sys
+
+
+def main(argv):
+    sweep = json.load(open(argv[1]))
+    out_path = argv[2]
+    args = argv[3:]
+    adj = {}
+    adj_runs = None
+    extras = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--adj":
+            j = json.load(open(args[i + 1]))
+            adj = dict(j["queries"])
+            adj_runs = j.get("runs")
+            i += 2
+        else:
+            extras.append(args[i])
+            i += 1
+    base = json.load(open("bench.json"))
+    assert base.get("sf", "").endswith("sf0.1"), "bench.json is not an sf0.1 run"
+    denom = dict(base["queries"])
+    for extra in extras:
+        j = json.load(open(extra))
+        if j.get("sf", "").endswith("sf0.1"):
+            denom.update(j["queries"])
+    rows = {}
+    for q, t26 in sorted({**sweep["queries"], **adj}.items()):
+        d = denom.get(q)
+        has_denom = d is not None
+        row = {
+            "sf01_sec": round(d, 4) if has_denom else None,
+            "sf26_sec": round(t26, 4),
+            "ratio_vs_26x_data": round(t26 / d, 2) if has_denom and d > 0 else None,
+        }
+        if q in adj:
+            row["note"] = f"re-measured at runs={adj_runs} (adjudication)"
+        rows[q] = row
+    errors = dict(sweep.get("errors", {}))
+    doc = {
+        "note": ("Full-surface 26x scale step (26 isomorphic copies of ALL "
+                 "tables - the Caesar-alphabet honesty ceiling for documents). "
+                 "ratio_vs_26x_data = wall-clock at 26x rows over the "
+                 "certified sf0.1 wall-clock; 26.0 = perfectly linear with "
+                 "zero parallel headroom, values below show sf0.1 fixed "
+                 "overhead amortizing. Sweep runs=2 round-robin; entries "
+                 "with notes were re-measured at runs=3."),
+        "dataset": sweep.get("sf"),
+        "runs": sweep.get("runs"),
+        "errors": errors,
+        "queries": rows,
+    }
+    json.dump(doc, open(out_path, "w"), indent=1)
+    rat = [r["ratio_vs_26x_data"] for r in rows.values()
+           if r["ratio_vs_26x_data"] is not None]
+    excluded = len(rows) - len(rat)
+    print(f"{len(rows)} queries, ratio min/median/max = "
+          f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}"
+          f" ({excluded} excluded: no sf0.1 denominator or denominator 0); "
+          f"errors: {list(errors) or 'none'}")
+
+
+if __name__ == "__main__":
+    main(sys.argv)
