@@ -733,12 +733,16 @@ object StreamingLowering {
     * Per micro-batch: append the batch to the retained suffix, apply the
     * maker once; every produced window but the last is CLOSED and emitted
     * (the last may still grow — the same trailing-pending contract as
-    * every other window lowering). Then evict: find the SHORTEST suffix
-    * of at most `maxEvents` events from which the maker reproduces
-    * exactly `[openWindow]` — the open window bit-for-bit, and no closed
-    * windows (which would re-emit on the next batch). That suffix becomes
+    * every other window lowering). Then evict: find a suffix of at most
+    * `maxEvents` events from which the maker reproduces exactly
+    * `[openWindow]` — the open window bit-for-bit, and no closed
+    * windows (which would re-emit on the next batch) — preferring the
+    * open window's own length, else the shortest. That suffix becomes
     * the carried state, restoring the invariant `maker(state) ==
     * [open]`/`[]` that makes emitted-window bookkeeping unnecessary.
+    * Any reproducing suffix is equally faithful: events before the open
+    * window's first event are exactly what the declaration promises the
+    * maker ignores.
     *
     * The declaration is CHECKED, not trusted (the lying-Param pattern):
     * if NO suffix within `maxEvents` reproduces the open window — the
@@ -755,9 +759,16 @@ object StreamingLowering {
     * depth, exactly like the fused-fold recheck.
     *
     * Cost: one maker application over O(batch + maxEvents) events per
-    * micro-batch, plus ≤ maxEvents+1 applications over ≤ maxEvents events
-    * for the eviction search — O(batch) per batch and O(maxEvents)
-    * checkpoint state, vs the generic fallback's O(prefix) both ways. */
+    * micro-batch, plus the eviction search. The search tries the NATURAL
+    * candidate first — the suffix of exactly the open window's length,
+    * which is the right answer for every maker whose open window is a
+    * plain suffix of its input (all the reference's re-stampers, every
+    * sliding/chop shape) — so the common case is ONE extra maker
+    * application over O(|open|) events; only a maker whose open window
+    * is not an input suffix (e.g. it drops or reorders events within the
+    * window) falls back to the exhaustive ≤ maxEvents+1 applications.
+    * O(batch) per batch and O(maxEvents) checkpoint state either way,
+    * vs the generic fallback's O(prefix) both ways. */
   private[plans] def boundedWindowLower(ds: Dataset[Event[Any]],
       maker: List[Event[Any]] => List[List[Event[Any]]],
       maxEvents: Int): Dataset[Event[Any]] =
@@ -792,10 +803,12 @@ object StreamingLowering {
         val out = windows.init.map(windowEvent).toIndexedSeq
         val expected = List(open)
         val cap = math.min(maxEvents, rev.length)
+        def reproduces(k: Int): Boolean = maker(rev.take(k).reverse) == expected
+        val cand = open.length
+        var found = if (cand <= cap && reproduces(cand)) cand else -1
         var k = 0
-        var found = -1
         while (k <= cap && found < 0) {
-          if (maker(rev.take(k).reverse) == expected) found = k
+          if (k != cand && reproduces(k)) found = k
           k += 1
         }
         if (found < 0)

@@ -212,10 +212,13 @@ class StreamingLoweringSpec extends SparkSuite {
     * generic fallback's cross-batch behavior (state carry, re-apply,
     * prefix-monotonicity check) only exercises with ≥ 2 batches. */
   private def twoBatchSource(rows1: Seq[(java.sql.Timestamp, Double)],
-                             rows2: Seq[(java.sql.Timestamp, Double)]): Dataset[Event[Any]] = {
-    val dir = Files.createTempDirectory("graft-slower-2b")
+                             rows2: Seq[(java.sql.Timestamp, Double)]): Dataset[Event[Any]] =
+    nBatchSource(Seq(rows1, rows2))
+
+  private def nBatchSource(batches: Seq[Seq[(java.sql.Timestamp, Double)]]): Dataset[Event[Any]] = {
+    val dir = Files.createTempDirectory("graft-slower-nb")
     def writeOne(rows: Seq[(java.sql.Timestamp, Double)], name: String, mtime: Long): Unit = {
-      val sub = Files.createTempDirectory("graft-slower-2b-part")
+      val sub = Files.createTempDirectory("graft-slower-nb-part")
       rows.toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(sub.toString)
       val part = scala.util.Using.resource(Files.list(sub)) {
         _.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
@@ -226,10 +229,11 @@ class StreamingLoweringSpec extends SparkSuite {
       ()
     }
     val base = System.currentTimeMillis() - 3600000L
-    writeOne(rows1, "a.parquet", base)
-    writeOne(rows2, "b.parquet", base + 10000L)
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      writeOne(rows, f"b$i%02d.parquet", base + 10000L * i)
+    }
     spark.readStream
-      .schema(rows1.toDF("ts", "value").schema)
+      .schema(batches.head.toDF("ts", "value").schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
       .as[(java.sql.Timestamp, Double)]
@@ -371,6 +375,60 @@ class StreamingLoweringSpec extends SparkSuite {
       Option(x).map(y => y :: chain(y.getCause)).getOrElse(Nil)
     val msg = chain(err).map(_.getMessage).mkString("\n")
     assert(msg.contains("BoundedLookback(maxEvents=1) declaration is false"), s"got: $msg")
+  }
+
+  test("randomized bounded makers agree with batch closed-window semantics across random batch splits") {
+    // property: for ANY honest bounded-lookback maker, the streaming
+    // lowering emits exactly the batch maker's CLOSED windows (all but
+    // the trailing open one), regardless of how the stream is cut into
+    // micro-batches. Maker family spans the suffix-shaped common case
+    // (restamp/chop/sliding — the candidate-first eviction path) at
+    // several lookbacks.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(24)
+      val events = (0 until n).map(i => (t(1000L * i), rnd.nextInt(100).toDouble))
+      // 2..4 random non-empty time-contiguous batches
+      val cuts = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextInt(n - 1)).distinct.sorted
+      val batches = (0 +: cuts :+ n).sliding(2).map { case Seq(a, b) => events.slice(a, b) }
+        .filter(_.nonEmpty).toSeq
+      val (maker, maxEvents, label) = rnd.nextInt(3) match {
+        case 0 =>
+          ((s: List[Event[Any]]) => s.map(e =>
+            List(Event(e.time.map(x => new java.sql.Timestamp(x.getTime + 500L)), e.value))),
+            1, "restamp")
+        case 1 =>
+          val k = 2 + rnd.nextInt(3)
+          ((s: List[Event[Any]]) => s.grouped(k).toList, k, s"chop$k")
+        case _ =>
+          val k = 2 + rnd.nextInt(2)
+          // sliding-k emits a window per position once k events exist;
+          // the last window (possibly short at the very start) is open
+          ((s: List[Event[Any]]) => if (s.isEmpty) Nil
+            else if (s.length < k) List(s) else s.sliding(k).toList, k, s"sliding$k")
+      }
+      val evs = events.map { case (ts, v) => Event[Any](Some(ts), Some(v: Any)) }.toList
+      val expected = {
+        val ws = maker(evs)
+        (if (ws.isEmpty) Nil else ws.init).map(w =>
+          (w.head.time.get.getTime, w.flatMap(_.value).map(_.asInstanceOf[Double]).mkString(",")))
+          .sorted
+      }
+      val lowered = StreamingLowering.boundedWindowLower(
+        nBatchSource(batches).asInstanceOf[Dataset[Event[Any]]], maker, maxEvents)
+      val qn = s"slower_bl_prop_$seed"
+      val q = lowered.map(e => (e.time.get.getTime,
+          e.value.get.asInstanceOf[List[Any]].map(_.asInstanceOf[Double]).mkString(",")))
+        .toDF("ts", "w")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toList.sorted
+      assert(got == expected,
+        s"seed=$seed maker=$label n=$n batches=${batches.map(_.size).mkString("/")}: " +
+          s"got $got, expected $expected")
+    }
   }
 
   test("generic window fallback bounds its buffered prefix") {
