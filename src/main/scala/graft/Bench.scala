@@ -159,10 +159,28 @@ object Bench {
     // time-to-failure would read as a performance win; failed queries are
     // reported in an "errors" map and excluded from the total
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // HOW a result is forced decides WHAT is measured. `count()` lets
+    // Catalyst prune everything that cannot change the row count: final
+    // projections of computed columns are dropped (a query ending in an
+    // expensive SELECT — q_zorder's 32-term Morton index, q_dsir's
+    // tokenize+hash+score — times only its scan), and a left join against
+    // an aggregate-keyed side is ELIMINATED outright (distinct-key
+    // inference), so q_dsir under count() measured reading one column of
+    // documents, not DSIR. A "noop"-sink write forces every output column
+    // of every output row through the full plan without paying a real
+    // sink — the standard Spark benchmarking harness shape, and the
+    // default here. SPARK_GRAFT_FORCE=count keeps the old behavior for
+    // comparing against pre-r14 artifacts (the JSON self-identifies via
+    // the "force" field).
+    val force = sys.env.getOrElse("SPARK_GRAFT_FORCE", "noop")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try {
+        val df = fn(spark, sfDir)
+        if (force == "count") df.count()
+        else df.write.mode("overwrite").format("noop").save()
+      } catch {
         case e: Throwable =>
           errors.getOrElseUpdate(name, Option(e.getMessage).getOrElse(e.getClass.getName))
       }
@@ -241,7 +259,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val loadAfter = loadAvg()
     val cpusAvail = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"force":"$force","load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
     println(line)
     // also land the line on disk: log-capture pipelines truncate long stdout
     // lines (BENCH_r06 lost half its per-query numbers that way); the file
