@@ -704,7 +704,15 @@ object Dedup {
     * common-subexpression elimination across higher-order-function
     * lambdas, so an inline (non-attribute) hash array would be recomputed
     * for every window element: O(m²) per document instead of O(m). */
-  def gramPolyHashes(text: Column, gram: Int): Column = {
+  def gramPolyHashes(text: Column, gram: Int): Column =
+    graft.functions.PortableGramHash64(TextAnalysis.tokens(text), gram)
+
+  /** The composed-builtin formulation [[gramPolyHashes]] had through
+    * r14 — kept as the independently-derived twin its kernel agreement
+    * spec checks against (the ShingleHash64 pattern). Interpreted per
+    * gram: a slice allocation + a concat_ws build + the polyHash call
+    * through the expression walker. */
+  def gramPolyHashesHof(text: Column, gram: Int): Column = {
     require(gram >= 1, s"shingle size must be >= 1 token (got $gram)")
     val toks = TextAnalysis.tokens(text)
     val gramArr = when(size(toks) < gram, array().cast("array<string>"))
@@ -742,7 +750,15 @@ object Dedup {
     * (doc, gh[p]) pairs and bucket-join on the hash for the full MOSS
     * match path). Empty input yields a null/any result guarded by callers
     * ([[winnowFromHashes]] gates on size ≤ 0). */
-  def winnowSelectedPositions(gh: Column, window: Int): Column = {
+  def winnowSelectedPositions(gh: Column, window: Int): Column =
+    graft.functions.WinnowPositions(gh, window)
+
+  /** The composed-builtin formulation [[winnowSelectedPositions]] had
+    * through r14 — kept as the independently-derived twin the
+    * WinnowPositions kernel agreement spec checks against. O(m·window²)
+    * interpreted per document (array_min over a slice plus a
+    * rightmost-tie filter scan per window start). */
+  def winnowSelectedPositionsHof(gh: Column, window: Int): Column = {
     require(window >= 1, s"winnow window must be >= 1 (got $window)")
     val m = size(gh)
     // window starts 1..max(m-window+1, 1); a short doc (m < window) is one

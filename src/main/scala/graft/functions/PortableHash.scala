@@ -39,8 +39,20 @@ object PortableHash {
 
   /** poly(s) = Σ code(sᵢ)·31^i mod P over the first [[MaxChars]] characters
     * (code points, matching SQL `ord`/`substr` semantics). Empty strings
-    * hash to 0. Pure column arithmetic (one fold), no UDF. */
-  def polyHash(s: Column): Column = {
+    * hash to 0. Backed by the codegen'd [[PolyHash48]] kernel — one JVM
+    * loop per value; the previous composed-builtin fold ([[polyHashHof]])
+    * evaluated interpreted per character and dominated every portable-hash
+    * pipeline's profile (see PolyHash48's scaladoc for the measurements).
+    * Same arithmetic bit-for-bit; SQL oracles replaying ord·31^i sums are
+    * unaffected. */
+  def polyHash(s: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      PolyHash48(org.apache.spark.sql.graftbridge.Bridge.expression(s)))
+
+  /** The composed-builtin formulation polyHash had through r14 — kept as
+    * the independently-derived twin the kernel agreement spec checks
+    * against (the ShingleHash64 pattern). */
+  def polyHashHof(s: Column): Column = {
     val pows = array(powers.map(lit): _*)
     val summed = aggregate(
       sequence(lit(1), least(length(s), lit(MaxChars))),

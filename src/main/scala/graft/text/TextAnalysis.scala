@@ -131,7 +131,16 @@ object TextAnalysis {
     * < 2³⁰ → each product < 2⁶¹, reduced mod M BEFORE summing (mod is a
     * ring hom, so term-wise reduction equals sum-then-mod), and the sum of
     * ≤ 64 reduced terms stays < 2³⁶. */
-  def rollingPrefixFingerprint(text: Column, maxTokens: Int = 64): Column = {
+  def rollingPrefixFingerprint(text: Column, maxTokens: Int = 64): Column =
+    graft.functions.RollingFp64(tokens(text), maxTokens)
+
+  /** The composed-builtin formulation [[rollingPrefixFingerprint]] had
+    * through r14 — kept as the independently-derived twin its kernel
+    * agreement spec checks against (the ShingleHash64 pattern). Even
+    * with [[graft.functions.PolyHash48]] behind polyHash, the 64-step
+    * interpreted `aggregate` lambda held q_rolling_portable at 8.9 s at
+    * sf0.1. */
+  def rollingPrefixFingerprintHof(text: Column, maxTokens: Int = 64): Column = {
     require(maxTokens >= 1 && maxTokens <= 64,
       s"maxTokens must be in [1, 64] (got $maxTokens): the term sum is " +
         "overflow-audited for 64 terms")

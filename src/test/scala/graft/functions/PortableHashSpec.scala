@@ -35,6 +35,28 @@ class PortableHashSpec extends SparkSuite {
     assert(viaCol.head == 0L, "empty string hashes to 0")
   }
 
+  test("PolyHash48 kernel == HOF fold == Scala twin on adversarial inputs") {
+    // the three independent derivations of the same arithmetic: the
+    // codegen'd kernel (production), the composed-builtin interpreted
+    // fold (the pre-kernel formulation, kept as a twin), and the plain
+    // Scala loop. Surrogate pairs are the sharp case: one CODE POINT,
+    // two UTF-16 chars — all three must step by code point.
+    val samples = Seq("", "a", " ", "hello world", "x" * 47, "x" * 48,
+      "x" * 49, "x" * 200, "Zürich — naïve café", "é́ combining",
+      "emoji 😀 pair", "😀" * 60, "0123456789" * 10,
+      "tab\tand\nnewline")
+    val df = samples.toDF("s")
+    val viaKernel = df.select(PortableHash.polyHash(col("s")).as("h")).as[Long].collect().toSeq
+    val viaHof = df.select(PortableHash.polyHashHof(col("s")).as("h")).as[Long].collect().toSeq
+    val viaScala = samples.map(PortableHash.polyHashScala)
+    assert(viaKernel == viaScala, "kernel vs Scala twin")
+    assert(viaHof == viaScala, "HOF fold vs Scala twin")
+    // null propagates through the kernel like through the fold
+    val nulls = Seq[Option[String]](None, Some("x")).toDF("s")
+    assert(nulls.select(PortableHash.polyHash(col("s"))).collect().map(r => r.isNullAt(0)).toSeq
+      == Seq(true, false))
+  }
+
   test("affine permutations stay in [0, P) and differ across j") {
     val h = PortableHash.polyHashScala("some document shingle")
     val perms = (0 until 8).map { j =>
