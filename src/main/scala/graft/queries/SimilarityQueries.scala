@@ -450,7 +450,7 @@ object SimilarityQueries {
     // oracle re-derives it entry for entry). Exploded to (vec_id, j, y)
     // rows so the hash compare sees scalars.
     "q_embedding_project" -> ((s, dir) =>
-      Similarity.quantizeInt8(emb(s, dir), col("embedding"))
+      Similarity.quantizeInt8(graft.queries.Tables.widen(emb(s, dir)), col("embedding"))
         .select(col("vec_id"), Similarity.projectSparse(col("q"), 16, 64).as("y"))
         // posexplode_OUTER: the non-outer form makes InferFiltersFromGenerate
         // push a `size(y) > 0` filter below the projections with the WHOLE

@@ -245,4 +245,21 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Repartition an under-parallel scan up to the session's default
+    * parallelism — the prerequisite for CPU-bound per-row work over a
+    * small-file table. A compact parquet file under
+    * `spark.sql.files.maxPartitionBytes` arrives as ONE scan partition
+    * (row-group bounds cap splitting even below that), so a per-document
+    * map — tokenize, hash, score, redact — runs single-threaded no
+    * matter how many cores the session has; the 26× scale sweep read the
+    * per-doc text queries 16-46× BECAUSE of this, not their arithmetic.
+    * The repartition is a narrow round-robin shuffle of the raw rows,
+    * paid once and amortized by the parallel map. No-op when the scan
+    * already splits — at real scale (many files / large row groups) this
+    * does nothing, exactly as a 1000-executor plan wants. */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -93,7 +93,7 @@ object TextQueries {
         .filter(length(col("word")) >= 8)),
 
     "q_token_stats" -> ((s, dir) =>
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.avgTokenLength(TextAnalysis.tokens(col("text"))).as("avg_token_len"))),
@@ -103,7 +103,7 @@ object TextQueries {
     // by, plus fertility (pre-tokens per whitespace word). Pure regexp
     // expressions fused into the scan.
     "q_bpe_tokens" -> ((s, dir) =>
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"),
         TextAnalysis.bpeishFertility(col("text")).as("fertility"))),
@@ -133,13 +133,13 @@ object TextQueries {
     }),
 
     "q_quality" -> ((s, dir) =>
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"),
         TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("stop_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     "q_lang_heuristic" -> ((s, dir) =>
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"), col("lang"),
         TextAnalysis.langHeuristic(col("text")).as("pred_lang"))),
 
@@ -147,7 +147,7 @@ object TextQueries {
       Dedup.exactDupGroups(docs(s, dir), col("doc_id"), col("text"))),
 
     "q_fingerprint" -> ((s, dir) =>
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"),
         TextAnalysis.tokenSetFingerprint(col("text")).as("fp"))),
 
@@ -493,7 +493,7 @@ object TextQueries {
     // collapse the whole vocabulary to one partition, a real bottleneck at
     // web-scale token counts; docs then join the broadcast vocab.
     "q_unigram_quality" -> ((s, dir) => {
-      val terms = docs(s, dir)
+      val terms = Tables.widen(docs(s, dir))
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum(col("cnt")).as("n_tokens_total"))
@@ -543,7 +543,7 @@ object TextQueries {
     // deterministic stand-in weight table — integer feature sum, sigmoid
     // only at the end, fully DuckDB-replayable.
     "q_quality_classifier" -> ((s, dir) =>
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.hashedLinearScore(col("text")).as("quality_prob"))),
@@ -657,7 +657,7 @@ object TextQueries {
     // path). Token order matters: permuted docs get different fps, which
     // the oracle re-derives exactly.
     "q_rolling_portable" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+      Tables.widen(docs(s, dir)).select(col("doc_id"),
         TextAnalysis.rollingPrefixFingerprint(col("text"), maxTokens = 64).as("fp"))),
 
     // Robust winnowing (MOSS, Schleimer et al. SIGMOD'03): per-document
@@ -893,7 +893,7 @@ object TextQueries {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" call 555-867-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      docs(s, dir).select(
+      Tables.widen(docs(s, dir)).select(
         col("doc_id"),
         regexp_count(injected, lit(TextAnalysis.EmailPattern)).as("n_emails"),
         regexp_count(injected, lit(TextAnalysis.PhoneBoundedPattern)).as("n_phones"),

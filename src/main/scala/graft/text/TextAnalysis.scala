@@ -59,6 +59,15 @@ object TextAnalysis {
   /** Fraction of tokens that are (English) stopwords — a standard quality /
     * language signal. Rounded to 4dp. */
   def stopwordRatio(toks: Column): Column = {
+    val hits = graft.functions.ArraySetCount(toks, StopwordsEn)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(roundp(hits.cast("double") / size(toks), 4))
+  }
+
+  /** The composed-builtin formulation [[stopwordRatio]] had through r14 —
+    * kept as the kernel agreement spec's twin. The `filter` lambda
+    * evaluates interpreted per token. */
+  def stopwordRatioHof(toks: Column): Column = {
     val hits = size(filter(toks, t => t.isInCollection(StopwordsEn)))
     when(size(toks) === 0, lit(0.0))
       .otherwise(roundp(hits.cast("double") / size(toks), 4))
@@ -91,7 +100,7 @@ object TextAnalysis {
     val toks = tokens(text)
     def ratio(words: Seq[String]): Column =
       when(size(toks) === 0, lit(0.0))
-        .otherwise(size(filter(toks, t => t.isInCollection(words))).cast("double") / size(toks))
+        .otherwise(graft.functions.ArraySetCount(toks, words).cast("double") / size(toks))
     val en = ratio(Seq("the", "a", "and", "of", "to"))
     val de = ratio(Seq("der", "und", "die", "das", "ein"))
     val fr = ratio(Seq("le", "la", "et", "les", "des"))

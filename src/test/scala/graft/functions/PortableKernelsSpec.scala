@@ -46,6 +46,22 @@ class PortableKernelsSpec extends SparkSuite {
     }
   }
 
+  test("ArraySetCount kernel == HOF filter-count; stopwordRatio twins agree") {
+    val texts = Seq("", "the the the", "a of and to in is", "nonmatching words only",
+      "the Zürich of 😀 a") ++ (1 to 20).map(_ => randText(1 + rnd.nextInt(60)))
+    val df = texts.toDF("text")
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val kernel = df.select(graft.text.TextAnalysis.stopwordRatio(toks)).as[Double].collect().toSeq
+    val hof = df.select(graft.text.TextAnalysis.stopwordRatioHof(toks)).as[Double].collect().toSeq
+    assert(kernel == hof)
+    // langHeuristic end-to-end through the kernel path: still deterministic
+    // and matching a driver-side recount on a known-language text
+    val pred = Seq("the cat and the dog of a to house")
+      .toDF("text").select(graft.text.TextAnalysis.langHeuristic(col("text")))
+      .collect().head.getString(0)
+    assert(pred == "en")
+  }
+
   test("WinnowPositions kernel == HOF selection, including engineered ties and short docs") {
     // heavy tie mass: values drawn from a tiny domain so rightmost-tie
     // selection and selection-span dedup both get exercised. Empty
