@@ -466,8 +466,9 @@ object ExtraQueries {
     // ZOrder.bitsFor, so the two can never drift
     "q_zorder" -> {
       def bitsSql(m: String) =
-        "1 + " + (1 to 62).map(k => s"(CASE WHEN $m >= ${1L << k} THEN 1 ELSE 0 END)")
-          .mkString(" + ")
+        "LEAST(62, 1 + " +
+          (1 to 62).map(k => s"(CASE WHEN $m >= ${1L << k} THEN 1 ELSE 0 END)")
+            .mkString(" + ") + ")"
       // the lane CASE mirrors ZOrder.zindex exactly: narrow domains
       // left-aligned into the 16-bit lane, wide domains truncated to
       // their high 16 bits (integer //, never floating division)

@@ -30,9 +30,14 @@ object ZOrder {
 
   /** Bit width of a key domain: the smallest b with max < 2^b (integer
     * threshold comparisons only — a SQL oracle replays it exactly from
-    * `max(key)`, the autoPlanesPerTable pattern). */
+    * `max(key)`, the autoPlanesPerTable pattern). Clamped to 62 — a key
+    * at or past 2^62 would otherwise derive width 63, which `zindex`'s
+    * lane bound rejects (and whose `1 << 63` mirror overflows in the
+    * SQL oracle); for such keys the top lane bit is the sign-adjacent
+    * bit 61, losing nothing the 16-bit lane truncation wasn't already
+    * discarding. */
   def bitsFor(maxValue: Long): Int =
-    1 + (1 to 62).count(k => maxValue >= (1L << k))
+    math.min(62, 1 + (1 to 62).count(k => maxValue >= (1L << k)))
 
   /** Morton index of two keys, each mapped to its 16-bit lane by domain
     * width: narrow keys LEFT-ALIGNED (`(x mod 2^bits) << (16 − bits)`),

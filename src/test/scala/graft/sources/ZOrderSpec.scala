@@ -91,7 +91,9 @@ class ZOrderSpec extends SparkSuite {
     assert(ZOrder.bitsFor(0) == 1 && ZOrder.bitsFor(1) == 1 &&
       ZOrder.bitsFor(2) == 2 && ZOrder.bitsFor(999) == 10 &&
       ZOrder.bitsFor(19999) == 15 && ZOrder.bitsFor(1L << 40) == 41 &&
-      ZOrder.bitsFor(25020000L) == 25)
+      ZOrder.bitsFor(25020000L) == 25 &&
+      // clamp: >= 2^62 would derive 63, which zindex's lane bound rejects
+      ZOrder.bitsFor(Long.MaxValue) == 62 && ZOrder.bitsFor(1L << 62) == 62)
   }
 
   test("wide-domain keys keep high-bit locality: no low-16-bit wraparound") {

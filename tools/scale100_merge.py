@@ -4,7 +4,8 @@ key-strided headline sweep. Denominators come from the certified sf0.1
 bench (bench.json) with any newer subset-run files overriding (the
 analytics waves were measured idle at sf0.1 after the last certified run).
 
-Usage: scale100_merge.py <bench_100x.json> <out.json> [extra_sf01.json ...]
+Usage: scale100_merge.py <bench_100x.json> <out.json> [--bench bench.json]
+                         [--note text] [extra_sf01.json ...]
 """
 import json
 import sys
@@ -13,12 +14,35 @@ import sys
 def main(argv):
     hundred = json.load(open(argv[1]))
     out_path = argv[2]
-    base = json.load(open("bench.json"))
-    assert base.get("sf", "").endswith("sf0.1"), "bench.json is not an sf0.1 run"
+    args = argv[3:]
+    bench_path = "bench.json"
+    note_override = None
+    extras = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--bench":
+            bench_path = args[i + 1]
+            i += 2
+        elif args[i] == "--note":
+            note_override = args[i + 1]
+            i += 2
+        else:
+            extras.append(args[i])
+            i += 1
+    base = json.load(open(bench_path))
+    assert base.get("sf", "").endswith("sf0.1"), f"{bench_path} is not an sf0.1 run"
+    # numerator and denominator MUST share a force mode: count-forcing lets
+    # Catalyst prune projection-final work, so mixing modes corrupts ratios
+    assert hundred.get("force") == base.get("force"), (
+        f"force-mode mismatch: 100x={hundred.get('force')} "
+        f"bench={base.get('force')}")
     denom = dict(base["queries"])
-    for extra in argv[3:]:
+    for extra in extras:
         j = json.load(open(extra))
         if j.get("sf", "").endswith("sf0.1"):
+            assert j.get("force") == hundred.get("force"), (
+                f"force-mode mismatch: {extra}={j.get('force')} "
+                f"100x={hundred.get('force')}")
             denom.update(j["queries"])
     rows = {}
     for q, t100 in sorted(hundred["queries"].items()):
@@ -32,18 +56,17 @@ def main(argv):
             "sf10_sec": round(t100, 4),
             "ratio_vs_100x_data": round(t100 / d, 2) if has_denom and d > 0 else None,
         }
+    default_note = (
+        "100x scale step. ratio_vs_100x_data is wall-clock at 100x rows "
+        "over the certified sf0.1 wall-clock; 100.0 would be perfectly "
+        "linear scaling with zero parallel headroom — values far below "
+        "100 show the sf0.1 runs were dominated by fixed overhead and "
+        "the 32-core box only saturates at the larger scale.")
     doc = {
-        "note": ("100x scale step over the key-strided tables only "
-                 "(TPC-H facts + events; documents/embeddings excluded — "
-                 "the isomorphic-copy builders have 26/64 distinct images, "
-                 "see tools/make_scale10.py guards). ratio_vs_100x_data is "
-                 "wall-clock at 100x rows over the certified sf0.1 "
-                 "wall-clock; 100.0 would be perfectly linear scaling with "
-                 "zero parallel headroom — values far below 100 show the "
-                 "sf0.1 runs were dominated by fixed overhead and the "
-                 "32-core box only saturates at the larger scale."),
+        "note": note_override if note_override is not None else default_note,
         "dataset": hundred.get("sf"),
         "runs": hundred.get("runs"),
+        "force": hundred.get("force"),
         "errors": hundred.get("errors", {}),
         "queries": rows,
     }
@@ -51,9 +74,13 @@ def main(argv):
     rat = [r["ratio_vs_100x_data"] for r in rows.values()
            if r["ratio_vs_100x_data"] is not None]
     excluded = len(rows) - len(rat)
-    print(f"{len(rows)} queries, ratio min/median/max = "
-          f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}"
-          f" ({excluded} excluded: no sf0.1 denominator or denominator 0)")
+    if rat:
+        print(f"{len(rows)} queries, ratio min/median/max = "
+              f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}"
+              f" ({excluded} excluded: no sf0.1 denominator or denominator 0)")
+    else:
+        print(f"{len(rows)} queries, NO ratios computable (no sf0.1 "
+              f"denominators — wrong --bench file?)")
 
 
 if __name__ == "__main__":

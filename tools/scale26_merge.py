@@ -9,7 +9,7 @@ last certified run). Adjudicated entries (runs=3 re-measurements) override
 the sweep's runs=2 numbers and carry a note naming the adjudication.
 
 Usage: scale26_merge.py <sweep26.json> <out.json> [--adj adj26.json]
-                        [extra_sf01.json ...]
+                        [--bench bench.json] [extra_sf01.json ...]
 """
 import json
 import sys
@@ -22,22 +22,41 @@ def main(argv):
     adj = {}
     adj_runs = None
     extras = []
+    bench_path = "bench.json"
     i = 0
     while i < len(args):
         if args[i] == "--adj":
             j = json.load(open(args[i + 1]))
             adj = dict(j["queries"])
             adj_runs = j.get("runs")
+            # adjudication re-measurements feed the same ratio table as the
+            # sweep — a different force mode would corrupt exactly the rows
+            # that were singled out for scrutiny
+            assert j.get("force") == sweep.get("force"), (
+                f"force-mode mismatch: adj={j.get('force')} "
+                f"sweep={sweep.get('force')}")
+            i += 2
+        elif args[i] == "--bench":
+            bench_path = args[i + 1]
             i += 2
         else:
             extras.append(args[i])
             i += 1
-    base = json.load(open("bench.json"))
-    assert base.get("sf", "").endswith("sf0.1"), "bench.json is not an sf0.1 run"
+    base = json.load(open(bench_path))
+    assert base.get("sf", "").endswith("sf0.1"), f"{bench_path} is not an sf0.1 run"
+    # numerator and denominator MUST be measured under the same forcing:
+    # a count-forced denominator (Catalyst prunes projection-final work)
+    # against a noop-forced numerator silently corrupts every ratio
+    assert sweep.get("force") == base.get("force"), (
+        f"force-mode mismatch: sweep={sweep.get('force')} "
+        f"bench={base.get('force')}")
     denom = dict(base["queries"])
     for extra in extras:
         j = json.load(open(extra))
         if j.get("sf", "").endswith("sf0.1"):
+            assert j.get("force") == sweep.get("force"), (
+                f"force-mode mismatch: {extra}={j.get('force')} "
+                f"sweep={sweep.get('force')}")
             denom.update(j["queries"])
     rows = {}
     for q, t26 in sorted({**sweep["queries"], **adj}.items()):
@@ -62,6 +81,7 @@ def main(argv):
                  "with notes were re-measured at runs=3."),
         "dataset": sweep.get("sf"),
         "runs": sweep.get("runs"),
+        "force": sweep.get("force"),
         "errors": errors,
         "queries": rows,
     }
@@ -69,10 +89,15 @@ def main(argv):
     rat = [r["ratio_vs_26x_data"] for r in rows.values()
            if r["ratio_vs_26x_data"] is not None]
     excluded = len(rows) - len(rat)
-    print(f"{len(rows)} queries, ratio min/median/max = "
-          f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}"
-          f" ({excluded} excluded: no sf0.1 denominator or denominator 0); "
-          f"errors: {list(errors) or 'none'}")
+    if rat:
+        print(f"{len(rows)} queries, ratio min/median/max = "
+              f"{min(rat)}/{sorted(rat)[len(rat)//2]}/{max(rat)}"
+              f" ({excluded} excluded: no sf0.1 denominator or denominator 0); "
+              f"errors: {list(errors) or 'none'}")
+    else:
+        print(f"{len(rows)} queries, NO ratios computable (no sf0.1 "
+              f"denominators — wrong --bench file?); errors: "
+              f"{list(errors) or 'none'}")
 
 
 if __name__ == "__main__":
