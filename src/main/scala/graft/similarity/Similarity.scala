@@ -18,6 +18,14 @@ import graft.operators.Relational.roundp
   */
 object Similarity {
 
+  /** Default row gate for [[cosineNearDupPairsBlocked]]: 100k rows ≈ 5
+    * billion cosine evaluations, the edge of "verification baseline" —
+    * past it the exact O(n²) join is a cluster bill and the linear-scale
+    * formulations ([[semanticDedup]], [[cosineNearDupPairsLsh]]) are the
+    * tool. The 26× scale sweep (52k rows) runs under the gate by design;
+    * a 100× corpus (200k) trips it. */
+  val ExactPairMaxRows: Long = 100000L
+
   /** Σ aᵢbᵢ in double precision. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -262,8 +270,27 @@ object Similarity {
     * recall tuned to 1.0" is strictly worse than this exact formulation
     * there. */
   def cosineNearDupPairsBlocked(corpus: DataFrame, threshold: Double,
-                                blocks: Int = 16): DataFrame = {
+                                blocks: Int = 16,
+                                maxRows: Long = ExactPairMaxRows): DataFrame = {
     require(blocks >= 1, "blocks must be >= 1")
+    // SIZE GATE (the connectedComponents hybrid-gate pattern,
+    // Dedup.connectedComponents): the plan shape is clean, but the WORK is
+    // inherently n(n-1)/2 cosine evaluations — measured exactly linear in
+    // pair count (26x data = 26.2x wall, SCALE26_r14). Past the gate that
+    // is a cluster bill, not a query; refuse loudly and name the
+    // linear-scale formulations instead of silently burning the budget.
+    // One count() of the corpus — O(scan), negligible next to the join.
+    val n = corpus.count()
+    if (n > maxRows) throw new IllegalArgumentException(
+      f"cosineNearDupPairsBlocked: corpus has $n%d rows > maxRows=$maxRows%d. " +
+        f"The exact threshold join evaluates n(n-1)/2 ≈ ${n * (n - 1) / 2}%,d " +
+        "cosines — O(n²) work that no plan shape can remove. At corpus scale " +
+        "use Similarity.semanticDedup (IVF cell-confined, linear at fixed " +
+        "cell size) or Similarity.cosineNearDupPairsLsh (SRP-banded " +
+        "candidates + exact re-check, linear at fixed density); both were " +
+        "measured 3-8x-linear at 26x data where this baseline is exactly " +
+        "26x. Pass maxRows explicitly to opt in for verification or " +
+        "benchmark use at a known size.")
     val m = lit(blocks)
     val g = pmod(xxhash64(col("vec_id")), m).cast("int")
     val l = corpus.select(col("vec_id").as("l_id"), col("embedding").as("l_emb"), g.as("__i"))

@@ -43,6 +43,24 @@ class BlockedNearDupSpec extends SparkSuite {
     } finally e.unpersist()
   }
 
+  test("size gate: over-maxRows corpus refuses with a directed error naming the linear twins") {
+    val e = emb("sf0.001")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairsBlocked(e, 0.42, blocks = 8, maxRows = 10L)
+    }
+    // the error must ROUTE the caller: name both linear-scale formulations
+    // and the opt-in escape hatch
+    assert(ex.getMessage.contains("semanticDedup")
+      && ex.getMessage.contains("cosineNearDupPairsLsh")
+      && ex.getMessage.contains("maxRows"), ex.getMessage)
+    // explicit opt-in past the gate still computes (escape hatch works)
+    assert(Similarity.cosineNearDupPairsBlocked(e, 0.42, blocks = 8,
+      maxRows = Long.MaxValue).count() >= 0)
+    // the default gate admits every scale the artifacts certify (26x = 52k
+    // rows) — sf0.001 is far under it
+    assert(Similarity.cosineNearDupPairsBlocked(e, 0.42, blocks = 8).count() >= 0)
+  }
+
   test("blocked plan is an equi-join: no cartesian or nested-loop node") {
     val plan = Similarity.cosineNearDupPairsBlocked(emb("sf0.001"), 0.42, blocks = 8)
       .queryExecution.executedPlan.toString

@@ -1,23 +1,64 @@
 #!/usr/bin/env python3
-"""Build the 10x scale-step dataset (dev-side tool, like compare_oracle.py).
+"""Build the Nx scale-step dataset (dev-side tool, like compare_oracle.py).
 
 Writes /tmp/graft_sf1/{documents,embeddings}.parquet from sf0.1:
 
-- documents: 10 DISJOINT ISOMORPHIC copies. Each copy Caesar-rotates
-  letters (a-z and A-Z by the copy index), so per-copy word/shingle
-  STATISTICS are preserved exactly while the shingle universes are
-  disjoint across copies — candidate-pair volume in the dedup family
-  scales exactly linearly, the honest 10x for near-dup plans.
-- embeddings: per-copy circular dimension rotation (orthogonal map:
-  within-copy cosine/centroid structure preserved exactly; across
-  copies the vectors decorrelate), ids offset per copy.
+- documents: N DISJOINT ISOMORPHIC copies. Each copy applies a seeded
+  PSEUDO-RANDOM PERMUTATION of the letter alphabet (a-z, mirrored onto
+  A-Z; copy 0 is the identity). An injective character map preserves
+  per-copy word identity structure, word/shingle STATISTICS, and
+  n_chars exactly — the same invariants as the original Caesar
+  rotation — but the image space is 26! permutations instead of 26
+  rotations, so the builder is non-degenerate at ANY copy count
+  (r14's 26-copy ceiling was exactly the Caesar alphabet running
+  out). Cross-copy shingle universes are disjoint up to permutation
+  coincidences (a shingle collides across two copies only if the two
+  permutations agree on EVERY letter in it; random permutation pairs
+  agree on ~1 of 26 letters — Poisson(1) fixed points — so multi-
+  letter shingles essentially never collide), and a guard below
+  REFUSES to build if any two copies' permutations agree on more than
+  12 of 26 positions (P < 1e-9 per pair for honest PRNG output —
+  tripping it means the seeding is broken). Candidate-pair volume in
+  the dedup family therefore scales exactly linearly: the honest Nx
+  for near-dup plans.
+- embeddings: per-copy SIGNED PERMUTATION of the dimensions (seeded
+  Fisher-Yates order + seeded sign flips; copy 0 identity). A signed
+  permutation is orthogonal, so within-copy cosine/centroid structure
+  is preserved EXACTLY (the invariant the circular rotation gave),
+  while across copies vectors decorrelate like random sign patterns;
+  the image space is 2^dim * dim! instead of the rotation's dim
+  shifts, so >dim copies stay honest. Sign flips are pure negation
+  (sign-bit flip) — FLOAT values round-trip bit-exactly.
 
-Usage: python3 tools/make_scale10.py [sfDir] [outDir] [copies]
+Usage: python3 tools/make_scale10.py [sfDir] [outDir] [copies] [tables]
 """
+import random
 import string
 import sys
 
 import duckdb
+
+
+def letter_perm(copy_idx: int):
+    """Deterministic per-copy permutation of a-z (copy 0 = identity)."""
+    letters = list(string.ascii_lowercase)
+    if copy_idx == 0:
+        return letters
+    rng = random.Random(0xD0C5 + copy_idx)  # fixed app seed + copy index
+    rng.shuffle(letters)
+    return letters
+
+
+def signed_dim_perm(copy_idx: int, dim: int):
+    """Deterministic per-copy (order, signs) over dims (copy 0 = identity)."""
+    order = list(range(dim))
+    signs = [1] * dim
+    if copy_idx == 0:
+        return order, signs
+    rng = random.Random(0xE4B5 + copy_idx)
+    rng.shuffle(order)
+    signs = [rng.choice((1, -1)) for _ in range(dim)]
+    return order, signs
 
 
 def main(sf_dir: str, out_dir: str, copies: int, tables=None) -> None:
@@ -31,18 +72,26 @@ def main(sf_dir: str, out_dir: str, copies: int, tables=None) -> None:
     id_stride = 10 ** len(str(n_docs * 10))  # decimal stride keeps ids readable
 
     if want("documents"):
-        # the rotation trick has only 26 distinct images: beyond that,
-        # copies would literally repeat (real cross-copy duplicates), which
-        # silently inflates the dedup family's true-pair volume — refuse
-        # rather than build a dishonest dataset
-        assert copies <= 26, "documents: >26 copies repeat the Caesar alphabet"
+        # honesty guard, generalized from the Caesar <=26 ceiling: any two
+        # copies' alphabet permutations must be nearly disjoint as char
+        # maps, or cross-copy text would overlap (real duplicate content
+        # silently inflating the dedup family's true-pair volume). Random
+        # permutation pairs agree on Poisson(1) positions; >12 of 26 has
+        # P < 1e-9 per pair and means the seeding is degenerate — refuse.
+        perms = [letter_perm(c) for c in range(copies)]
+        for i in range(copies):
+            for j in range(i + 1, copies):
+                agree = sum(1 for a, b in zip(perms[i], perms[j]) if a == b)
+                assert agree <= 12, (
+                    f"documents: copies {i},{j} share {agree}/26 letter "
+                    "mappings — degenerate permutation seeding")
         lower = string.ascii_lowercase
         upper = string.ascii_uppercase
         doc_parts = []
         for c in range(copies):
-            rl = lower[c:] + lower[:c]
-            ru = upper[c:] + upper[:c]
-            # translate() with from/to alphabets = per-copy Caesar rotation
+            rl = "".join(perms[c])
+            ru = rl.upper()
+            # translate() with from/to alphabets = per-copy letter bijection
             doc_parts.append(
                 f"SELECT doc_id + {c * id_stride} AS doc_id, "
                 f"translate(text, '{lower + upper}', '{rl + ru}') AS text, "
@@ -52,15 +101,30 @@ def main(sf_dir: str, out_dir: str, copies: int, tables=None) -> None:
 
     dim = con.sql("SELECT len(embedding) FROM embs LIMIT 1").fetchone()[0]
     if want("embeddings"):
-        assert copies <= dim, "embeddings: >dim copies repeat the rotation"
+        # honesty guard: signed permutations must be pairwise distinct (two
+        # identical maps = literally duplicated vectors across copies)
+        sperms = [signed_dim_perm(c, dim) for c in range(copies)]
+        assert len({(tuple(o), tuple(s)) for o, s in sperms}) == copies, \
+            "embeddings: repeated signed dimension permutation across copies"
         emb_parts = []
         for c in range(copies):
-            rot = c % dim
+            order, signs = sperms[c]
+            # negation (sign-bit flip) keeps FLOAT bit-exact; list_value of
+            # FLOAT terms keeps FLOAT[] — asserted against the input schema
+            # after the write below
+            terms = ", ".join(
+                (f"embedding[{d + 1}]" if s == 1 else f"-embedding[{d + 1}]")
+                for d, s in zip(order, signs))
             emb_parts.append(
                 f"SELECT vec_id + {c * id_stride} AS vec_id, "
-                f"(embedding[{rot + 1}:{dim}] || embedding[1:{rot}]) AS embedding"
-                f", label FROM embs")
+                f"list_value({terms}) AS embedding, label FROM embs")
         con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)")
+        in_type = con.sql("SELECT typeof(embedding) FROM embs LIMIT 1").fetchone()[0]
+        out_type = con.sql(
+            f"SELECT typeof(embedding) FROM '{out_dir}/embeddings.parquet' LIMIT 1"
+        ).fetchone()[0]
+        assert out_type == in_type, (
+            f"embeddings: element type drifted {in_type} -> {out_type}")
 
     # events: 10 disjoint user populations with the SAME per-user event
     # streams and timeline (user/event ids offset per copy, ts unchanged) —
@@ -143,8 +207,8 @@ def main(sf_dir: str, out_dir: str, copies: int, tables=None) -> None:
         con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO "
                 f"'{out_dir}/lineitem.parquet' (FORMAT PARQUET)")
 
-    print(f"wrote {out_dir}: documents x{copies} (id stride {id_stride}), "
-          f"embeddings dim={dim} rotated per copy, "
+    print(f"wrote {out_dir}: documents x{copies} (letter-permuted, id stride "
+          f"{id_stride}), embeddings dim={dim} signed-permuted per copy, "
           f"events x{copies} (user stride {u_stride}), "
           f"tpch facts x{copies} (orderkey stride {so}), dims fixed")
 
