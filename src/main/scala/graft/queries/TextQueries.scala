@@ -884,21 +884,26 @@ object TextQueries {
 
     // PII redaction: the corpus carries no PII (word-salad synthetic), so
     // a deterministic fake email + phone is appended per document, then
-    // redacted back out — proving the redaction regexes (RE2-safe, no
-    // lookaround) against the oracle's independent regex engine. Pure
-    // per-row expressions fused into the scan.
+    // redacted back out — proving the redaction semantics against the
+    // oracle's independent regex engine. The counts + redaction run
+    // through the fused PiiScan kernel (one codegen'd struct per row,
+    // three linear passes) whose scanners are fuzz-pinned to the
+    // java.util.regex semantics of the composed TextAnalysis.redactPii /
+    // regexp_count formulation (PiiScanSpec) — the oracle SQL is
+    // untouched.
     "q_redact_pii" -> ((s, dir) => {
       val injected = concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
         lit(" call 555-867-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val scan = graft.functions.PiiScan(injected)
       Tables.widen(docs(s, dir)).select(
         col("doc_id"),
-        regexp_count(injected, lit(TextAnalysis.EmailPattern)).as("n_emails"),
-        regexp_count(injected, lit(TextAnalysis.PhoneBoundedPattern)).as("n_phones"),
-        md5(TextAnalysis.redactPii(injected)).as("redacted_md5"),
-        length(TextAnalysis.redactPii(injected)).as("redacted_len"))
+        scan.getField("n_emails").as("n_emails"),
+        scan.getField("n_phones").as("n_phones"),
+        md5(scan.getField("redacted")).as("redacted_md5"),
+        length(scan.getField("redacted")).as("redacted_len"))
     })
   )
 
