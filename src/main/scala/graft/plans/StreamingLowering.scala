@@ -361,20 +361,35 @@ object StreamingLowering {
       project(stamp, n, sum, mn, mx, fst, lst)
     }
 
+    // count/sum/countAndSum read only (n, sum): their hot loop skips the
+    // min/max/first/last lanes (project never looks at them) — the
+    // O(events × window) fromRange path is the single-threaded arithmetic
+    // floor of the slidingTime machine, so every per-element op counts.
+    // The lanes the name DOES read are computed identically to foldList.
+    private val leanLanes: Boolean =
+      name == "count" || name == "sum" || name == "countAndSum"
+
     private def foldRange(evs: Array[Event[Any]], isData: Array[Boolean],
                           vals: Array[Double], from: Int, until: Int): Option[Event[Any]] = {
       var n = 0L; var sum = 0.0
       var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
       var fst = 0.0; var lst = 0.0
       var i = from
-      while (i < until) {
-        if (isData(i)) {
-          val x = vals(i)
-          if (n == 0) fst = x
-          lst = x; n += 1; sum += x
-          mn = math.min(mn, x); mx = math.max(mx, x)
+      if (leanLanes) {
+        while (i < until) {
+          if (isData(i)) { n += 1; sum += vals(i) }
+          i += 1
         }
-        i += 1
+      } else {
+        while (i < until) {
+          if (isData(i)) {
+            val x = vals(i)
+            if (n == 0) fst = x
+            lst = x; n += 1; sum += x
+            mn = math.min(mn, x); mx = math.max(mx, x)
+          }
+          i += 1
+        }
       }
       project(if (from < until) evs(from).time else None, n, sum, mn, mx, fst, lst)
     }
@@ -591,11 +606,17 @@ object StreamingLowering {
       if (primOk) {
         var h = 0
         var idx = carried
+        // window-end boundary carried across windows: times ascend and
+        // end = times(h)+ms ascends with h, so each window's exclusive
+        // bound resumes where the previous one stopped — the boundary
+        // scan is O(n) total instead of O(n·window) (pure index logic,
+        // bit-identical emissions)
+        var upTo = 0
         while (idx < n) {
           val t = times(idx)
           while (h < idx && times(h) + msUs <= t) {
             val end = times(h) + msUs
-            var upTo = h
+            if (upTo < h) upTo = h
             while (upTo < idx && times(upTo) < end) upTo += 1
             emit.fromRange(evs, isData, vals, h, upTo).foreach(out += _)
             h += 1
