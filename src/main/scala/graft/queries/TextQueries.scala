@@ -870,7 +870,9 @@ object TextQueries {
     // canonical keeper. One explode + one map-side-combined hash
     // aggregate — exactly the exact-dedup plan, applied post-chunking.
     "q_chunk_dedup" -> ((s, dir) =>
-      docs(s, dir)
+      // widen BEFORE the CPU-bound tokenize+explode+md5: a compact 100×
+      // documents file is one scan partition, serializing the per-doc work
+      Tables.widen(docs(s, dir))
         .select(col("doc_id"),
           explode(TextAnalysis.tokenChunks(col("text"), window = 64, stride = 64)).as("c"))
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),

@@ -147,17 +147,19 @@ object Similarity {
     * NaN, keeping the shortlist ordering portable across engines. */
   def quantizedKnn(corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    def qnorm2(c: Column): Column =
-      aggregate(transform(c, x => x.cast("bigint") * x), lit(0L), (a, v) => a + v)
+    // integer self-dot / cross-dot via the codegen'd IntArrayDot kernel:
+    // the composed aggregate(zip_with(...)) fold evaluates interpreted per
+    // PAIR in the shortlist cross join (2M pairs × 64 dims at the 100×
+    // scale step read 87 s); integer addition is exact+associative, so the
+    // kernel is value-identical to the fold and the SQL oracle
+    def qnorm2(c: Column): Column = graft.functions.IntArrayDot(c, c)
     val qc = quantizeInt8(corpus, col("embedding"))
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("q").as("n_q"), qnorm2(col("q")).as("n_q2"))
     val qq = quantizeInt8(queries, col("embedding"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("q").as("q_q"), qnorm2(col("q")).as("q_q2"))
-    val qdot = aggregate(
-      zip_with(col("q_q"), col("n_q"), (x, y) => x.cast("bigint") * y),
-      lit(0L), (a, v) => a + v)
+    val qdot = graft.functions.IntArrayDot(col("q_q"), col("n_q"))
     val qcos = when(col("q_q2") === 0 || col("n_q2") === 0, lit(-2.0))
       .otherwise(qdot.cast("double") /
         (sqrt(col("q_q2").cast("double")) * sqrt(col("n_q2").cast("double"))))

@@ -112,10 +112,17 @@ object Dsir {
     * REVERTED: at sf0.1 the eager materialization costs 2.15 s where the
     * lazy double-explode costs 0.24 s (the q_pagerank/q_chisq persist
     * counter-result again — recompute beats materialization for cheap
-    * branches at this scale). At true 100 TB, where the explode
-    * dominates, a caller SHOULD persist `features(docs, buckets)` and
-    * feed [[modelFromFeatures]] + [[scoreFeaturesAgainst]] from it —
-    * that is exactly [[scoresPersisted]]. */
+    * branches at this scale). MEASURED CROSSOVER STATUS (r15): recompute
+    * still wins at 26× (20.5 s vs 28.3 s) AND at 100× data on 32 cores
+    * (24.6 s vs 28.9 s, SCALE100_r15, runs=3) — the PolyHash48-kernel'd
+    * recompute is cheaper than shuffling+spilling the exploded features
+    * at every scale measured so far. Persisting `features(docs, buckets)`
+    * into [[modelFromFeatures]] + [[scoreFeaturesAgainst]] (=
+    * [[scoresPersisted]]) becomes the right call only when the per-token
+    * feature pass is expensive relative to storage bandwidth (a real
+    * tokenizer, remote shuffle service, or reuse of the features across
+    * MANY queries) — not on the evidence so far for this corpus's
+    * hash-cheap features. */
   def scores(docs: DataFrame, targetLang: String, buckets: Int): DataFrame =
     scoreAgainst(docs, model(docs, targetLang, buckets), buckets)
 

@@ -5,7 +5,7 @@ bench (bench.json) with any newer subset-run files overriding (the
 analytics waves were measured idle at sf0.1 after the last certified run).
 
 Usage: scale100_merge.py <bench_100x.json> <out.json> [--bench bench.json]
-                         [--note text] [extra_sf01.json ...]
+                         [--adj adj100.json] [--note text] [extra_sf01.json ...]
 """
 import json
 import sys
@@ -17,11 +17,21 @@ def main(argv):
     args = argv[3:]
     bench_path = "bench.json"
     note_override = None
+    adj = {}
+    adj_runs = None
     extras = []
     i = 0
     while i < len(args):
         if args[i] == "--bench":
             bench_path = args[i + 1]
+            i += 2
+        elif args[i] == "--adj":
+            j = json.load(open(args[i + 1]))
+            adj = dict(j["queries"])
+            adj_runs = j.get("runs")
+            assert j.get("force") == hundred.get("force"), (
+                f"force-mode mismatch: adj={j.get('force')} "
+                f"100x={hundred.get('force')}")
             i += 2
         elif args[i] == "--note":
             note_override = args[i + 1]
@@ -45,7 +55,7 @@ def main(argv):
                 f"100x={hundred.get('force')}")
             denom.update(j["queries"])
     rows = {}
-    for q, t100 in sorted(hundred["queries"].items()):
+    for q, t100 in sorted({**hundred["queries"], **adj}.items()):
         d = denom.get(q)
         # explicit None/zero split: a 0.0 denominator is a real (too-fast-
         # to-time) measurement, not a missing one — report it, and mark
@@ -56,6 +66,8 @@ def main(argv):
             "sf10_sec": round(t100, 4),
             "ratio_vs_100x_data": round(t100 / d, 2) if has_denom and d > 0 else None,
         }
+        if q in adj:
+            rows[q]["note"] = f"re-measured at runs={adj_runs} (adjudication)"
     default_note = (
         "100x scale step. ratio_vs_100x_data is wall-clock at 100x rows "
         "over the certified sf0.1 wall-clock; 100.0 would be perfectly "
