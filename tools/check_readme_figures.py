@@ -59,8 +59,8 @@ def main():
     # figures the README actually carries; add a pattern when adding a
     # figure.
     QUERY_CLAIMS = [
-        # "... -> 38.6 s runs=3 (ratio 230 -> 20.35; SCALE26_r14)"
-        (r"q_streaming_slidingtime[^|]*?([0-9.]+)\s*s runs=3 \(ratio [0-9.]+ [^0-9]*?([0-9.]+); (SCALE26_r\d+)\)",
+        # "... -> 10.0 s runs=2 (ratio 230 -> 5.3; SCALE26_r15)"
+        (r"q_streaming_slidingtime[^|]*?([0-9.]+)\s*s runs=\d \(ratio [0-9.]+ [^0-9]*?([0-9.]+); (SCALE26_r\d+)\)",
          "q_streaming_slidingtime"),
     ]
     for pat, qname in QUERY_CLAIMS:
