@@ -32,10 +32,7 @@ object Dedup {
     * when the scan under-splits (a small file arrives as fewer partitions
     * than cores). At real scale the parquet scan is already split into
     * thousands of tasks and this is a no-op — no shuffle is added. */
-  private def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def widen(df: DataFrame): DataFrame = graft.core.Scans.widen(df)
 
   /** Exact duplicate groups by content hash: one hash aggregate, map-side
     * combined; the canonical keeper is the minimum id. */

@@ -205,7 +205,7 @@ object SimilarityQueries {
     // Order-sensitive rolling-hash fingerprint (xxhash64-based; the
     // oracle replays the fold in closed polynomial form).
     "q_rolling_fp" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+      graft.queries.Tables.widen(docs(s, dir)).select(col("doc_id"),
         TextAnalysis.rollingHashFingerprint(col("text")).as("fp"))),
 
     // Multimodal decode plumbing through the REAL netpbm decoder: each doc

@@ -258,8 +258,5 @@ object Tables {
     * paid once and amortized by the parallel map. No-op when the scan
     * already splits — at real scale (many files / large row groups) this
     * does nothing, exactly as a 1000-executor plan wants. */
-  def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  def widen(df: DataFrame): DataFrame = graft.core.Scans.widen(df)
 }

@@ -120,12 +120,12 @@ object TextQueries {
     // The corpus is touched exactly twice (freq table; per-doc word
     // explode + broadcast join) — the vocab-sized loop never scans docs.
     "q_bpe_trained" -> ((s, dir) => {
-      val words = docs(s, dir)
+      val words = Tables.widen(docs(s, dir))
         .select(explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
       val merges = graft.text.Bpe.train(s, words, nMerges = 8)
       val lens = graft.text.Bpe.wordTokenCounts(s, words.select("word"), merges)
-      docs(s, dir)
+      Tables.widen(docs(s, dir))
         .select(col("doc_id"), explode(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).as("word"))
         .join(broadcast(lens), "word")
         .groupBy("doc_id")
@@ -435,7 +435,7 @@ object TextQueries {
       val toks = TextAnalysis.tokens(col("text"))
       val total = greatest(size(toks) - 2, lit(0))
       val distinctN = size(Dedup.wordNgramHashes(col("text"), 3))
-      docs(s, dir).select(col("doc_id"),
+      Tables.widen(docs(s, dir)).select(col("doc_id"),
         total.as("n_ngrams"),
         when(total === 0, lit(0.0))
           .otherwise(roundp(lit(1.0) - distinctN.cast("double") / total, 4))
@@ -520,7 +520,14 @@ object TextQueries {
     // node); the model table joins back without a broadcast hint so
     // AQE picks broadcast only when the vocabulary fits.
     "q_bigram_quality" -> ((s, dir) => {
-      val bi = docs(s, dir)
+      // the bigram relation feeds FOUR consumers (vocab count, c2, c1,
+      // the final probe side); materializing it once via localCheckpoint
+      // was TRIED and REVERTED — at 26× the widened recompute reads
+      // 19.1 s where checkpoint+3 reads reads 24.6 s (35M string pairs
+      // cost more to serialize than to re-derive: the Dsir
+      // persist-vs-recompute counter-result again). The widen is what
+      // matters: tokenize+explode is the per-doc hot pass.
+      val bi = Tables.widen(docs(s, dir))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), explode(expr(
@@ -616,7 +623,13 @@ object TextQueries {
     // arithmetic end to end, so the oracle unrolls every epoch as CTEs
     // and must agree weight-for-weight and margin-for-margin.
     "q_perceptron" -> ((s, dir) => {
-      val f = graft.text.Perceptron.features(docs(s, dir))
+      // materialize the features ONCE: train() scans them per epoch and
+      // the margin projection scans them again — 6 passes total, each
+      // re-running the regex extraction if left lazy. The table is 7
+      // integers per document (doc_id, y, x0..x4), orders of magnitude
+      // smaller than the text it derives from — the persist-vs-recompute
+      // question answers itself here (unlike Dsir's exploded features).
+      val f = graft.text.Perceptron.features(docs(s, dir)).localCheckpoint()
       val w = graft.text.Perceptron.train(f, epochs = 5)
       f.select(col("doc_id"), col("y"),
           graft.text.Perceptron.margin(w).as("margin"))
@@ -670,7 +683,7 @@ object TextQueries {
     // pass — HOF lambdas have no cross-reference CSE, so an inline array
     // would recompute every gram hash per window element (O(m²) per doc)
     "q_winnowing" -> ((s, dir) =>
-      docs(s, dir)
+      Tables.widen(docs(s, dir))
         .withColumn("gh", Dedup.gramPolyHashes(col("text"), gram = 3))
         .withColumn("w", Dedup.winnowFromHashes(col("gh"), window = 4))
         .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.digest").as("digest"))),
@@ -855,7 +868,7 @@ object TextQueries {
     // overlap). Chunk slicing is pure column arithmetic fused into the
     // scan; the chunk content hash travels instead of the chunk text.
     "q_chunk" -> ((s, dir) =>
-      docs(s, dir)
+      Tables.widen(docs(s, dir))
         .select(col("doc_id"),
           explode(TextAnalysis.tokenChunks(col("text"), window = 64, stride = 48)).as("c"))
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),

@@ -42,7 +42,9 @@ object Bm25 {
     require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
     require(k > 0, s"k must be positive, got $k")
 
-    val base = docs.select(
+    // per-term tokenize+filter over every document is the CPU-bound pass:
+    // widen an under-parallel scan first (no-op at real scale)
+    val base = graft.core.Scans.widen(docs).select(
       (idCol.as("doc_id") +: size(TextAnalysis.tokens(textCol)).as("dl") +:
         queryTerms.zipWithIndex.map { case (t, i) =>
           size(filter(TextAnalysis.tokens(textCol), x => x === lit(t))).as(s"tf_$i")

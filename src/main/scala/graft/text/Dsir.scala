@@ -36,14 +36,23 @@ object Dsir {
 
   /** Unigram + bigram hashed-feature stream: one row per feature
     * occurrence, `(doc_id, lang, bucket)`. */
-  def features(docs: DataFrame, buckets: Int): DataFrame = {
+  def features(docs: DataFrame, buckets: Int,
+               widenScan: Boolean = true): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val bigrams = when(size(toks) >= 2,
       zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b))).otherwise(array())
-    docs.select(col("doc_id"), col("lang"),
+    // tokenize+bigram+hash is THE per-doc hot loop: widen an
+    // under-parallel scan first (no-op at real scale / on streams).
+    // `widenScan = false` is for callers whose input is genuinely small
+    // or already parallel — but measure before using it: at 26× data the
+    // chunk-replay micro-batches arrive as ONE partition each, and
+    // scoring them unwidened read 71.9 s vs 10.0 s widened (the exchange
+    // costs ~1 s per gate at toy scale — cheap insurance).
+    val src = if (widenScan) graft.core.Scans.widen(docs) else docs
+    src.select(col("doc_id"), col("lang"),
         explode(concat(toks, bigrams)).as("f"))
       .select(col("doc_id"), col("lang"),
         pmod(PortableHash.polyHash(col("f")), lit(buckets.toLong)).as("bucket"))
@@ -86,8 +95,9 @@ object Dsir {
     * document's own features and the model, so scoring distributes
     * trivially — including over streaming micro-batches against a static
     * model. */
-  def scoreAgainst(docs: DataFrame, lam: DataFrame, buckets: Int): DataFrame =
-    scoreFeaturesAgainst(docs, features(docs, buckets), lam)
+  def scoreAgainst(docs: DataFrame, lam: DataFrame, buckets: Int,
+                   widenScan: Boolean = true): DataFrame =
+    scoreFeaturesAgainst(docs, features(docs, buckets, widenScan), lam)
 
   /** [[scoreAgainst]] from an already-materialized [[features]] table of
     * the same `docs` (the persisted-explode path of [[scoresPersisted]]). */

@@ -29,7 +29,9 @@ object Perceptron {
     * {'the','a'} stopword count, space count) and a ±1 label from `lang`. */
   def features(docs: DataFrame): DataFrame = {
     val toks = expr("regexp_extract_all(text, '[a-z]+', 0)")
-    docs.select(
+    // the regex extraction is per-doc CPU-bound: widen an under-parallel
+    // scan first (no-op at real scale)
+    graft.core.Scans.widen(docs).select(
       col("doc_id"),
       when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
       lit(1L).as("x0"),
