@@ -534,9 +534,17 @@ object TextQueries {
           "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val headV = bi.select(col("w1")).distinct().count()
+      // c1 and headV DERIVE from c2 — c1(w1) = Σ_w2 c2(w1,w2) and headV =
+      // |distinct w1| = c2's group count by w1 — so the corpus is
+      // tokenized TWICE (c2 build + the final probe), not four times; c2
+      // is vocabulary-sized, so the derived aggregates are cheap. The
+      // localCheckpoint(c2) variant was measured and rejected (see the
+      // bigram-relation note above); this restructure removes the same
+      // recompute without materializing anything corpus-sized.
       val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        .localCheckpoint()
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val headV = c1.count()
       val model = c2.join(c1, "w1")
         .select(col("w1"), col("w2"),
           (log(col("c2") + 0.5) - log(col("c1") + lit(0.5 * headV.toDouble))).as("logp"))
