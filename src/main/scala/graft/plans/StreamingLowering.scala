@@ -606,16 +606,28 @@ object StreamingLowering {
       if (primOk) {
         var h = 0
         var idx = carried
-        // window-end boundary carried across windows: times ascend and
-        // end = times(h)+ms ascends with h, so each window's exclusive
-        // bound resumes where the previous one stopped — the boundary
-        // scan is O(n) total instead of O(n·window) (pure index logic,
-        // bit-identical emissions)
+        // window-end boundary carried across windows: when ends
+        // (= times(h)+ms) are non-decreasing in h — the sorted-batch
+        // common case — every index the scan has passed satisfied
+        // `times < end` against an end no larger than the current one,
+        // so the bound resumes where the previous window stopped and
+        // the scan is O(n) total instead of O(n·window). Late data
+        // across micro-batches makes the combined carried++batch array
+        // non-monotone (each batch is sorted, but a new batch can start
+        // earlier than carried state): there an end can REGRESS, and a
+        // resumed bound would overshoot — include events at/after the
+        // window end that the fallback path's first-stop takeWhile
+        // excludes. Detect the regression and restart the scan at h:
+        // first-stop semantics are restored exactly, still O(n) total
+        // for sorted input (regressions cost a local re-scan only).
         var upTo = 0
+        var prevEnd = Long.MinValue
         while (idx < n) {
           val t = times(idx)
           while (h < idx && times(h) + msUs <= t) {
             val end = times(h) + msUs
+            if (end < prevEnd) upTo = h
+            prevEnd = end
             if (upTo < h) upTo = h
             while (upTo < idx && times(upTo) < end) upTo += 1
             emit.fromRange(evs, isData, vals, h, upTo).foreach(out += _)

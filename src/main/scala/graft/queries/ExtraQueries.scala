@@ -463,7 +463,9 @@ object ExtraQueries {
   val oracles: Map[String, String] = Map(
     // every Morton bit replayed with integer //, %, << arithmetic; the
     // lane widths re-derived from max() by the same threshold sum as
-    // ZOrder.bitsFor, so the two can never drift
+    // ZOrder.bitsFor, so the two can never drift (bitsFor REFUSES
+    // domains >= 2^62 before any rows exist, so the LEAST(62, ·) here
+    // is identity on every domain the Spark side will actually index)
     "q_zorder" -> {
       def bitsSql(m: String) =
         "LEAST(62, 1 + " +

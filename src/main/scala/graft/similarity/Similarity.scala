@@ -281,7 +281,19 @@ object Similarity {
     // pair count (26x data = 26.2x wall, SCALE26_r14). Past the gate that
     // is a cluster bill, not a query; refuse loudly and name the
     // linear-scale formulations instead of silently burning the budget.
-    // One count() of the corpus — O(scan), negligible next to the join.
+    //
+    // The count() is EAGER — constructing this DataFrame (including
+    // explain-only / plan-inspection paths) launches one Spark job, and
+    // the corpus pipeline is evaluated TWICE (count here, again in the
+    // join). For a parquet-backed corpus the count is footer-metadata
+    // cheap and the double evaluation is two cheap scans; for an
+    // expensive uncached upstream, persist the corpus first — which a
+    // caller inside the gate wants anyway, since the join reads it from
+    // both sides. A non-deterministic upstream can also make the counted
+    // n differ from the rows the join sees: the gate is an admission
+    // check on the expected corpus size, not a row-exact invariant, and
+    // a caller with such an upstream must materialize it first for the
+    // RESULT to be well-defined, gate or no gate.
     val n = corpus.count()
     if (n > maxRows) throw new IllegalArgumentException(
       f"cosineNearDupPairsBlocked: corpus has $n%d rows > maxRows=$maxRows%d. " +

@@ -30,14 +30,26 @@ object ZOrder {
 
   /** Bit width of a key domain: the smallest b with max < 2^b (integer
     * threshold comparisons only — a SQL oracle replays it exactly from
-    * `max(key)`, the autoPlanesPerTable pattern). Clamped to 62 — a key
-    * at or past 2^62 would otherwise derive width 63, which `zindex`'s
-    * lane bound rejects (and whose `1 << 63` mirror overflows in the
-    * SQL oracle); for such keys the top lane bit is the sign-adjacent
-    * bit 61, losing nothing the 16-bit lane truncation wasn't already
-    * discarding. */
-  def bitsFor(maxValue: Long): Int =
-    math.min(62, 1 + (1 to 62).count(k => maxValue >= (1L << k)))
+    * `max(key)`, the autoPlanesPerTable pattern). Domains at or past
+    * 2^62 are REFUSED loudly: they would derive width 63, and `lane`'s
+    * `pmod(key, 2^62)` under a silent clamp discards the key's TOP bit
+    * — a key 2^62+k would cluster next to k, exactly the wraparound
+    * failure the high-bit lane design exists to prevent (a clamp loses
+    * the HIGH bit; the 16-bit lane truncation only ever discards LOW
+    * bits — not the same thing). Keys that wide in practice are hash
+    * values, which carry no footer locality to preserve anyway; rescale
+    * the key into a ≤61-bit domain (e.g. `shiftright(key, 2)` for a
+    * dense wide domain) before clustering. */
+  def bitsFor(maxValue: Long): Int = {
+    if (maxValue >= (1L << 62))
+      throw new IllegalArgumentException(
+        s"ZOrder.bitsFor: key domain max $maxValue >= 2^62. A 63-bit lane would " +
+          "silently wrap the key's top bit (destroying the high-bit locality the " +
+          "curve exists for) and its 1<<63 mirror overflows in the SQL oracle. " +
+          "Full-width keys are hash-shaped and carry no locality to cluster by; " +
+          "rescale the key into a <= 61-bit domain (e.g. shiftright(key, 2)) first.")
+    1 + (1 to 62).count(k => maxValue >= (1L << k))
+  }
 
   /** Morton index of two keys, each mapped to its 16-bit lane by domain
     * width: narrow keys LEFT-ALIGNED (`(x mod 2^bits) << (16 − bits)`),

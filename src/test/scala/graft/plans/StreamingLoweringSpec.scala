@@ -431,6 +431,48 @@ class StreamingLoweringSpec extends SparkSuite {
     }
   }
 
+  test("slidingTime carried bound survives end regression from cross-batch late data") {
+    // Batch 2 opens with an event EARLIER than the carried state (late
+    // data across micro-batches): the combined carried++batch array is
+    // non-monotone, so when the late event's window closes its end
+    // (500+2000=2500) REGRESSES below the previous window's (103000).
+    // The carried scan bound must restart at the window head, or the
+    // emitted window would include events at/after its end (here 5000).
+    // The non-Double queue path's first-stop takeWhile defines the
+    // contract; the primitive-array fast path must match it exactly.
+    def windows(tag: String, toPayload: Double => Any,
+                fromPayload: Any => Double): List[(Long, String)] = {
+      val raw = twoBatchSource(
+        Seq(0L, 1000L, 2000L, 100000L, 101000L).map(ms => (t(ms), ms / 1000.0)),
+        Seq(500L, 5000L, 103000L).map(ms => (t(ms), ms / 1000.0)))
+      val src: Dataset[Event[Any]] = raw.map(e => Event(e.time,
+        e.value.map(v => toPayload(v.asInstanceOf[Double]))))(Encoders.kryo[Event[Any]])
+      val g = StreamGraph.path(Seq(
+        StreamVertex(0, OpSource(1), Nil, "Double", "Double", 1),
+        StreamVertex(1, OpWindow, List(Param("slidingTime 2000", null)), "Double", "[Double]", 1),
+        StreamVertex(2, OpSink, Nil, "[Double]", "[Double]", 1)))
+      val lowered = StreamingLowering.lower(spark, g, Map(0 -> src))(2)
+      val qn = s"slower_latereg_$tag"
+      val q = lowered.map(e => (e.time.get.getTime,
+          e.value.get.asInstanceOf[List[Any]].map(fromPayload).mkString(",")))
+        .toDF("ts", "w")
+        .writeStream.format("memory").queryName(qn).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(qn).collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    }
+    // window = prefix of the pending queue with time < head.time+ms (the
+    // queue is arrival-ordered, not time-ordered, under late data)
+    val expected = List(
+      (0L, "0.0,1.0"), (1000L, "1.0,2.0"), (2000L, "2.0"),
+      (500L, "0.5"), (5000L, "5.0"),
+      (100000L, "100.0,101.0,0.5,5.0"), (101000L, "101.0,0.5,5.0")).sorted
+    val fallback = windows("fb", v => v.toString: Any,
+      v => v.asInstanceOf[String].toDouble)
+    assert(fallback == expected, s"queue-path contract: $fallback")
+    val fast = windows("fast", identity, _.asInstanceOf[Double])
+    assert(fast == expected, s"carried-bound path diverged under regression: $fast")
+  }
+
   test("generic window fallback bounds its buffered prefix") {
     val anyMaker = (s: List[Event[Any]]) => List(s)
     val src = twoBatchSource(

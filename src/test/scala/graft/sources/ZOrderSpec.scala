@@ -92,8 +92,13 @@ class ZOrderSpec extends SparkSuite {
       ZOrder.bitsFor(2) == 2 && ZOrder.bitsFor(999) == 10 &&
       ZOrder.bitsFor(19999) == 15 && ZOrder.bitsFor(1L << 40) == 41 &&
       ZOrder.bitsFor(25020000L) == 25 &&
-      // clamp: >= 2^62 would derive 63, which zindex's lane bound rejects
-      ZOrder.bitsFor(Long.MaxValue) == 62 && ZOrder.bitsFor(1L << 62) == 62)
+      ZOrder.bitsFor((1L << 62) - 1) == 62)
+    // >= 2^62 is REFUSED, not clamped: a clamp would pmod away the key's
+    // TOP bit (2^62+k clustering next to k — silent wraparound)
+    for (bad <- Seq(1L << 62, Long.MaxValue)) {
+      val e = intercept[IllegalArgumentException] { ZOrder.bitsFor(bad) }
+      assert(e.getMessage.contains("2^62") && e.getMessage.contains("rescale"))
+    }
   }
 
   test("wide-domain keys keep high-bit locality: no low-16-bit wraparound") {
