@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    SPARK_GRAFT_MAX_EXT_CPUS (default 2.0) before timing each query.
   *  - The JSON carries per-query "loads" (1-min loadavg) and "ext_cpus"
   *    (other-process busy cores at gate time), plus "io_probe_ms" (mean
-  *    4KiB write+fsync latency in the cwd) so environment skew is
+  *    4KiB write+fsync latency in the cwd) and "cpu_probe_ms" (a fixed
+  *    single-thread integer-mix loop — the epoch's serial CPU speed, for
+  *    normalizing totals across host epochs) so environment skew is
   *    machine-detectable next to the numbers it would distort.
   */
 object Bench {
@@ -96,6 +98,36 @@ object Bench {
       math.rint(dt * 1000) / 1000
     } catch { case _: Throwable => -1.0 }
     val ioProbe = ioProbeMs()
+    // CPU calibration probe: a fixed single-thread 64-bit mix loop (the
+    // xxhash/murmur finalizer constants) over a constant iteration count —
+    // pure register arithmetic, no allocation, no IO. Cross-EPOCH bench
+    // totals drift ±20-30% with zero code change (hypervisor steal /
+    // frequency policy, NOTES rounds 14-15), and every round re-litigated
+    // whether a total moved; the probe pins the epoch's single-thread
+    // speed next to the numbers it scales, so two artifacts can be
+    // compared as total × (probe_ref / probe_run). Min of 3 runs — the
+    // least-interrupted sample is the machine's actual speed.
+    def cpuProbeMs(iters: Int = 50000000): Double = try {
+      def once(): Double = {
+        var h = 0x9E3779B97F4A7C15L
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < iters) {
+          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+          h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+          h ^= i
+          i += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e6
+        // the result must escape or the JIT deletes the loop
+        if (h == 42L) System.err.print("")
+        dt
+      }
+      once() // warmup: first run pays C2 compilation of the loop itself
+      val best = (1 to 3).map(_ => once()).min
+      math.rint(best * 1000) / 1000
+    } catch { case _: Throwable => -1.0 }
+    val cpuProbe = cpuProbeMs()
     val spark = graft.streaming.StateStores.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -264,7 +296,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val loadAfter = loadAvg()
     val cpusAvail = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"force":"$force","load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"force":"$force","load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"cpu_probe_ms":$cpuProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
     println(line)
     // also land the line on disk: log-capture pipelines truncate long stdout
     // lines (BENCH_r06 lost half its per-query numbers that way); the file

@@ -57,6 +57,15 @@ object StreamQueries {
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination()
+    // SPARK_GRAFT_STREAM_DEBUG=1: per-micro-batch duration breakdown on
+    // stderr (queryPlanning / addBatch / walCommit / ...) — the replay
+    // floor is scheduling overhead, and this is how it gets attributed
+    // before anyone tunes anything (see NOTES round 16)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream-debug] $tmpPrefix batch=${p.batchId} " +
+          s"rows=${p.numInputRows} durationMs=${p.durationMs}")
+      }
     s.read.parquet(s"$tmp/result")
   }
 

@@ -90,8 +90,20 @@ object Tables {
     * quantiles, so chunks are time-contiguous: a later file never carries
     * an earlier event than a prior file, the contract a replayed ordered
     * stream must keep. Built once per `sfDir` (cached; dir reaped at JVM
-    * exit). */
-  def streamEventsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+    * exit).
+    *
+    * Default nChunks = 2, the MINIMUM that exercises cross-batch carry
+    * (one boundary every stateful operator's state must survive; the
+    * flush-sentinel variant appends a third batch). It was 4 through
+    * round 15: the extra boundaries re-proved the same carry property
+    * while each extra micro-batch charged every streaming gate ~200 ms
+    * of fixed trigger overhead (offset WAL + commit log + source listing
+    * + re-planning — measured via SPARK_GRAFT_STREAM_DEBUG, constant on
+    * tmpfs checkpoints, so it is framework floor, not IO). At 38 gates x
+    * 3 bench runs that duplication was ~25% of the streaming tier's
+    * wall. ChunkReplaySpec pins the >= 2 data-micro-batch contract so
+    * the default can never silently collapse to a single batch. */
+  def streamEventsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 2): DataFrame = {
     val (dir, schema) = chunkedEventsDir(spark, sfDir, nChunks)
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
   }
@@ -138,7 +150,7 @@ object Tables {
     * copy; FileStreamSource follows link mtimes), the sentinel file's
     * mtime is set after all of them. */
   def streamEventsChunkedWithFlush(spark: SparkSession, sfDir: String,
-      nChunks: Int = 4): DataFrame = {
+      nChunks: Int = 2): DataFrame = {
     val (dir, schema) = flushChunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
       val (baseDir, sch) = chunkedEventsDir(spark, sfDir, nChunks)
       val d = graft.core.TempDirs.create("graft_events_flush_")
@@ -189,7 +201,7 @@ object Tables {
     * [[streamEventsChunked]] (same mtime-ordering and caching contract),
     * used by gates that must prove a summary/state merges correctly
     * across micro-batch increments rather than in one big batch. */
-  def streamDocsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 4): DataFrame = {
+  def streamDocsChunked(spark: SparkSession, sfDir: String, nChunks: Int = 2): DataFrame = {
     val (dir, schema) = docsChunkedCache.computeIfAbsent(s"$sfDir#$nChunks", { _ =>
       writeChunkedReplay(table(spark, sfDir, "documents"), "doc_id", nChunks,
         "graft_docs_chunks_")

@@ -18,9 +18,10 @@ import graft.operators.Relational.roundp
   *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl/avgdl))
   *
   * Scale shape — this is the ad-hoc-query plan, not an index build:
-  * per-term tf and dl are pure codegen'd array expressions fused into the
-  * scan (no explode: a Q-term query adds Q array-filter passes per row,
-  * not |doc| shuffle rows); corpus stats (N, avgdl, per-term df) are ONE
+  * per-term tf and dl come from ONE codegen'd pass fused into the scan
+  * ([[graft.functions.TermTfs]] — no explode: a Q-term query costs one
+  * tokenize + one counting walk per row, not Q filter passes and not
+  * |doc| shuffle rows); corpus stats (N, avgdl, per-term df) are ONE
   * map-side-combined aggregate producing ONE row, crossJoined back as a
   * broadcast (whitelisted in PlanAuditSpec — the q_tfidf pattern); the
   * final top-k is an ordered limit (TakeOrdered — no global sort, no
@@ -42,13 +43,22 @@ object Bm25 {
     require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
     require(k > 0, s"k must be positive, got $k")
 
-    // per-term tokenize+filter over every document is the CPU-bound pass:
-    // widen an under-parallel scan first (no-op at real scale)
-    val base = graft.core.Scans.widen(docs).select(
-      (idCol.as("doc_id") +: size(TextAnalysis.tokens(textCol)).as("dl") +:
-        queryTerms.zipWithIndex.map { case (t, i) =>
-          size(filter(TextAnalysis.tokens(textCol), x => x === lit(t))).as(s"tf_$i")
-        }): _*)
+    // ONE tokenize + ONE counting pass per document (graft.functions
+    // .TermTfs: [dl, tf_0..tf_{Q-1}] from the token array) — the former
+    // composed form ran Q+1 interpreted HOF trees per row, each
+    // re-splitting the text (codegen CSE does not reach across
+    // interpreted lambdas; 26x measured 10.9x, the per-doc super-linear
+    // signature). The kernel lands in its OWN projection and dl/tf_i
+    // are element extractions of that alias in a second one:
+    // CollapseProject refuses to inline a non-cheap alias referenced
+    // more than once, so the array materializes exactly once per row
+    // (Bm25KernelSpec pins one term_tfs instance in the optimized plan).
+    val tfsArr = graft.functions.TermTfs(TextAnalysis.tokens(textCol), queryTerms)
+    val base = graft.core.Scans.widen(docs)
+      .select(idCol.as("doc_id"), tfsArr.as("__tfs"))
+      .select(
+        (col("doc_id") +: col("__tfs").getItem(0).as("dl") +:
+          queryTerms.indices.map(i => col("__tfs").getItem(i + 1).as(s"tf_$i"))): _*)
 
     // ONE corpus-stats row. avgdl is an exact long sum divided once —
     // never avg(): engines disagree on incremental double accumulation,

@@ -54,6 +54,15 @@ def main(argv):
                 f"force-mode mismatch: {extra}={j.get('force')} "
                 f"100x={hundred.get('force')}")
             denom.update(j["queries"])
+    # CPU-drift normalization (round 16): when both artifacts carry
+    # cpu_probe_ms (Bench's fixed single-thread mix loop), their quotient
+    # is the epochs' serial-speed ratio — uniform host drift divided out
+    # of every ratio as ratio_cpuadj (see scale26_merge.py).
+    cpu_drift = None
+    sp, bp = hundred.get("cpu_probe_ms"), base.get("cpu_probe_ms")
+    if isinstance(sp, (int, float)) and isinstance(bp, (int, float)) \
+            and sp > 0 and bp > 0:
+        cpu_drift = round(sp / bp, 4)
     rows = {}
     for q, t100 in sorted({**hundred["queries"], **adj}.items()):
         d = denom.get(q)
@@ -66,6 +75,8 @@ def main(argv):
             "sf10_sec": round(t100, 4),
             "ratio_vs_100x_data": round(t100 / d, 2) if has_denom and d > 0 else None,
         }
+        if cpu_drift and rows[q]["ratio_vs_100x_data"] is not None:
+            rows[q]["ratio_cpuadj"] = round(t100 / d / cpu_drift, 2)
         if q in adj:
             rows[q]["note"] = f"re-measured at runs={adj_runs} (adjudication)"
     default_note = (
@@ -79,6 +90,7 @@ def main(argv):
         "dataset": hundred.get("sf"),
         "runs": hundred.get("runs"),
         "force": hundred.get("force"),
+        "cpu_drift_vs_bench": cpu_drift,
         "errors": hundred.get("errors", {}),
         "queries": rows,
     }

@@ -58,6 +58,17 @@ def main(argv):
                 f"force-mode mismatch: {extra}={j.get('force')} "
                 f"sweep={sweep.get('force')}")
             denom.update(j["queries"])
+    # CPU-drift normalization (round 16): when both the sweep and the
+    # denominator bench carry cpu_probe_ms (the fixed single-thread mix
+    # loop Bench records per run), their quotient is the epochs' serial
+    # speed ratio — host drift that inflates/deflates every wall number
+    # uniformly. ratio_cpuadj divides it out so cross-epoch ratios stop
+    # being re-litigated by hand (NOTES rounds 14-15).
+    cpu_drift = None
+    sp, bp = sweep.get("cpu_probe_ms"), base.get("cpu_probe_ms")
+    if isinstance(sp, (int, float)) and isinstance(bp, (int, float)) \
+            and sp > 0 and bp > 0:
+        cpu_drift = round(sp / bp, 4)
     rows = {}
     for q, t26 in sorted({**sweep["queries"], **adj}.items()):
         d = denom.get(q)
@@ -67,6 +78,8 @@ def main(argv):
             "sf26_sec": round(t26, 4),
             "ratio_vs_26x_data": round(t26 / d, 2) if has_denom and d > 0 else None,
         }
+        if cpu_drift and row["ratio_vs_26x_data"] is not None:
+            row["ratio_cpuadj"] = round(t26 / d / cpu_drift, 2)
         if q in adj:
             row["note"] = f"re-measured at runs={adj_runs} (adjudication)"
         rows[q] = row
@@ -82,6 +95,7 @@ def main(argv):
         "dataset": sweep.get("sf"),
         "runs": sweep.get("runs"),
         "force": sweep.get("force"),
+        "cpu_drift_vs_bench": cpu_drift,
         "errors": errors,
         "queries": rows,
     }
