@@ -46,7 +46,6 @@ object Ivf {
     * shuffle regardless of corpus size. */
   def lloydStep(corpus: DataFrame, embCol: String,
                 centroids: Array[Array[Double]]): Array[Array[Double]] = {
-    val dims = centroids.head.length
     // degenerate inputs follow cellOf/NearestCell's tolerance instead of
     // crashing after a full corpus scan: null vectors don't vote (their
     // cell is null), dimensions past the codebook width are ignored (the
@@ -54,15 +53,37 @@ object Ivf {
     // votes — empty cell OR every member shorter than `dim` — keeps the
     // previous centroid's coordinate, the per-dimension form of the
     // standard empty-cell keep rule
-    val means = corpus
+    val means = lloydMeans(corpus, embCol, centroids).collect()
+    val byCell = means.groupBy(_.getInt(0))
+    centroidsFromMeans(centroids, byCell)
+  }
+
+  /** The per-(cell, dim) rounded means of one Lloyd step, as a plan.
+    *
+    * The cell assignment sits in its OWN select BELOW the explode:
+    * combining `select(cellOf(...), posexplode(...))` plants the
+    * Generate UNDER the projection (the analyzer's ExtractGenerator
+    * shape), so the k·d-multiply [[graft.functions.NearestCell]] kernel
+    * ran once per EXPLODED row — d× the work, and the real cause of the
+    * "Lloyd scheduling floor" (measured 5.0 s vs 0.55 s per step at the
+    * 26× scale step; q_kmeans 11 s → ~2 s). Split, the alias survives
+    * as a plain attribute above the Generate and the kernel runs once
+    * per vector — `LloydPlanShapeSpec` pins the kernel below the
+    * Generate so a refactor can't silently reintroduce the d×. */
+  private[graft] def lloydMeans(corpus: DataFrame, embCol: String,
+                                centroids: Array[Array[Double]]): DataFrame = {
+    val dims = centroids.head.length
+    corpus
       .filter(col(embCol).isNotNull)
-      .select(cellOf(col(embCol), centroids).as("cell"),
-        posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(cellOf(col(embCol), centroids).as("cell"), col(embCol))
+      .select(col("cell"), posexplode(col(embCol)).as(Seq("dim", "x")))
       .filter(col("dim") < dims && col("x").isNotNull)
       .groupBy(col("cell"), col("dim"))
       .agg(Relational.roundp(avg(col("x").cast("double")), 6).as("m"))
-      .collect()
-    val byCell = means.groupBy(_.getInt(0))
+  }
+
+  private def centroidsFromMeans(centroids: Array[Array[Double]],
+      byCell: Map[Int, Array[org.apache.spark.sql.Row]]): Array[Array[Double]] = {
     centroids.indices.map { c =>
       byCell.get(c) match {
         case Some(rows) =>
