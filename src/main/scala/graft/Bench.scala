@@ -141,6 +141,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.streaming.StreamDebug.installIfRequested(spark)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // untimed warmup: JIT/codegen + parquet reader init, so the first timed
