@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Assemble SCALE26_r{N}.json: per-query sf0.1 → 26x ratios for the
 full-surface isomorphic-copy sweep (tools/make_scale10.py with 26 copies —
-the Caesar-alphabet honesty ceiling for documents).
+built with the non-degenerate permutation builders).
 
 Denominators come from the certified sf0.1 bench (bench.json), with any
 newer sf0.1 subset-run files overriding (new queries measured after the
@@ -86,7 +86,8 @@ def main(argv):
     errors = dict(sweep.get("errors", {}))
     doc = {
         "note": ("Full-surface 26x scale step (26 isomorphic copies of ALL "
-                 "tables - the Caesar-alphabet honesty ceiling for documents). "
+                 "tables via the non-degenerate letter-permutation / "
+                 "signed-dimension-permutation builders, tools/make_scale10.py). "
                  "ratio_vs_26x_data = wall-clock at 26x rows over the "
                  "certified sf0.1 wall-clock; 26.0 = perfectly linear with "
                  "zero parallel headroom, values below show sf0.1 fixed "
