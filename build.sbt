@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Keep any override UNDER 32g: at -Xmx32g the JVM disables compressed
+  // oops (the ~30.5 GiB cliff) and pointer-heavy operators measured
+  // 2-3x slower on identical data (q_dedup_groups 15->30s, q_dsir
+  // 10->22s at the 100x scale step, runs=3 each side). 24g cleared the
+  // 100x sweep's heap OOM with full speed. Same rule as production
+  // executor sizing: scale out, not past the oops boundary.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -138,7 +138,32 @@ object Bench {
       // shuffle/spill on the same tmpfs-first scratch as checkpoints: host
       // disk latency must not leak into query timings (see TempDirs)
       .config("spark.local.dir", graft.core.TempDirs.sparkLocalDir())
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      // ui.enabled=false does NOT stop the in-memory status stores:
+      // AppStatusListener and SQLAppStatusListener retain up to 1000
+      // executions/jobs/stages of metrics + full SparkPlanInfo trees by
+      // default. Over a multi-hundred-run bench session that is old-gen
+      // ballast that grows with every query run — measured at the 100x
+      // scale step as graded inflation of heavy entries with co-resident
+      // query count (q_dsir 11.0s isolated, 13.6s in a 5-query run,
+      // 19.5s in a 19-query run, runs=3 each). Keep only what the
+      // current query needs.
+      // The janino codegen cache holds 100 compiled units by default; a
+      // multi-query pass generates far more (each query contributes 5-15
+      // WholeStageCodegen/expression units), so round-robin passes evict
+      // and recompile EVERY unit inside every timed run — and the freshly
+      // loaded classes run interpreted until the JIT re-warms them. The
+      // thrash is invisible on small subsets (under ~100 units) and grows
+      // with co-resident query count — the graded heavy-query inflation
+      // measured at the 100x step (q_dsir 11s isolated vs 18-19s in a
+      // 19-query run). Size the cache to the whole surface.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.ui.retainedJobs", "20")
+      .config("spark.ui.retainedStages", "20")
+      .config("spark.ui.retainedTasks", "200")
+      .config("spark.ui.retainedDeadExecutors", "1")
+      .config("spark.appStateStore.asyncTracking.enable", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.streaming.StreamDebug.installIfRequested(spark)
@@ -224,6 +249,17 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop per-query persists between runs
+      // localCheckpoint blocks and broadcasts are NOT in the SQL cache: in
+      // a long-lived multi-query JVM they accumulate in storage memory (on
+      // a large heap GC is too rare for ContextCleaner to keep up) and
+      // squeeze execution memory for later queries — measured at the 100x
+      // scale step as 1.5-2x inflation of heavy entries in a 19-query
+      // subset run vs the same queries isolated (q_dsir 17.2s vs 10.2s,
+      // runs=3 both). Drop them eagerly, then nudge the cleaner so
+      // unreachable broadcast blocks go too. Runs AFTER the timing
+      // capture — it costs session wall, never measured time.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       dt
     }
     def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
