@@ -158,12 +158,12 @@ object Bench {
       // measured at the 100x step (q_dsir 11s isolated vs 18-19s in a
       // 19-query run). Size the cache to the whole surface.
       .config("spark.sql.codegen.cache.maxEntries", "4000")
-      .config("spark.sql.ui.retainedExecutions", "2")
-      .config("spark.ui.retainedJobs", "20")
-      .config("spark.ui.retainedStages", "20")
-      .config("spark.ui.retainedTasks", "200")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .config("spark.ui.retainedDeadExecutors", "1")
-      .config("spark.appStateStore.asyncTracking.enable", "false"))
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.streaming.StreamDebug.installIfRequested(spark)
