@@ -174,6 +174,11 @@ object Bench {
     try selected.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // same post-run sweep as timeOnce: warmup localCheckpoint blocks would
+    // otherwise ride as storage-memory ballast into the first timed sample
+    // of pass 1 — the exact contamination the per-run sweep exists to remove
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    System.gc()
     // Prior-round per-query medians: the reference point for the load-retry
     // below. Two consecutive rounds shipped ambiguous numbers because
     // co-tenant load inflated a handful of queries 2-5x with zero code
@@ -259,6 +264,9 @@ object Bench {
       // unreachable broadcast blocks go too. Runs AFTER the timing
       // capture — it costs session wall, never measured time.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // outside measured time, so the wall cost is session-only; silently a
+      // no-op under -XX:+DisableExplicitGC (acceptable — the sweep above
+      // already released the references, gc just accelerates reclamation)
       System.gc()
       dt
     }
@@ -333,7 +341,15 @@ object Bench {
     val total = ok.map(_._2).sum
     val loadAfter = loadAvg()
     val cpusAvail = Runtime.getRuntime.availableProcessors()
-    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"force":"$force","load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"cpu_probe_ms":$cpuProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
+    // harness epoch fingerprint: the r16 harness diverges from Spark
+    // defaults (codegen cache 4000 vs 100, status-store retention capped,
+    // per-run persist sweep) in ways proven to change heavy-query timings
+    // 1.5-2x, so artifacts are only comparable WITHIN an epoch; the field
+    // makes pre-/post-fix artifacts machine-distinguishable, same as
+    // force/sf/runs/probes. Bump the suffix on any future timing-relevant
+    // harness change.
+    val harness = "thrashfree-v1"
+    val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"force":"$force","harness":"$harness","load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"cpu_probe_ms":$cpuProbe,"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
     println(line)
     // also land the line on disk: log-capture pipelines truncate long stdout
     // lines (BENCH_r06 lost half its per-query numbers that way); the file

@@ -22,7 +22,19 @@ object Verify {
       // shuffle/spill on the same tmpfs-first scratch as checkpoints (see
       // TempDirs): identical policy to Bench so the two surfaces agree
       .config("spark.local.dir", graft.core.TempDirs.sparkLocalDir())
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+      // same harness hygiene as Bench (r16 finding): the janino codegen
+      // cache defaults to 100 units while the 193-query surface generates
+      // far more, so a full Verify pass otherwise recompiles every plan it
+      // revisits; the status stores retain 1000 executions of metrics +
+      // SparkPlanInfo trees as old-gen ballast. Correctness is unaffected
+      // either way — this only cuts wall-clock of the round ritual.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.ui.retainedDeadExecutors", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.streaming.StreamDebug.installIfRequested(spark)

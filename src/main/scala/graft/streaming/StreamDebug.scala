@@ -14,7 +14,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * set, so the bench/verify hot path is unchanged. */
 object StreamDebug {
   def installIfRequested(spark: SparkSession): Unit =
-    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+    // gate on the VALUE, not mere presence: SPARK_GRAFT_STREAM_DEBUG=0 (or
+    // empty, e.g. left over in a wrapper script) must not install the
+    // listener — the scaladoc contract is "=1"
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true")))
       spark.streams.addListener(new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
