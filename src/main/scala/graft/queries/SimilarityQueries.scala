@@ -186,8 +186,12 @@ object SimilarityQueries {
       Dedup.simhashPortable(docs(s, dir), col("doc_id"), col("text"), bits = 32)),
 
     // 64-bit SimHash fingerprints (xxhash64-based; fully oracled).
+    // Widened scan: the SimHash64 kernel runs per document on the scan
+    // partitions, and a compact file arrives as ONE — the 12.9x this
+    // query read at 26x was scan shape, not the kernel (its portable
+    // twin widens inside simhashPortable and read 3.6x).
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))),
+      Dedup.simhash(Tables.widen(docs(s, dir)), col("doc_id"), col("text"))),
 
     // SimHash DEDUP completed end to end: portable fingerprints → Manku
     // block-banding (2 × 16-bit blocks; Hamming ≤ 1 ⇒ some block equal, by

@@ -87,8 +87,12 @@ object TextQueries {
     // streamExpand (FunctionalProcessing.hs:206-210) as Catalyst Generate:
     // one row per long token (the hashtag-extraction pattern,
     // examples/expand/generate.hs:22-35).
+    // widened scan: a compact documents file arrives as ONE partition, so
+    // the tokenize+explode would run single-threaded (the r14/r15 widen
+    // lesson — this query read 9.7x at 26x BECAUSE of the scan shape, not
+    // its arithmetic)
     "q_expand_words" -> ((s, dir) =>
-      docs(s, dir)
+      Tables.widen(docs(s, dir))
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("word"))
         .filter(length(col("word")) >= 8)),
 
@@ -192,7 +196,12 @@ object TextQueries {
       val q = TextAnalysis.qualityScore(col("text"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
-      docs(s, dir)
+      // widened scan: the quality scoring runs BEFORE the per-lang
+      // exchange, on the scan partitions — a compact file is ONE
+      // partition, so the scoring serialized (the unwidened members of
+      // the per-doc family read 12.9x at 26x; the widened q_quality —
+      // the SAME arithmetic minus the window — read 4.3x)
+      Tables.widen(docs(s, dir))
         .select(col("doc_id"), col("lang"), q.as("quality"))
         .withColumn("tile", ntile(5).over(w))
         .filter(col("tile") <= 4)
