@@ -21,6 +21,7 @@ def main(argv):
     args = argv[3:]
     adj = {}
     adj_runs = None
+    note_override = None  # --note: same override scale100_merge.py has
     extras = []
     bench_path = "bench.json"
     i = 0
@@ -38,6 +39,9 @@ def main(argv):
             i += 2
         elif args[i] == "--bench":
             bench_path = args[i + 1]
+            i += 2
+        elif args[i] == "--note":
+            note_override = args[i + 1]
             i += 2
         else:
             extras.append(args[i])
@@ -85,7 +89,8 @@ def main(argv):
         rows[q] = row
     errors = dict(sweep.get("errors", {}))
     doc = {
-        "note": ("Full-surface 26x scale step (26 isomorphic copies of ALL "
+        "note": note_override if note_override is not None else (
+                 "Full-surface 26x scale step (26 isomorphic copies of ALL "
                  "tables via the non-degenerate letter-permutation / "
                  "signed-dimension-permutation builders, tools/make_scale10.py). "
                  "ratio_vs_26x_data = wall-clock at 26x rows over the "
