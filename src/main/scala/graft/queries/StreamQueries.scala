@@ -61,7 +61,7 @@ object StreamQueries {
     // stderr (queryPlanning / addBatch / walCommit / ...) — the replay
     // floor is scheduling overhead, and this is how it gets attributed
     // before anyone tunes anything (see NOTES round 16)
-    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+    if (graft.streaming.StreamDebug.requested)
       q.recentProgress.foreach { p =>
         System.err.println(s"[stream-debug] $tmpPrefix batch=${p.batchId} " +
           s"rows=${p.numInputRows} durationMs=${p.durationMs}")

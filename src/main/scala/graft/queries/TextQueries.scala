@@ -721,7 +721,12 @@ object TextQueries {
     // form: both must pick the identical top-3 by (quality DESC, doc_id).
     "q_topk_agg" -> ((s, dir) => {
       import s.implicits._
-      val scored = docs(s, dir).select(col("lang"),
+      // widened: qualityScore is a genuine per-document pass, and the
+      // compact documents parquet arrives as ONE scan partition at sf<=26x
+      // — unwidened, the scan serialized and the 26x ratio read 12.6 (see
+      // NOTES round 17: the identical fix collapsed q_quality_filter /
+      // q_simhash / q_expand_words 2.2-2.7x)
+      val scored = Tables.widen(docs(s, dir)).select(col("lang"),
           TextAnalysis.qualityScore(col("text")).as("q"), col("doc_id"))
         .as[(String, Double, Long)]
       scored.groupByKey(_._1)

@@ -13,12 +13,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * each call site. Diagnostic-only: never registered unless the env var is
   * set, so the bench/verify hot path is unchanged. */
 object StreamDebug {
+  /** The single definition of the "=1" contract: SPARK_GRAFT_STREAM_DEBUG
+    * enables debug output only when set to "1"/"true" — mere presence (or
+    * =0/empty, e.g. left over in a wrapper script) must not. Every debug
+    * site gates on this, so the contract can't drift per call site. */
+  def requested: Boolean =
+    sys.env.get("SPARK_GRAFT_STREAM_DEBUG")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
   def installIfRequested(spark: SparkSession): Unit =
-    // gate on the VALUE, not mere presence: SPARK_GRAFT_STREAM_DEBUG=0 (or
-    // empty, e.g. left over in a wrapper script) must not install the
-    // listener — the scaladoc contract is "=1"
-    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG")
-          .exists(v => v == "1" || v.equalsIgnoreCase("true")))
+    if (requested)
       spark.streams.addListener(new StreamingQueryListener {
         override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
         override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
