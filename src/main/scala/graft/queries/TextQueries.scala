@@ -478,7 +478,12 @@ object TextQueries {
     // per-corpus shuffles move (doc_id, term, count) rows.
     "q_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tf = d.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      // widen the tokenize leg only (nDocs is a count — no per-row work):
+      // the per-doc regex tokenization ran on ONE scan partition of the
+      // compact parquet, serializing the scan stage — the family shape
+      // from NOTES rounds 14/17; 26x ratio read 9.6 before this
+      val tf = Tables.widen(d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = d.agg(count(lit(1)).as("n_docs"))

@@ -404,7 +404,13 @@ object Similarity {
 
   private def lshKnnImpl(corpus: DataFrame, queries: DataFrame, k: Int,
                          buckets: Column => Column): DataFrame = {
-    val cb = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+    // widen the corpus leg: bucket assignment is tables×planes dot
+    // products PER VECTOR, and a compact embeddings parquet arrives as
+    // one scan partition (graft.core.Scans.widen scaladoc) — unwidened,
+    // the whole hashing pass serialized and q_knn_srp_portable's 26x
+    // ratio read 9.2. The tiny queries side stays as-is.
+    val cb = graft.core.Scans.widen(corpus)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
       posexplode(buckets(col("embedding"))).as(Seq("t", "bucket")))
     val qb = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       posexplode(buckets(col("embedding"))).as(Seq("t", "bucket")))
