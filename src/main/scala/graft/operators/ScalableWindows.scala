@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-level ("chunked") keyed window primitives for the corpus-export
+  * family (q_pack / q_export / q_shuffle_shards).
+  *
+  * The direct form — `sum(x) over (partition by key order by id)` — is one
+  * hash exchange, but each key's running sum is a SINGLE sorted task: with
+  * web-crawl-shaped source skew (one source holding most rows) that
+  * source's sort+scan serializes onto one task at 100 TB (the r18 verdict's
+  * "one borderline scale shape"). The two-level form range-chunks each key
+  * by the (numeric, unique-per-key) order column, computes the cheap
+  * per-chunk aggregate, exclusive-scans the chunk TOTALS (a window over
+  * #chunks tiny rows, not #rows), and finishes within chunks carrying the
+  * offset — the same carry arithmetic the streaming export packer applies
+  * per micro-batch, applied batch-side. Work per task is bounded by the
+  * chunk width regardless of key skew; long addition / row counting are
+  * associative, so the result is BIT-IDENTICAL to the direct window and
+  * every existing oracle applies verbatim.
+  *
+  * Chunk width trades task granularity against carry-table size: the toy
+  * default (1024 ids) makes even sf0.1 cross chunk boundaries, so the
+  * DuckDB oracles exercise the carry path, not just the degenerate
+  * one-chunk case. A 100 TB deployment sizes width so a chunk's rows fit a
+  * task (e.g. 1-10 M ids) — and if the carry table itself outgrows one
+  * task per key, the same construction applies recursively to it.
+  */
+object ScalableWindows {
+
+  /** Exclusive keyed running sum of `value`, ordered by the numeric,
+    * per-key-unique `order` column: out(r) = sum of value over rows of the
+    * same key strictly before r. Equals
+    * `sum(value) over (partition by keys order by order rows unbounded
+    * preceding to -1)` exactly. */
+  def exclusivePrefixSum(df: DataFrame, keys: Seq[String], order: String,
+      value: Column, out: String, chunkWidth: Long = 1024L): DataFrame = {
+    require(keys.nonEmpty && chunkWidth > 0)
+    val kcols = keys.map(col)
+    val ccols = kcols :+ col("__chunk")
+    val withChunk = df.withColumn("__chunk",
+      floor(col(order) / chunkWidth).cast("long"))
+    // per-(key, chunk) totals: map-side-combined hash agg, fully parallel
+    val totals = withChunk.groupBy(ccols: _*).agg(sum(value).as("__ct"))
+    // exclusive scan of chunk totals per key: #chunks rows, not #rows
+    val carryW = Window.partitionBy(kcols: _*).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__ct")).over(carryW), lit(0L)))
+      .drop("__ct")
+    // within-chunk exclusive sum + carried offset; the join and the inner
+    // window share the (keys, chunk) hash partitioning
+    val innerW = Window.partitionBy(ccols: _*).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withChunk.join(offsets, keys :+ "__chunk")
+      .withColumn(out,
+        col("__off") + coalesce(sum(value).over(innerW), lit(0L)))
+      .drop("__chunk", "__off")
+  }
+
+  /** Keyed `row_number() over (partition by keys order by order*)`, chunked
+    * on the FIRST order column (numeric; the full order tuple must be
+    * per-key-unique, e.g. tie-broken by a unique id). Row counting is
+    * associative, so positions equal the direct window's exactly. */
+  def keyedRowNumber(df: DataFrame, keys: Seq[String], order: Seq[String],
+      out: String, chunkWidth: Long = 1024L): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty && chunkWidth > 0)
+    val kcols = keys.map(col)
+    val ccols = kcols :+ col("__chunk")
+    val withChunk = df.withColumn("__chunk",
+      floor(col(order.head) / chunkWidth).cast("long"))
+    val counts = withChunk.groupBy(ccols: _*).agg(count(lit(1)).as("__cn"))
+    val carryW = Window.partitionBy(kcols: _*).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cn")).over(carryW), lit(0L)))
+      .drop("__cn")
+    val innerW = Window.partitionBy(ccols: _*).orderBy(order.map(col): _*)
+    withChunk.join(offsets, keys :+ "__chunk")
+      .withColumn(out, (col("__off") + row_number().over(innerW)).cast("int"))
+      .drop("__chunk", "__off")
+  }
+}

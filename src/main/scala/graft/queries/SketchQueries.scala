@@ -148,7 +148,7 @@ object SketchQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_freq_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         summary.writeStream.outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")

@@ -318,7 +318,7 @@ object StreamQueries {
         e.value.map { case (id, sum) => (id, u, sum) }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
       runLoweredToDf(s, typed.toDF("event_id", "user_id", "sum_raw"),
-        "graft_stream_sbk_", statePartitions = 4)
+        "graft_stream_sbk_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("event_id"), col("user_id"), roundp(col("sum_raw"), 2).as("running_sum"))
     }),
 
@@ -349,7 +349,7 @@ object StreamQueries {
         e.value.map { case (id, t) => (id, u, t) }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
       runLoweredToDf(s, typed.toDF("event_id", "user_id", "event_type"),
-        "graft_stream_cbk_", statePartitions = 4)
+        "graft_stream_cbk_", statePartitions = graft.streaming.GateTuning.statePartitions)
     }),
 
     // Streaming as-of enrichment through StreamingOps.asofEnrichByKey:
@@ -385,7 +385,7 @@ object StreamQueries {
       }(Encoders.product[(Long, Long, Long, Double, Long, Long)])
       runLoweredToDf(s,
         typed.toDF("event_id", "user_id", "p_us", "value", "click_id", "c_us"),
-        "graft_stream_asof_", statePartitions = 4)
+        "graft_stream_asof_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("event_id"), col("user_id"),
           timestamp_micros(col("p_us")).as("ts"), col("value"),
           col("click_id"), timestamp_micros(col("c_us")).as("click_ts"),
@@ -473,7 +473,7 @@ object StreamQueries {
       val bandSchema = "doc_id BIGINT, band_idx INT, band_hash BIGINT"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         Tables.streamDocsChunked(s, dir)
           .writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -537,7 +537,7 @@ object StreamQueries {
       val ckpt = graft.core.TempDirs.create("graft_knn_ckpt_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -571,7 +571,7 @@ object StreamQueries {
       val ckpt = graft.core.TempDirs.create("graft_dsir_ckpt_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         Tables.streamDocsChunked(s, dir)
           .writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -618,7 +618,7 @@ object StreamQueries {
       val trans = graft.streaming.StreamingOps.funnelByKey[Long](keyed,
         Seq("view", "click", "purchase"))
       runLoweredToDf(s, trans.toDF("user_id", "stage", "us"),
-        "graft_stream_funnel_", statePartitions = 4)
+        "graft_stream_funnel_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("user_id"), col("stage"),
           timestamp_micros(col("us")).as("ts"))
     }),
@@ -649,7 +649,7 @@ object StreamQueries {
       val ckpt = graft.core.TempDirs.create("graft_merge_ckpt_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
           .writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -699,7 +699,7 @@ object StreamQueries {
         }(Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, Long)]]))
       val stats = graft.streaming.StreamingOps.ewmaByKey[Long](keyed, lookback = 16)
       runLoweredToDf(s, stats.toDF("user_id", "event_id", "cents", "ewma_num", "n_terms"),
-        "graft_stream_ewma_", statePartitions = 4)
+        "graft_stream_ewma_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("event_id"), col("user_id"), col("cents"),
           col("ewma_num"), col("n_terms"))
     }),
@@ -721,7 +721,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_hist_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         binned.writeStream.outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -758,7 +758,7 @@ object StreamQueries {
       val credited = graft.streaming.StreamingOps.attributeByKey[Long](
         keyed, creditType = "purchase", defaultChannel = "direct")
       runLoweredToDf(s, credited.toDF("user_id", "event_id", "channel", "cents"),
-        "graft_stream_attr_", statePartitions = 4)
+        "graft_stream_attr_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("event_id"), col("user_id"), col("channel"), col("cents"))
     }),
 
@@ -783,7 +783,7 @@ object StreamQueries {
         }(Encoders.tuple(Encoders.scalaLong, Encoders.kryo[Event[(Long, Long)]]))
       val stats = graft.streaming.StreamingOps.trailingStatsByKey[Long](keyed, lookback = 10)
       runLoweredToDf(s, stats.toDF("user_id", "event_id", "cents", "n_win", "s", "q"),
-        "graft_stream_zscore_", statePartitions = 4)
+        "graft_stream_zscore_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("event_id"), col("user_id"), col("cents"),
           col("n_win"), col("s"), col("q"),
           ((col("n_win") * col("cents") - col("s"))
@@ -816,7 +816,7 @@ object StreamQueries {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
         Encoders.scalaLong, Encoders.scalaDouble))
       runLoweredToDf(s, typed.toDF("user_id", "window_start", "n", "sum_raw"),
-        "graft_stream_chbk_", statePartitions = 4)
+        "graft_stream_chbk_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("user_id"), col("window_start"), col("n"),
           roundp(col("sum_raw"), 2).as("sum_value"))
     }),
@@ -846,7 +846,7 @@ object StreamQueries {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
         Encoders.scalaLong, Encoders.scalaDouble))
       runLoweredToDf(s, typed.toDF("user_id", "window_start", "n", "sum_raw"),
-        "graft_stream_slbk_", statePartitions = 4)
+        "graft_stream_slbk_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("user_id"), col("window_start"), col("n"),
           roundp(col("sum_raw"), 2).as("sum_value"))
     }),
@@ -878,7 +878,7 @@ object StreamQueries {
       }(Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
         Encoders.scalaLong, Encoders.scalaDouble))
       runLoweredToDf(s, typed.toDF("user_id", "window_start", "n", "sum_raw"),
-        "graft_stream_stbk_", statePartitions = 4)
+        "graft_stream_stbk_", statePartitions = graft.streaming.GateTuning.statePartitions)
         .select(col("user_id"), col("window_start"), col("n"),
           roundp(col("sum_raw"), 2).as("sum_value"))
     }),
@@ -900,7 +900,7 @@ object StreamQueries {
       // read-back gets the session default — same move as runLoweredToDf)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         dedup.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -941,7 +941,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_ij_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         joined.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -972,7 +972,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_wj_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         joined.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -1007,7 +1007,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_wj2_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         joined.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -1034,7 +1034,7 @@ object StreamQueries {
       // same state-store partition pin as q_streaming_dedup
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         agg.writeStream.outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -1067,7 +1067,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_ssa_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         agg.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -1108,7 +1108,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_je_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         joined.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -1537,7 +1537,7 @@ object StreamQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_wear_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         counts.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")

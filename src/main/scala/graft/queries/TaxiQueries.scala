@@ -151,7 +151,7 @@ object TaxiQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_taxi1_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         counts.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
@@ -211,7 +211,7 @@ object TaxiQueries {
       val tmp = graft.core.TempDirs.create("graft_stream_taxi2_").toAbsolutePath
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         joined.writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")

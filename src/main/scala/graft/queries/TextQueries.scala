@@ -231,8 +231,9 @@ object TextQueries {
     // dedup), (2) a C4-style minimum-length rule (≥ 10 whitespace
     // tokens; Raffel et al. 2020 drop short pages the same way),
     // (3) q_pack's contiguous greedy packing into 2000-token sequences
-    // per source (keyed exclusive-prefix-sum window — one hash
-    // exchange, never a global sort), and (4) q_shuffle_shards' Lehmer
+    // per source (two-level chunked exclusive-prefix-sum — task work
+    // bounded under source skew, never a global sort; see
+    // ScalableWindows), and (4) q_shuffle_shards' Lehmer
     // shuffle of the packed SEQUENCES into 8 training shards with a
     // within-shard position (keyed window per shard). Output is the
     // export manifest: one row per packed sequence with its shard
@@ -246,11 +247,12 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .filter(col("n_tokens") >= 10)
-      val packW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val binned = kept.withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(packW), lit(0L)) / 2000).cast("long"))
+      // two-level chunked prefix sum (see q_pack): bounded task work under
+      // source skew, bit-identical bins
+      val binned = graft.operators.ScalableWindows
+        .exclusivePrefixSum(kept, Seq("source"), "doc_id", col("n_tokens"), "__pre")
+        .withColumn("bin", floor(col("__pre") / 2000).cast("long"))
+        .drop("__pre")
       val seqs = binned.groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -259,11 +261,14 @@ object TextQueries {
       // overflow audit: poly < 2³¹, ·31 + bin < 2³⁶, ·48271 < 2⁵³
       val skey = pmod((pmod(graft.functions.PortableHash.polyHash(col("source")) * 31L
         + col("bin"), lit(P))) * 48271L, lit(P))
-      val shardW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("skey"), col("source"), col("bin"))
-      seqs.withColumn("skey", skey)
+      // within-shard position: chunked row_number (8 shards = 8 tasks
+      // under a plain window — a serialization point at scale, same
+      // rationale as q_shuffle_shards)
+      val sharded = seqs.withColumn("skey", skey)
         .withColumn("shard", (col("skey") % 8).cast("int"))
-        .withColumn("pos", row_number().over(shardW))
+      graft.operators.ScalableWindows
+        .keyedRowNumber(sharded, Seq("shard"), Seq("skey", "source", "bin"),
+          "pos", chunkWidth = 524288L)
         .select(col("shard"), col("pos"), col("source"), col("bin"),
           col("n_docs"), col("seq_tokens"), col("first_doc"), col("last_doc"))
     }),
@@ -310,7 +315,7 @@ object TextQueries {
       val carrySchema = "source STRING, carry BIGINT"
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions", graft.streaming.GateTuning.statePartitionsStr)
         Tables.streamDocsChunked(s, dir)
           .writeStream.outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -417,20 +422,22 @@ object TextQueries {
     // Sequence packing for training: concatenate documents in a stable
     // order and cut at a token budget (contiguous greedy packing — the
     // streaming form used when assembling fixed-length training
-    // sequences). Partitioned by `source` so the running sum is a keyed
-    // window (one hash exchange), never a global single-partition sort.
-    // bin = exclusive-prefix-sum div budget: a doc goes in the bin its
-    // first token lands in.
+    // sequences). bin = exclusive-prefix-sum div budget: a doc goes in
+    // the bin its first token lands in. The running sum is the TWO-LEVEL
+    // chunked form (ScalableWindows.exclusivePrefixSum): a plain
+    // per-source window serializes each source onto one task, which with
+    // crawl-shaped source skew is the straggler at 100 TB (r18 verdict);
+    // chunked, task work is bounded by chunk width whatever the skew,
+    // and long addition being associative the bins are bit-identical.
     "q_pack" -> ((s, dir) => {
       val budget = 2000
       val toks = TextAnalysis.tokenCount(col("text"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      docs(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"), col("source"), toks.as("n_tokens"))
-        .withColumn("bin",
-          floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget).cast("long"))
+      graft.operators.ScalableWindows
+        .exclusivePrefixSum(base, Seq("source"), "doc_id", col("n_tokens"), "__pre")
+        .withColumn("bin", floor(col("__pre") / budget).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
     }),
 
     // Internal repetition score: fraction of a document's word 3-grams
@@ -875,20 +882,24 @@ object TextQueries {
     // RNG state to ship) keys both the shard assignment and the
     // within-shard position. This is the export step that writes training
     // files: shard = one output file, pos = record order inside it. The
-    // position is a KEYED window (one hash exchange on 16 shards ×
-    // whatever parallelism) — never a global single-partition row_number;
-    // at 100 TB each shard's window sorts independently.
+    // position is the two-level chunked row_number (ScalableWindows): a
+    // plain per-shard window is one task per shard — 16 tasks total
+    // regardless of cluster size — so at 100 TB each shard serializes;
+    // chunked on skey ranges (2³¹/4096-wide slices), positions come from
+    // per-chunk row_number + exclusive-scanned chunk counts, bounded
+    // parallel task work, identical positions.
     "q_shuffle_shards" -> ((s, dir) => {
       // reduce doc_id mod 2^31-1 BEFORE the multiply: the product then
       // stays under 2^47, so the key never overflows a long (Spark 4 ANSI
       // would throw; the oracle engine would too) at any id scale
       val skey = (col("doc_id") % 2147483647L) * 48271L % 2147483647L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
-      docs(s, dir)
+      val base = docs(s, dir)
         .select(col("doc_id"), skey.as("skey"))
         .withColumn("shard", (col("skey") % 16).cast("int"))
-        .withColumn("pos", row_number().over(w))
+      graft.operators.ScalableWindows
+        .keyedRowNumber(base, Seq("shard"), Seq("skey", "doc_id"), "pos",
+          chunkWidth = 524288L)
+        .select(col("doc_id"), col("skey"), col("shard"), col("pos"))
     }),
 
     // Training-window chunking: 64-token windows, stride 48 (16-token

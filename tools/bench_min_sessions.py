@@ -16,12 +16,21 @@ Output: one merged bench-schema line (parsable by Bench's parsePriors:
 "queries" + "sf" present) with:
   - queries: per-query min across sessions
   - value:   sum of the mins
-  - sessions / session_totals / session_values: provenance
+  - retry_prior: per-query MEDIAN across sessions — what Bench's >2x
+    load-retry compares against (a fresh session routinely exceeds 2x
+    a cross-session MINIMUM when half the surface spreads >1.5x, so
+    retrying against the mins fires mass false retries; r18 ADVICE)
+  - sessions / session_values: provenance (each session's total)
   - canaries: each session's canary_start/canary_end pairs
   - spread:  per-query max/min ratio for queries whose sessions
              disagree >1.5x — the floor-noise victims, named
   - cpu_probe_ms / io_probe_ms: min across sessions (the machine's
     actual speed; the least-interrupted sample)
+  - errors: only queries that failed in EVERY session; a query that
+    errored in some sessions but succeeded in others keeps its
+    successful reading in "queries" and is named in partial_queries
+    (Bench's convention is errors excluded from queries/total — a
+    query in both maps would make the artifact self-inconsistent)
 
 Usage: bench_min_sessions.py out.json session1.json session2.json [...]
 """
@@ -46,20 +55,29 @@ def main(argv):
     partial = sorted(n for n in names
                      if any(n not in s["queries"] for s in sessions))
     merged = {}
+    retry_prior = {}
     spread = {}
     for n in sorted(names):
         ts = [s["queries"][n] for s in sessions if n in s["queries"]]
         merged[n] = min(ts)
+        retry_prior[n] = sorted(ts)[len(ts) // 2]
         if merged[n] > 0 and max(ts) / merged[n] > 1.5:
             spread[n] = round(max(ts) / merged[n], 2)
+    # only queries that failed in EVERY session belong in errors — a
+    # partial failure keeps its successful reading in "queries" (and is
+    # named in partial_queries); listing it in both maps would violate
+    # Bench's errors-excluded-from-queries convention
     errors = {}
     for s in sessions:
-        errors.update(s.get("errors", {}))
+        for k, v in s.get("errors", {}).items():
+            if k not in names:
+                errors[k] = v
     doc = {
         "metric": "total",
         "value": round(sum(merged.values()), 4),
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in merged.items()},
+        "retry_prior": {k: round(v, 4) for k, v in retry_prior.items()},
         "sf": base["sf"],
         "runs": base["runs"],
         "force": base["force"],
