@@ -239,9 +239,18 @@ object AnalyticsQueries {
           .join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("r DIV outdeg").as("contrib"))
           .groupBy(col("dst")).agg(sum(col("contrib")).as("in_sum"))
+        // materialize each iteration (per-node rows — bounded by graph
+        // order, not stream size): the lazy form stacks 10 join+agg
+        // rounds into ONE logical plan, and optimizing/executing that
+        // 30-join tree cost more than the iteration's actual work
+        // (8.8 s -> see OPTIMIZATION_r19.md; the standard lineage-
+        // truncation move for iterative algorithms). Values unchanged —
+        // the same integer fixed-point arithmetic, just evaluated
+        // eagerly per round.
         ranks = nodes.join(incoming, col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(prBase) + expr("coalesce(in_sum, 0L) * 85 DIV 100")).as("r"))
+          .localCheckpoint()
       }
       ranks.join(nodes, "node")
         .select(col("node").as("n_nationkey"), col("n_name"), col("r").as("pagerank"))
