@@ -55,14 +55,44 @@ object StateStores {
           "spark.sql.streaming.stateStore.providerClass directly")
     }
 
-  /** Apply the env-selected provider (+ its companion confs) to a session
-    * builder (no-op when the env var is unset — Spark's default provider
-    * applies). */
+  /** Checkpoint metadata-log file manager for the LOCAL-filesystem
+    * checkpoints every graft entry point uses (ephemeral tmpfs dirs, see
+    * TempDirs). Spark's default prefers the Hadoop FileContext API for its
+    * rename-based atomic create; on `file:` filesystems every FileContext
+    * rename stats the target via `FileUtil.readLink`, which SHELLS OUT
+    * (`Shell.execCommand` → fork+exec — copying a multi-GB JVM's page
+    * tables per call). Measured round 20 by jstack-sampling the stream
+    * execution thread: 24/184 samples inside `ProcessImpl.forkAndExec`
+    * under `FileContextBasedCheckpointFileManager.renameTempFile`, and the
+    * same-session A/B on the gates read join_w 3.7→2.3 s, taxi_q2
+    * 4.6→2.8 s, stateless 1.0→0.75 s per run. The FileSystem-based manager
+    * keeps the identical write-temp-then-rename protocol but renames via
+    * `File.renameTo` — no fork, atomic on POSIX — so it is the right
+    * manager for local checkpoint dirs at ANY scale (the tax is per
+    * metadata write, not per row). Deployments checkpointing to HDFS/S3
+    * should keep Spark's default: set SPARK_GRAFT_CKPT_MANAGER=default
+    * (or a custom manager class name). */
+  val LocalFsCheckpointManager =
+    "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager"
+
+  private[streaming] def checkpointManagerFromEnv(env: Map[String, String]): Option[String] =
+    env.get("SPARK_GRAFT_CKPT_MANAGER") match {
+      case None => Some(LocalFsCheckpointManager)
+      case Some("default") => None // Spark's own choice (FileContext-based)
+      case Some(cls) => Some(cls)
+    }
+
+  /** Apply the env-selected provider (+ its companion confs) and the
+    * checkpoint file manager to a session builder (provider is a no-op
+    * when SPARK_GRAFT_STATE_STORE is unset — Spark's default applies). */
   def configure(b: SparkSession.Builder, env: Map[String, String] = sys.env)
-      : SparkSession.Builder =
-    fromEnv(env).fold(b) { case (provider, extras) =>
-      extras.foldLeft(b.config("spark.sql.streaming.stateStore.providerClass", provider)) {
+      : SparkSession.Builder = {
+    val withCkpt = checkpointManagerFromEnv(env).fold(b)(
+      b.config("spark.sql.streaming.checkpointFileManagerClass", _))
+    fromEnv(env).fold(withCkpt) { case (provider, extras) =>
+      extras.foldLeft(withCkpt.config("spark.sql.streaming.stateStore.providerClass", provider)) {
         case (bb, (k, v)) => bb.config(k, v)
       }
     }
+  }
 }
