@@ -31,12 +31,19 @@ import org.apache.spark.sql.functions._
   * direct window's 3.1 s at sf0.1. The input is therefore persisted
   * (materialize-for-reuse, the q_pmi tradeoff: the second consumer reads
   * a narrow cached projection instead of re-running tokenize/dedup), and
-  * the chunk-totals table — #distinct (keys, chunk) rows = input_rows /
-  * chunkWidth, model-sized at any sane width — is BROADCAST back, so the
-  * big side is exchanged exactly once (for the within-chunk window) and
-  * never shuffled for the join. If the carry table itself outgrew a
-  * broadcast at some extreme scale, the same construction applies
-  * recursively to it.
+  * the chunk-totals carry table — #distinct (keys, chunk) rows =
+  * input_rows / chunkWidth — is materialized, COUNTED, and broadcast back
+  * only when that measured row count is under [[MaxBroadcastCarryRows]]
+  * (round 20; previously the hint was unconditional, which at a toy width
+  * over a huge input would force a driver-breaking broadcast — the r19
+  * ADVICE item). Under the bound, the big side is exchanged exactly once
+  * (for the within-chunk window) and never shuffled for the join; over
+  * it, the join falls back to the planner's shuffled join on
+  * (keys, __chunk) — correct at any size, and the carry side is read from
+  * cache, never recomputed. Both persists are registered with
+  * [[graft.core.CacheRegistry]] so library callers can release them
+  * (`unpersistAll`); Bench/Verify's per-query `clearCache` already
+  * releases them in the harness loops.
   *
   * Chunk width trades task granularity against carry-table size: the toy
   * default (1024 ids) makes even sf0.1 cross chunk boundaries, so the
@@ -46,21 +53,42 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindows {
 
+  /** Carry tables at/below this measured row count are broadcast; above
+    * it the carry join falls back to a shuffled join. At ~100 bytes per
+    * carry row (keys + chunk + offset) the default bounds the broadcast
+    * near 200 MB — inside the "a few hundred MB is usually fine" envelope
+    * and far under Spark's 8 GB / 512 M-row hard cap — while any sanely
+    * sized deployment (chunkWidth 1-10 M ids) stays under it up to
+    * ~10^13 input rows. Env-overridable for experiments. */
+  val MaxBroadcastCarryRows: Long =
+    sys.env.get("GRAFT_MAX_BROADCAST_CARRY_ROWS").map(_.toLong).getOrElse(2000000L)
+
+  /** Materialize the model-sized carry table and pick the join strategy
+    * from its MEASURED size: persist + count (the aggregate runs exactly
+    * once, outside any broadcast-build timeout), then broadcast-hint only
+    * under the row bound. */
+  private def carrySide(offsets: DataFrame, maxBroadcastRows: Long): DataFrame = {
+    val cached = graft.core.CacheRegistry.track(offsets)
+    val rows = cached.count()
+    if (rows <= maxBroadcastRows) broadcast(cached) else cached
+  }
+
   /** Exclusive keyed running sum of `value`, ordered by the numeric,
     * per-key-unique `order` column: out(r) = sum of value over rows of the
     * same key strictly before r. Equals
     * `sum(value) over (partition by keys order by order rows unbounded
     * preceding to -1)` exactly. */
   def exclusivePrefixSum(df: DataFrame, keys: Seq[String], order: String,
-      value: Column, out: String, chunkWidth: Long = 1024L): DataFrame = {
+      value: Column, out: String, chunkWidth: Long = 1024L,
+      maxBroadcastCarryRows: Long = MaxBroadcastCarryRows): DataFrame = {
     require(keys.nonEmpty && chunkWidth > 0)
     val kcols = keys.map(col)
     val ccols = kcols :+ col("__chunk")
     // materialized once: both the totals aggregate and the join below read
     // the cache, not the (possibly expensive) upstream plan. Narrow by
     // construction — callers pass (keys, order, value) projections.
-    val withChunk = df.withColumn("__chunk",
-      floor(col(order) / chunkWidth).cast("long")).persist()
+    val withChunk = graft.core.CacheRegistry.track(df.withColumn("__chunk",
+      floor(col(order) / chunkWidth).cast("long")))
     // per-(key, chunk) totals: map-side-combined hash agg, fully parallel
     val totals = withChunk.groupBy(ccols: _*).agg(sum(value).as("__ct"))
     // exclusive scan of chunk totals per key: #chunks rows, not #rows
@@ -69,11 +97,9 @@ object ScalableWindows {
     val offsets = totals
       .withColumn("__off", coalesce(sum(col("__ct")).over(carryW), lit(0L)))
       .drop("__ct")
-    // broadcast the model-sized carry table: the big side is exchanged
-    // once, for the within-chunk window, and never for the join
     val innerW = Window.partitionBy(ccols: _*).orderBy(col(order))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withChunk.join(broadcast(offsets), keys :+ "__chunk")
+    withChunk.join(carrySide(offsets, maxBroadcastCarryRows), keys :+ "__chunk")
       .withColumn(out,
         col("__off") + coalesce(sum(value).over(innerW), lit(0L)))
       .drop("__chunk", "__off")
@@ -84,12 +110,13 @@ object ScalableWindows {
     * per-key-unique, e.g. tie-broken by a unique id). Row counting is
     * associative, so positions equal the direct window's exactly. */
   def keyedRowNumber(df: DataFrame, keys: Seq[String], order: Seq[String],
-      out: String, chunkWidth: Long = 1024L): DataFrame = {
+      out: String, chunkWidth: Long = 1024L,
+      maxBroadcastCarryRows: Long = MaxBroadcastCarryRows): DataFrame = {
     require(keys.nonEmpty && order.nonEmpty && chunkWidth > 0)
     val kcols = keys.map(col)
     val ccols = kcols :+ col("__chunk")
-    val withChunk = df.withColumn("__chunk",
-      floor(col(order.head) / chunkWidth).cast("long")).persist()
+    val withChunk = graft.core.CacheRegistry.track(df.withColumn("__chunk",
+      floor(col(order.head) / chunkWidth).cast("long")))
     val counts = withChunk.groupBy(ccols: _*).agg(count(lit(1)).as("__cn"))
     val carryW = Window.partitionBy(kcols: _*).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -97,7 +124,7 @@ object ScalableWindows {
       .withColumn("__off", coalesce(sum(col("__cn")).over(carryW), lit(0L)))
       .drop("__cn")
     val innerW = Window.partitionBy(ccols: _*).orderBy(order.map(col): _*)
-    withChunk.join(broadcast(offsets), keys :+ "__chunk")
+    withChunk.join(carrySide(offsets, maxBroadcastCarryRows), keys :+ "__chunk")
       .withColumn(out, (col("__off") + row_number().over(innerW)).cast("int"))
       .drop("__chunk", "__off")
   }

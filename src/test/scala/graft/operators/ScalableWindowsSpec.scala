@@ -59,4 +59,41 @@ class ScalableWindowsSpec extends SparkSuite {
     assert(out.count() === df.count())
     assert(out.columns.toSet === Set("id", "key", "v", "pre"))
   }
+
+  test("shuffled-join fallback (carry over the broadcast bound) is bit-equal") {
+    // maxBroadcastCarryRows=0 forces the over-bound path: the carry join
+    // must fall back to the planner's shuffled join and still reproduce
+    // the direct window exactly — the scale-safety path the broadcast
+    // guard exists for (r19 ADVICE: an unconditional hint would force a
+    // driver-breaking broadcast at toy widths over huge inputs)
+    val w = Window.partitionBy($"key").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val direct = df.withColumn("pre", coalesce(sum($"v").over(w), lit(0L)))
+      .select($"id", $"key", $"pre")
+    val fallback = ScalableWindows
+      .exclusivePrefixSum(df, Seq("key"), "id", col("v"), "pre", 64L,
+        maxBroadcastCarryRows = 0L)
+      .select($"id", $"key", $"pre")
+    assert(fallback.except(direct).isEmpty && direct.except(fallback).isEmpty)
+    val wrn = Window.partitionBy($"key").orderBy($"id", $"v")
+    val directRn = df.withColumn("pos", row_number().over(wrn))
+      .select($"id", $"key", $"pos")
+    val fallbackRn = ScalableWindows
+      .keyedRowNumber(df, Seq("key"), Seq("id", "v"), "pos", 64L,
+        maxBroadcastCarryRows = 0L)
+      .select($"id", $"key", $"pos")
+    assert(fallbackRn.except(directRn).isEmpty && directRn.except(fallbackRn).isEmpty)
+  }
+
+  test("persists are registered for release with CacheRegistry") {
+    spark.catalog.clearCache()
+    val out = ScalableWindows
+      .exclusivePrefixSum(df, Seq("key"), "id", col("v"), "pre", 64L)
+    out.write.format("noop").mode("overwrite").save()
+    // the chunked input + the carry table are cached after a run...
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    // ...and a library caller (no harness clearCache) can release them
+    graft.core.CacheRegistry.unpersistAll()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
 }
