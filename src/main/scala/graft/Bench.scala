@@ -420,14 +420,27 @@ object Bench {
       c.map { case (k, v) => s"\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"force":"$force","harness":"$harness","load_before":$loadBefore,"load_after":$loadAfter,"host_cpus":$cpusAvail,"io_probe_ms":$ioProbe,"cpu_probe_ms":$cpuProbe,"canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},"loads":$loadsJson,"ext_cpus":$extsJson,"retried":$retriedJson,"errors":$errJson}"""
     println(line)
+    // Compact FINAL summary line (<1 KB): log-capture pipelines keep only a
+    // bounded tail of stdout, and the full line above is ~10 KB at 193
+    // queries — every wrapper-side parse of this program's output since
+    // round 1 saw only a mid-JSON fragment of it (BENCH_r01..r19 all record
+    // parsed:null). The LAST stdout line is therefore a small complete JSON
+    // object carrying the total and the session-health fields; the
+    // per-query map stays on the full line above and in the bench.json
+    // file artifact ("queries_file"). No "queries" key here on purpose:
+    // parsePriors (and any per-query consumer) must keep reading the full
+    // artifact, never mistake this summary for a 0-query run.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_dev.json" else "bench.json")
+    val summary = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${ok.size},"n_errors":${errors.size},"sf":"$sfDir","runs":$runs,"force":"$force","harness":"$harness","cpu_probe_ms":$cpuProbe,"io_probe_ms":$ioProbe,"canary_start":${canaryJson(canaryStart)},"canary_end":${canaryJson(canaryEnd)},"queries_file":"$benchOut"}"""
+    println(summary)
     // also land the line on disk: log-capture pipelines truncate long stdout
     // lines (BENCH_r06 lost half its per-query numbers that way); the file
     // artifact keeps every round's numbers complete regardless. Subset runs
     // (SPARK_GRAFT_ONLY) default to bench_dev.json — a dev loop must not
     // clobber the full-run artifact that seeds the next run's retry priors.
-    val defaultOut = if (only.isDefined) "bench_dev.json" else "bench.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)), line + "\n")
+      java.nio.file.Paths.get(benchOut), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }

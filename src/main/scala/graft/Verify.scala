@@ -56,6 +56,11 @@ object Verify {
         }
       }
       spark.catalog.clearCache() // drop per-query persists between queries
+      // localCheckpoint blocks (PageRank's per-iteration ranks, the dedup
+      // keep-lists) live in RDD storage, not the SQL cache — without this
+      // sweep they accumulate across the 193-query loop as storage-memory
+      // ballast (same rationale as Bench's per-run sweep)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
