@@ -54,8 +54,11 @@ object StreamPlanProbe {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
+        val ops = p.stateOperators.map { o =>
+          s"${o.operatorName}(commit=${o.commitTimeMs}ms upd+rm=${o.allUpdatesTimeMs + o.allRemovalsTimeMs}ms rows=${o.numRowsTotal})"
+        }.mkString(" ")
         println(s"[probe-batch] batch=${p.batchId} rows=${p.numInputRows} " +
-          s"durationMs=${p.durationMs}")
+          s"durationMs=${p.durationMs} $ops")
       }
     })
     val phases: Seq[(String, Boolean)] = abConf match {
